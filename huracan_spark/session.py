@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the huracan-spark engine.
+
+Local-mode defaults mirror the parallelism knobs of the reference
+(worker pools, `main/config.yaml:36-39,59-62`) but expressed the Spark
+way: shuffle partitions + AQE instead of hand-sized channel pools.
+All settings are cluster-safe: on a real cluster the master/memory
+settings are supplied by the submitter and these become no-ops.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "DEFAULT_SHUFFLE_PARTITIONS"]
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "huracan-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    - AQE on: runtime coalescing + skew-join handling stand in for the
+      reference's hand-tuned batch sizes (`main/config.yaml:41-45`).
+    - shuffle.partitions sized to cores locally; on a cluster AQE
+      re-plans from this initial number anyway.
+    - Arrow on: every Pandas-UDF path (enrichment, embeddings) is
+      Arrow-batched, never row-at-a-time.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    parts = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(parts))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # TESTDATA events.parquet carries TIMESTAMP(NANOS) which Spark has
+        # no native type for; read as long (ns) and convert in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g")
+        )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

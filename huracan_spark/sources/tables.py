@@ -1,0 +1,59 @@
+"""Parquet table loaders for the driver-generated TESTDATA star schema.
+
+Replaces the reference's MongoDB collections + RPC fixtures with
+parquet scans (SURVEY.md §2.1 S5: the paginated RPC scan becomes
+`spark.read.parquet`).  Scans are declared lazily so Catalyst pushes
+filters/column pruning into the parquet reader.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["TABLES", "default_sf_dir", "load_table", "load_all", "register_views"]
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; one of {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts arrives as long nanoseconds (see session.py nanosAsLong);
+        # truncate to microseconds — exactly what DuckDB does when it
+        # reads the same parquet, so oracle comparisons line up.
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so `spark.sql` queries match
+    the DuckDB oracle's pre-registered views name-for-name."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,121 @@
+"""Operator semantics tests: compaction (K1/K2), islands (A7), pagination (Q9)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from huracan_spark.operators.compaction import (
+    latest_state,
+    latest_state_window,
+    merge_into,
+)
+from huracan_spark.operators.islands import descending_ranges
+from huracan_spark.operators.pagination import paginate
+
+
+def test_islands_reference_case(spark):
+    """The reference's only unit test (main/src/utils.rs:39-48):
+    [3,1,2,7,9,11,10] -> [(11,9),(7,7),(3,1)]."""
+    df = spark.createDataFrame([(i,) for i in [3, 1, 2, 7, 9, 11, 10]], ["checkpoint_id"])
+    out = [(r.range_end, r.range_start) for r in descending_ranges(df).collect()]
+    assert out == [(11, 9), (7, 7), (3, 1)]
+
+
+def test_islands_empty(spark):
+    df = spark.createDataFrame([], "checkpoint_id long")
+    assert descending_ranges(df).count() == 0
+
+
+def test_islands_duplicates(spark):
+    df = spark.createDataFrame([(1,), (1,), (2,), (4,)], ["checkpoint_id"])
+    out = [(r.range_end, r.range_start) for r in descending_ranges(df).collect()]
+    assert out == [(4, 4), (2, 1)]
+
+
+def _change_stream(spark, rows):
+    return spark.createDataFrame(
+        rows, "id string, version long, deleted boolean, payload string"
+    )
+
+
+def test_latest_state_picks_max_version(spark):
+    rows = [
+        ("a", 1, False, "a1"),
+        ("a", 3, False, "a3"),
+        ("a", 2, False, "a2"),
+        ("b", 1, False, "b1"),
+    ]
+    out = latest_state(_change_stream(spark, rows), "id", "version")
+    state = {r.id: (r.version, r.payload) for r in out.collect()}
+    assert state == {"a": (3, "a3"), "b": (1, "b1")}
+
+
+def test_latest_state_equals_window_variant(spark):
+    random.seed(42)
+    rows = [
+        (f"obj{i % 17}", v, False, f"p{i%17}-{v}")
+        for i, v in enumerate(random.sample(range(1000), 400))
+    ]
+    df = _change_stream(spark, rows)
+    a = sorted(map(tuple, latest_state(df, "id", "version").collect()))
+    b = sorted(map(tuple, latest_state_window(df, "id", "version").collect()))
+    assert a == b
+
+
+def test_latest_state_order_independent_and_idempotent(spark):
+    """K1 contract (etl.rs:1245-1247): replaying any permutation with
+    duplicates converges to the same state."""
+    base = [
+        ("a", 1, False, "a1"),
+        ("a", 2, False, "a2"),
+        ("b", 5, False, "b5"),
+        ("b", 4, False, "b4"),
+        ("c", 9, True, None),
+        ("c", 7, False, "c7"),
+    ]
+    random.seed(7)
+    expected = None
+    for _ in range(3):
+        perm = base[:] + random.sample(base, 3)  # duplicates too
+        random.shuffle(perm)
+        out = sorted(
+            map(tuple, latest_state(_change_stream(spark, perm), "id", "version").collect())
+        )
+        if expected is None:
+            expected = out
+        assert out == expected
+    # tombstone at max version survives (K2: delete is final)
+    state = {t[0]: t for t in expected}
+    assert state["c"][2] is True and state["c"][3] is None
+
+
+def test_merge_into_version_guard(spark):
+    """MERGE only replaces when incoming version is higher (K1)."""
+    current = _change_stream(spark, [("a", 5, False, "a5"), ("b", 1, False, "b1")])
+    batch = _change_stream(
+        spark,
+        [
+            ("a", 3, False, "a3-stale"),  # stale: must NOT win
+            ("b", 2, False, "b2"),  # newer: must win
+            ("c", 1, False, "c1"),  # new key: insert
+        ],
+    )
+    out = {r.id: (r.version, r.payload) for r in merge_into(current, batch, "id", "version").collect()}
+    assert out == {"a": (5, "a5"), "b": (2, "b2"), "c": (1, "c1")}
+
+
+def test_merge_tombstone_then_stale_update(spark):
+    """K2 truth table: a tombstone at version 9 beats a late update at 7."""
+    current = _change_stream(spark, [("x", 9, True, None)])
+    batch = _change_stream(spark, [("x", 7, False, "x7-late")])
+    out = merge_into(current, batch, "id", "version").collect()
+    assert len(out) == 1
+    assert out[0].deleted is True and out[0].payload is None
+
+
+def test_paginate_deterministic(spark):
+    df = spark.range(100).withColumnRenamed("id", "k")
+    page = [r.k for r in paginate(df, "k", limit=10, offset=25).collect()]
+    assert page == list(range(25, 35))
