@@ -1,1 +1,322 @@
-"""Placeholder — populated in later milestones."""
+"""Deduplication operators over ``documents`` (training-data pipeline).
+
+Four families, each a driver-checked query with a DuckDB oracle built
+from the same hash constants (functions/textfns.py hash60):
+
+- exact:        fingerprint group-by (one shuffle on the hash)
+- n-gram Jaccard: token-bigram shingles, explode -> self-join on
+                  shingle -> pair agg (the scalable exact-Jaccard path)
+- MinHash+LSH:  16 minhashes, 4 bands x 4 rows; candidate pairs share
+                a band signature — at 100 TB only the band join shuffles,
+                never the doc-pair cross product
+- SimHash:      32-bit sign-aggregated token-hash sketch; near-dups =
+                hamming distance <= 6 (banded by source here to bound
+                the pair join; at scale, band by simhash prefix)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from huracan_spark.functions.textfns import (
+    fingerprint,
+    fingerprint_sql,
+    hash60,
+    hash60_sql,
+    tokens,
+    tokens_sql,
+)
+from huracan_spark.queries.registry import register
+from huracan_spark.sources.tables import load_table
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 6
+JACCARD_THRESHOLD = 0.2
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# -- exact dedup ------------------------------------------------------------
+
+_EXACT_ORACLE = f"""
+SELECT {fingerprint_sql('text')} AS fingerprint,
+       min(doc_id) AS rep_id,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "exact_dedup_groups",
+    _EXACT_ORACLE,
+    doc="exact dedup: hash-groupBy on normalized fingerprint; rep = min doc_id",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(fingerprint("text").alias("fingerprint"))
+        .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("n_docs"))
+    )
+
+
+# -- token bigram shingles (shared by jaccard + minhash) --------------------
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, source, shingle): distinct token bigrams per doc."""
+    toks = tokens("text")
+    bigrams = F.expr(
+        "transform(sequence(0, size(_toks) - 2), i -> concat(_toks[i], ' ', _toks[i+1]))"
+    )
+    return (
+        d.withColumn("_toks", toks)
+        .filter(F.size("_toks") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(bigrams)).alias("shingle"),
+        )
+    )
+
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id, source, unnest(list_distinct(
+           list_transform(generate_series(1, len({tokens_sql('text')}) - 1),
+                          i -> {tokens_sql('text')}[i] || ' ' || {tokens_sql('text')}[i+1])
+         )) AS shingle
+  FROM documents
+  WHERE len({tokens_sql('text')}) >= 2
+"""
+
+
+# -- n-gram Jaccard ---------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source
+                     AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    _JACCARD_ORACLE,
+    doc="n-gram Jaccard near-dup: shingle self-join within source, threshold pairs",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(_docs(spark, sf_dir)).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jacc = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jacc >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+
+def _minhash_sig_exprs_spark() -> list:
+    return [
+        F.min(hash60(F.col("shingle"), f"mh{i}")).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+
+
+def _minhash_sql_cols() -> str:
+    return ",\n".join(
+        f"       min({hash60_sql('shingle', f'mh{i}')}) AS h{i}"
+        for i in range(N_MINHASH)
+    )
+
+
+def _band_sig_spark(b: int):
+    cols = [F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+    return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+
+
+def _band_sig_sql(b: int) -> str:
+    cols = " || ',' || ".join(
+        f"CAST(h{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+    )
+    return f"md5({cols})"
+
+
+_MINHASH_ORACLE = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+{_minhash_sql_cols()}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, {_band_sig_sql(b)} AS sig FROM sigs"
+      for b in range(N_BANDS)
+  )}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "minhash_lsh_candidates",
+    _MINHASH_ORACLE,
+    doc=f"MinHash({N_MINHASH})+LSH({N_BANDS}x{ROWS_PER_BAND}) near-dup candidate pairs",
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(_docs(spark, sf_dir))
+    sigs = sh.groupBy("doc_id").agg(*_minhash_sig_exprs_spark())
+    bands = None
+    for b in range(N_BANDS):
+        part = sigs.select(
+            "doc_id", F.lit(b).alias("band"), _band_sig_spark(b).alias("sig")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def _simhash_spark(sh_tokens: DataFrame) -> DataFrame:
+    """(doc_id, source, simhash): 32-bit sign-aggregated sketch."""
+    h = hash60(F.col("token"), "sh")
+    withbits = sh_tokens.withColumn("_h", h)
+    aggs = [
+        F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = withbits.groupBy("doc_id", "source").agg(*aggs)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim + bit
+    return sums.select("doc_id", "source", sim.alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    sum_cols = ",\n".join(
+        f"         sum((( _h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+  WITH tok AS (
+    SELECT doc_id, source,
+           {hash60_sql('unnest(' + tokens_sql('text') + ')', 'sh')} AS _h
+    FROM documents
+  ), sums AS (
+    SELECT doc_id, source,
+{sum_cols}
+    FROM tok GROUP BY doc_id, source
+  )
+  SELECT doc_id, source, {bits} AS simhash FROM sums
+"""
+
+
+_SIMHASH_ORACLE = f"""
+WITH sims AS ({_simhash_sql()})
+SELECT doc_id, simhash FROM sims
+"""
+
+
+@register(
+    "simhash_sketch",
+    _SIMHASH_ORACLE,
+    doc=f"SimHash{SIMHASH_BITS} sketch per document",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", "source", F.explode(tokens("text")).alias("token"))
+    return _simhash_spark(tok).select("doc_id", "simhash")
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH sims AS ({_simhash_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sims a JOIN sims b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+@register(
+    "simhash_near_dups",
+    _SIMHASH_PAIRS_ORACLE,
+    doc=f"SimHash near-dup pairs: hamming <= {SIMHASH_MAX_HAMMING} within source",
+)
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", "source", F.explode(tokens("text")).alias("token"))
+    sims = _simhash_spark(tok)
+    a = sims.alias("a")
+    b = sims.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+    )

@@ -1,1 +1,129 @@
-"""Placeholder — populated in later milestones."""
+"""Text-analysis queries over ``documents`` (training-data pipeline ops).
+
+Each query pairs the Spark plan with a DuckDB oracle generated from the
+same constants (functions/textfns.py), so both engines compute the
+same tokenization/scores bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from huracan_spark.functions import textfns as X
+from huracan_spark.queries.registry import register
+from huracan_spark.sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# -- token stats ------------------------------------------------------------
+
+_TOKEN_ORACLE = f"""
+SELECT doc_id,
+       len({X.tokens_sql('text')}) AS n_tokens,
+       strlen(text) AS n_bytes,
+       round(CAST(strlen(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+             / len({X.tokens_sql('text')}), 6) AS avg_token_len
+FROM documents
+"""
+
+
+@register("doc_token_stats", _TOKEN_ORACLE, doc="token counting (whitespace tokenizer)")
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n_tokens = X.token_count("text")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.octet_length("text").alias("n_bytes"),
+        F.round(
+            F.octet_length(F.regexp_replace("text", r"\s+", "")) / n_tokens, 6
+        ).alias("avg_token_len"),
+    )
+
+
+# -- quality scoring --------------------------------------------------------
+
+_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       {X.punct_ratio_sql('text')} AS punct_ratio,
+       {X.stopword_ratio_sql('text')} AS stopword_ratio,
+       round( least(1.0, len({X.tokens_sql('text')}) / 50.0) * 0.4
+            + {X.stopword_ratio_sql('text')} * 0.4
+            + (1.0 - {X.punct_ratio_sql('text')}) * 0.2, 6) AS quality_score
+FROM documents
+"""
+
+
+@register(
+    "doc_quality",
+    _QUALITY_ORACLE,
+    doc="quality scoring: length/punctuation/stopword signals",
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    punct = X.punct_ratio("text")
+    stop = X.stopword_ratio("text")
+    length_score = F.least(F.lit(1.0), X.token_count("text") / 50.0)
+    return d.select(
+        "doc_id",
+        punct.alias("punct_ratio"),
+        stop.alias("stopword_ratio"),
+        F.round(length_score * 0.4 + stop * 0.4 + (1.0 - punct) * 0.2, 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+# -- language id ------------------------------------------------------------
+
+_LANGID_ORACLE = f"""
+SELECT doc_id,
+       {X.lang_score_sql('text', 'en')} AS score_en,
+       {X.lang_score_sql('text', 'es')} AS score_es,
+       {X.predicted_lang_sql('text')} AS predicted_lang
+FROM documents
+"""
+
+
+@register(
+    "doc_langid",
+    _LANGID_ORACLE,
+    doc="language-ID n-gram heuristic (marker-token argmax)",
+)
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    scores = X.lang_scores("text")
+    return d.select(
+        "doc_id",
+        scores["en"].alias("score_en"),
+        scores["es"].alias("score_es"),
+        X.predicted_lang("text").alias("predicted_lang"),
+    )
+
+
+# -- fingerprinting ---------------------------------------------------------
+
+_FP_ORACLE = f"""
+SELECT doc_id,
+       {X.fingerprint_sql('text')} AS fingerprint,
+       {X.hash60_sql('text', 'fp')} AS fingerprint60
+FROM documents
+"""
+
+
+@register(
+    "doc_fingerprint",
+    _FP_ORACLE,
+    doc="document fingerprinting: normalized md5 + 60-bit numeric hash",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        X.fingerprint("text").alias("fingerprint"),
+        X.hash60(F.col("text"), "fp").alias("fingerprint60"),
+    )
