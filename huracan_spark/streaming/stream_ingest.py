@@ -1,0 +1,117 @@
+"""Structured Streaming ingest driver (S1/M1/M2 -> K1..K7).
+
+The reference's livescan pipeline (etl.rs §3.1) as one streaming query:
+
+    readStream(change feed)               # S1 poll / S2 livescan
+      -> unionByName(second feed)         # M1 poll+livescan merge
+      -> watermark + dropDuplicatesWithinWatermark   # M2/M3
+      -> foreachBatch:                    # the pipeline tail
+           enrich join (S6/P2/P3/P4)
+           versioned MERGE into silver (K1/K2)
+           DLQ append (K7)
+           completed-checkpoint append (K5/K6)
+
+Everything inside foreachBatch reuses the SAME batch transform chain
+(pipeline/ingest.py) — one code path, two drivers, mirroring the
+reference's shared tail between livescan and backfill
+(etl.rs:93-98 vs 102+).
+
+Exactly-once: the MERGE is idempotent and order-independent (K1), so
+micro-batch replays after failure/restart converge — the reference's
+explicit design stance (etl.rs:1245-1247 tolerates at-least-once).
+
+Scale notes: the file source here stands in for Kafka/Kinesis; state
+for dedup is bounded by the watermark horizon (the 120-checkpoint GC
+analog, etl.rs:306); per-micro-batch work is the batch pipeline, so
+all its partitioning properties carry over.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from huracan_spark.pipeline.ingest import (
+    build_silver_batch,
+    checkpoint_completion,
+    enrich,
+    parse_changes,
+)
+from huracan_spark.pipeline.silver import SilverTable
+from huracan_spark.schemas import OBJECT_CHANGE_SCHEMA
+
+__all__ = ["StreamConfig", "changes_file_stream", "run_stream"]
+
+# Dedup-state horizon: the reference GCs its digest-reconciliation map
+# after 120 checkpoints (etl.rs:306); with ~1 cp/s that's ~2 minutes.
+DEDUP_WATERMARK = "120 seconds"
+
+
+@dataclass
+class StreamConfig:
+    checkpoint_dir: str
+    dlq_dir: str | None = None
+    completed_dir: str | None = None
+    max_files_per_trigger: int | None = None
+    whitelist: list[str] | None = None
+    blacklist: list[str] | None = None
+    available_now: bool = True  # False => continuous micro-batches
+    trigger_interval: str = "100 milliseconds"  # pollintervalms analog
+    extra_sources: list[DataFrame] = field(default_factory=list)
+
+
+def changes_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """S1/S2 source: a directory of parquet change files as a stream.
+    In production this is Kafka; the schema contract is identical."""
+    reader = spark.readStream.schema(OBJECT_CHANGE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def run_stream(
+    spark: SparkSession,
+    changes: DataFrame,
+    content: DataFrame,
+    silver: SilverTable,
+    cfg: StreamConfig,
+) -> StreamingQuery:
+    """Wire the full streaming pipeline and start it."""
+    merged = changes
+    for extra in cfg.extra_sources:  # M1: poll + livescan union
+        merged = merged.unionByName(extra)
+
+    # M2/M3: watermarked dedup on the logical change key.  Event time
+    # is ingest time (ts_first_seen, epoch ms).
+    deduped = (
+        merged.withColumn("_event_time", F.timestamp_millis(F.col("ts_first_seen")))
+        .withWatermark("_event_time", DEDUP_WATERMARK)
+        .dropDuplicatesWithinWatermark(["object_id", "version", "change_type"])
+        .drop("_event_time")
+    )
+
+    def _process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        parsed = parse_changes(batch_df)
+        res = enrich(parsed, content, cfg.whitelist, cfg.blacklist)
+        silver.merge(build_silver_batch(res.enriched))
+        if cfg.dlq_dir:
+            res.dlq.write.mode("append").parquet(cfg.dlq_dir)
+        if cfg.completed_dir:
+            done = checkpoint_completion(parsed, res.enriched, res.dlq)
+            done.write.mode("append").parquet(cfg.completed_dir)
+
+    writer = (
+        deduped.writeStream.foreachBatch(_process_batch)
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .outputMode("update")
+    )
+    if cfg.available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=cfg.trigger_interval)
+    return writer.start()

@@ -1,0 +1,141 @@
+"""Streaming pipeline tests: converge-to-batch golden, restart/resume,
+duplicate delivery, two-source merge, orchestration signals."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from huracan_spark.pipeline.backfill import run_backfill
+from huracan_spark.pipeline.fixtures import FixtureConfig, generate
+from huracan_spark.pipeline.silver import SilverTable
+from huracan_spark.streaming.orchestrator import decide_mode
+from huracan_spark.streaming.stream_ingest import (
+    StreamConfig,
+    changes_file_stream,
+    run_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream-fixtures")
+    generate(str(d), FixtureConfig(seed=11, n_objects=400, n_checkpoints=80))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def fx(spark, fixture_dir):
+    return {
+        "changes": spark.read.parquet(f"{fixture_dir}/object_changes.parquet"),
+        "content": spark.read.parquet(f"{fixture_dir}/objects_content.parquet"),
+        "dir": fixture_dir,
+    }
+
+
+def _await(query):
+    query.awaitTermination(120)
+    assert not query.isActive
+
+
+def test_stream_converges_to_batch_golden(spark, fx, tmp_path):
+    # batch reference state
+    s_batch = SilverTable(spark, str(tmp_path / "batch"), n_buckets=4)
+    run_backfill(spark, fx["changes"], fx["content"], s_batch)
+    expected = sorted(map(tuple, s_batch.read().collect()))
+
+    # stream the same changes from files in 3 chunks
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    fx["changes"].withColumn("_c", F.abs(F.hash("object_id")) % 3).write.partitionBy(
+        "_c"
+    ).mode("overwrite").parquet(str(tmp_path / "chunks"))
+    for c in range(3):
+        spark.read.parquet(str(tmp_path / f"chunks/_c={c}")).write.mode(
+            "append"
+        ).parquet(feed)
+
+    s_stream = SilverTable(spark, str(tmp_path / "stream"), n_buckets=4)
+    cfg = StreamConfig(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dlq_dir=str(tmp_path / "dlq"),
+        completed_dir=str(tmp_path / "done"),
+        max_files_per_trigger=2,  # force multiple micro-batches
+    )
+    q = run_stream(
+        spark, changes_file_stream(spark, feed, 2), fx["content"], s_stream, cfg
+    )
+    _await(q)
+    got = sorted(map(tuple, s_stream.read().collect()))
+    assert got == expected
+    # completion + DLQ side outputs materialized
+    assert spark.read.parquet(cfg.completed_dir).count() > 0
+
+
+def test_stream_restart_resume_with_duplicates(spark, fx, tmp_path):
+    """S9 restart: stop after first chunk, append more files (including
+    a full replay of chunk 1 = duplicate delivery), restart from the
+    same checkpoint; state must equal the batch golden."""
+    s_batch = SilverTable(spark, str(tmp_path / "batch"), n_buckets=4)
+    run_backfill(spark, fx["changes"], fx["content"], s_batch)
+    expected = sorted(map(tuple, s_batch.read().collect()))
+
+    h = F.abs(F.hash("object_id", "version")) % 2
+    part1 = fx["changes"].filter(h == 0)
+    part2 = fx["changes"].filter(h == 1)
+
+    feed = str(tmp_path / "feed")
+    part1.write.mode("append").parquet(feed)
+    s_stream = SilverTable(spark, str(tmp_path / "stream"), n_buckets=4)
+    cfg = StreamConfig(checkpoint_dir=str(tmp_path / "ckpt"))
+    q = run_stream(spark, changes_file_stream(spark, feed), fx["content"], s_stream, cfg)
+    _await(q)
+    mid_rows = s_stream.read().count()
+    assert 0 < mid_rows <= len(expected)
+
+    # append the rest PLUS a replay of part1 (at-least-once delivery)
+    part2.write.mode("append").parquet(feed)
+    part1.write.mode("append").parquet(feed)
+    q2 = run_stream(spark, changes_file_stream(spark, feed), fx["content"], s_stream, cfg)
+    _await(q2)
+    got = sorted(map(tuple, s_stream.read().collect()))
+    assert got == expected
+
+
+def test_two_source_merge(spark, fx, tmp_path):
+    """M1: poll + livescan as two file sources unioned before dedup."""
+    s_batch = SilverTable(spark, str(tmp_path / "batch"), n_buckets=4)
+    run_backfill(spark, fx["changes"], fx["content"], s_batch)
+    expected = sorted(map(tuple, s_batch.read().collect()))
+
+    poll_feed = str(tmp_path / "poll")
+    scan_feed = str(tmp_path / "scan")
+    # overlapping split: both routes see some of the same changes (M2)
+    fx["changes"].filter(F.col("ingested_via") == "poll").write.parquet(poll_feed)
+    fx["changes"].filter(F.col("ingested_via") != "poll").unionByName(
+        fx["changes"].filter(F.col("ingested_via") == "poll").limit(50)
+    ).write.parquet(scan_feed)
+
+    s_stream = SilverTable(spark, str(tmp_path / "stream"), n_buckets=4)
+    cfg = StreamConfig(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        extra_sources=[changes_file_stream(spark, scan_feed)],
+    )
+    q = run_stream(
+        spark, changes_file_stream(spark, poll_feed), fx["content"], s_stream, cfg
+    )
+    _await(q)
+    got = sorted(map(tuple, s_stream.read().collect()))
+    assert got == expected
+
+
+def test_orchestrator_mode_switch(spark):
+    completed = spark.createDataFrame([(10,)], "checkpoint_id long")
+    m1 = decide_mode(latest_cp=12, completed=completed)
+    assert m1.mode == "livescan" and not m1.pause_poll and m1.behind == 2
+    m2 = decide_mode(latest_cp=20, completed=completed)
+    assert m2.mode == "backfill" and m2.pause_poll and m2.behind == 10
+    m3 = decide_mode(latest_cp=100, completed=None)
+    assert m3.mode == "backfill" and m3.behind == 100
