@@ -1,0 +1,203 @@
+"""Widened relational coverage (SURVEY §2.0 deliberate-absence ledger).
+
+The reference has none of these — no windows, grouping sets, set ops,
+or as-of semantics — and SURVEY §2.0 notes Spark built-ins cover every
+gap "if we later widen the query surface".  This module is that
+widening, each construct oracle-checked: event-time tumbling windows,
+session windows (gap-based), ROLLUP aggregation, set operations, and
+the as-of join operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from huracan_spark.operators.asof import asof_join
+from huracan_spark.queries.registry import register
+from huracan_spark.sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# -- tumbling event-time windows -------------------------------------------
+
+_TUMBLING_ORACLE = """
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "tumbling_window_agg",
+    _TUMBLING_ORACLE,
+    doc="event-time tumbling window aggregation (1h) — streaming-agg shape in batch",
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("window_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# -- session windows (gap-based sessionization) -----------------------------
+
+_SESSION_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+@register(
+    "session_windows",
+    _SESSION_ORACLE,
+    doc=f"session windows: {SESSION_GAP_MIN}-minute-gap sessionization per user",
+)
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("_new", new_session)
+        .withColumn("session_id", F.sum("_new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_millis(F.min("ts").cast("timestamp")).alias("start_ms"),
+            F.unix_millis(F.max("ts").cast("timestamp")).alias("end_ms"),
+        )
+    )
+
+
+# -- ROLLUP -----------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, user_id % 10)
+"""
+
+
+@register(
+    "rollup_agg",
+    _ROLLUP_ORACLE,
+    doc="ROLLUP grouping sets (subtotals + grand total)",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("long")
+    )
+    return ev.rollup("event_type", "user_bucket").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+# -- set operations ---------------------------------------------------------
+
+_SETOPS_ORACLE = """
+SELECT user_id, epoch_ms(date_trunc('day', ts)) AS day_ms
+FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id, epoch_ms(date_trunc('day', ts))
+FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id, epoch_ms(date_trunc('day', ts))
+FROM events WHERE event_type = 'error'
+"""
+
+
+@register(
+    "set_ops",
+    _SETOPS_ORACLE,
+    doc="INTERSECT/EXCEPT set operations ((user, day) granularity)",
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+
+    def days(etype: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select(
+            "user_id",
+            F.unix_millis(F.date_trunc("day", F.col("ts")).cast("timestamp")).alias(
+                "day_ms"
+            ),
+        )
+
+    return days("click").intersect(days("purchase")).subtract(days("error"))
+
+
+# -- as-of join -------------------------------------------------------------
+
+_ASOF_ORACLE = """
+SELECT p.event_id, p.user_id,
+       epoch_ms(p.ts) AS purchase_ts_ms,
+       epoch_ms(c.ts) AS click_ts_ms,
+       c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+@register(
+    "asof_join_purchases",
+    _ASOF_ORACLE,
+    doc="as-of join: most recent prior click for each purchase (union+window, no range cross-join)",
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="c_ts",
+        right_cols=["c_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("purchase_ts_ms"),
+        F.unix_millis(F.col("c_ts_asof").cast("timestamp")).alias("click_ts_ms"),
+        F.col("c_value_asof").alias("click_value"),
+    )

@@ -41,9 +41,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ts arrives as long nanoseconds (see session.py nanosAsLong);
         # truncate to microseconds — exactly what DuckDB does when it
         # reads the same parquet, so oracle comparisons line up.
+        # integer division: ns values (~1.7e18) overflow double's mantissa,
+        # so `/ 1000` would silently round by up to ~256ns
         df = df.withColumn(
             "ts",
-            F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp_ntz"),
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     return df
 
