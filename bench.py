@@ -37,8 +37,9 @@ def main() -> None:
     for name, spec in sorted(REGISTRY.items()):
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
-        n = df.count()
-        _ = n  # full execution; results checked by the correctness gate
+        # noop sink: full plan execution (count() would let Catalyst
+        # prune projection-only work like hash/fingerprint columns)
+        df.write.mode("overwrite").format("noop").save()
         per_query[name] = round(time.perf_counter() - t0, 4)
     total = round(time.perf_counter() - t_total0, 4)
 

@@ -16,6 +16,8 @@ from the same hash constants (functions/textfns.py hash60):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -150,20 +152,46 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- MinHash + LSH ----------------------------------------------------------
+#
+# One md5 per shingle (28-bit base hash), then the N_MINHASH hash
+# family is affine: h_i = (base * A_i + B_i) mod P with P = 2^31 - 1.
+# base < 2^28 and A_i < 2^31 keep every product under 2^59 — exact in
+# 64-bit integers on BOTH engines (DuckDB would error on overflow, so
+# this bound is a correctness constraint, not just a perf one).  16x
+# fewer md5 calls than hashing per (seed, shingle).
+
+_MINHASH_P = (1 << 31) - 1
+
+
+def _affine_consts(i: int) -> tuple[int, int]:
+    h = hashlib.md5(f"mh-const:{i}".encode()).hexdigest()
+    a = (int(h[:8], 16) % (_MINHASH_P - 1)) + 1
+    b = int(h[8:16], 16) % _MINHASH_P
+    return a, b
+
+
+_BASE28_SQL = "('0x' || substr(md5(shingle), 1, 7))::BIGINT"
+
+
+def _base28_spark():
+    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
 
 
 def _minhash_sig_exprs_spark() -> list:
-    return [
-        F.min(hash60(F.col("shingle"), f"mh{i}")).alias(f"h{i}")
-        for i in range(N_MINHASH)
-    ]
+    base = _base28_spark()
+    out = []
+    for i in range(N_MINHASH):
+        a, b = _affine_consts(i)
+        out.append(F.min((base * a + b) % _MINHASH_P).alias(f"h{i}"))
+    return out
 
 
 def _minhash_sql_cols() -> str:
-    return ",\n".join(
-        f"       min({hash60_sql('shingle', f'mh{i}')}) AS h{i}"
-        for i in range(N_MINHASH)
-    )
+    cols = []
+    for i in range(N_MINHASH):
+        a, b = _affine_consts(i)
+        cols.append(f"       min(({_BASE28_SQL} * {a} + {b}) % {_MINHASH_P}) AS h{i}")
+    return ",\n".join(cols)
 
 
 def _band_sig_spark(b: int):
