@@ -62,11 +62,34 @@ class SilverTable:
         with open(self._pointer) as f:
             return json.load(f)["generation"]
 
-    def read(self) -> DataFrame | None:
-        gen = self.current_generation()
+    def generations(self) -> list[str]:
+        """All persisted state generations, oldest first (S7 time travel:
+        the reference's unused past-object lookups, client.rs:92-109,
+        map to reading an older generation)."""
+        return sorted(
+            d for d in os.listdir(self.path)
+            if d.startswith("gen-") and os.path.isdir(os.path.join(self.path, d))
+        )
+
+    def read(self, generation: str | None = None) -> DataFrame | None:
+        gen = generation or self.current_generation()
         if gen is None:
             return None
         return self.spark.read.parquet(os.path.join(self.path, gen))
+
+    def vacuum(self, keep: int = 3) -> list[str]:
+        """Drop all but the newest ``keep`` generations (never the
+        current one).  Returns removed generation names."""
+        import shutil
+
+        current = self.current_generation()
+        gens = self.generations()
+        removable = [g for g in gens[:-keep] if g != current] if keep else [
+            g for g in gens if g != current
+        ]
+        for g in removable:
+            shutil.rmtree(os.path.join(self.path, g))
+        return removable
 
     def merge(self, batch: DataFrame, collect_metrics: bool = False) -> MergeMetrics | None:
         """Versioned MERGE of a batch of silver-shaped rows (K1/K2).
