@@ -1,0 +1,187 @@
+"""Extended operator coverage: pivot, cube, semi/anti joins, typed JSON
+extraction, exact percentiles, conditional aggregation, approximate
+aggregates.
+
+``approx_distinct_users`` is registered WITHOUT an oracle on purpose:
+HyperLogLog sketches are engine-specific, so it takes the driver's
+weaker rows-only check — the documented path for genuinely
+non-SQL-reproducible ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from huracan_spark.queries.registry import register
+from huracan_spark.sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# -- pivot ------------------------------------------------------------------
+
+_PIVOT_ORACLE = f"""
+SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY 1
+"""
+
+
+@register("pivot_counts", _PIVOT_ORACLE, doc="pivot: event-type counts to columns")
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("long")
+    )
+    out = ev.groupBy("user_bucket").pivot("event_type", _EVENT_TYPES).count()
+    # pivot leaves null for empty cells; the FILTER oracle yields 0
+    return out.select(
+        "user_bucket", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+# -- cube -------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT event_type, CAST(user_id % 5 AS BIGINT) AS user_bucket, count(*) AS n
+FROM events GROUP BY CUBE (event_type, user_id % 5)
+"""
+
+
+@register("cube_agg", _CUBE_ORACLE, doc="CUBE grouping sets (all subtotal combos)")
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn(
+        "user_bucket", (F.col("user_id") % 5).cast("long")
+    )
+    return ev.cube("event_type", "user_bucket").agg(F.count("*").alias("n"))
+
+
+# -- semi / anti joins ------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+"""
+
+
+@register("semi_join_big_spenders", _SEMI_ORACLE, doc="left-semi join (EXISTS)")
+def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("anti_join_no_orders", _ANTI_ORACLE, doc="left-anti join (NOT EXISTS)")
+def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# -- typed JSON extraction (Q11 / §1.4 option 2: from_json schema path) -----
+
+_FROMJSON_ORACLE = """
+SELECT event_id,
+       CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k_typed
+FROM events WHERE event_id < 2000
+"""
+
+
+@register(
+    "typed_json_extract",
+    _FROMJSON_ORACLE,
+    doc="from_json typed extraction (the per-package typed-view path, SURVEY §1.4)",
+)
+def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("event_id") < 2000)
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return ev.select("event_id", parsed.getField("k").alias("k_typed"))
+
+
+# -- exact percentiles (K9 latency-stat shape) ------------------------------
+
+_PCTL_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "value_percentiles_per_type",
+    _PCTL_ORACLE,
+    doc="exact interpolated percentiles per group (K9 latency-stat shape)",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+    )
+
+
+# -- conditional aggregation ratio (TPC-H Q14 shape) ------------------------
+
+_RATIO_ORACLE = """
+SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+@register(
+    "promo_revenue_share",
+    _RATIO_ORACLE,
+    doc="TPC-H Q14 shape: conditional-aggregation ratio over a join",
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share")
+        )
+    )
+
+
+# -- approximate aggregates (rows-only check BY DESIGN) ---------------------
+
+
+@register(
+    "approx_distinct_users",
+    None,  # HLL sketches differ across engines -> driver rows-only check
+    doc="approx_count_distinct (HLL); non-reproducible cross-engine, weaker check",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+    )

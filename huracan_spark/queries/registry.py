@@ -59,6 +59,7 @@ def _load_all_modules() -> None:
     from huracan_spark.queries import (  # noqa: F401
         analytics,
         dedup,
+        extended,
         media,
         objects,
         relational,
