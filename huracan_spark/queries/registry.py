@@ -66,4 +66,5 @@ def _load_all_modules() -> None:
         similarity,
         text,
         tpch,
+        tpch_extra,
     )
