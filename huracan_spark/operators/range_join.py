@@ -1,0 +1,66 @@
+"""Bucketed range join: points-in-interval join without a cross product.
+
+Spark compiles a bare non-equi join (``p.ts BETWEEN r.lo AND r.hi``)
+to BroadcastNestedLoopJoin — O(|points| * |ranges|) and a broadcast of
+a whole side, which dies at 100 TB. The standard fix (used by e.g.
+Databricks' range-join optimization and interval-join literature) is
+to introduce a synthetic equi-key:
+
+- each point hashes to ONE bucket: ``floor(point / width)``
+- each range explodes to EVERY bucket it overlaps:
+  ``sequence(floor(lo/width), floor(hi/width))``
+- equi-join on the bucket (a plain shuffled/broadcast hash join that
+  Catalyst can plan, AQE can skew-split, and codegen can run), then
+  re-check exact containment.
+
+Each (point, range) pair meets in exactly one bucket — the point's own
+— so no post-join dedup is needed. Cost is O(points + ranges *
+avg_buckets_per_range + matches); pick ``bucket_width`` near the median
+range length so ranges explode to ~2 buckets.
+
+The reference has no range join (SURVEY §2.0 deliberate-absence
+ledger); this is part of the widened relational surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bucketed_range_join"]
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+    how: str = "inner",
+    broadcast_ranges: bool = False,
+) -> DataFrame:
+    """Join each point row to every range row with lo <= point < hi.
+
+    ``point_col``/``lo_col``/``hi_col`` must be integral (cast
+    timestamps with unix_micros first). Output carries all columns of
+    both inputs. ``broadcast_ranges=True`` skips the shuffle when the
+    exploded ranges side is dimension-sized.
+    """
+
+    def bucket(c: Column) -> Column:
+        return F.floor(c / F.lit(bucket_width)).cast("long")
+
+    p = points.withColumn("__bucket", bucket(F.col(point_col)))
+    r = ranges.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(bucket(F.col(lo_col)), bucket(F.col(hi_col)))
+        ),
+    )
+    if broadcast_ranges:
+        r = F.broadcast(r)
+    joined = p.join(r, "__bucket", how).filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    )
+    return joined.drop("__bucket")

@@ -67,4 +67,5 @@ def _load_all_modules() -> None:
         text,
         tpch,
         tpch_extra,
+        windows,
     )

@@ -1,0 +1,202 @@
+"""Window functions, frames, grouping sets, and the range-join query.
+
+SURVEY §2.0 records the reference has NO window functions, frames,
+grouping sets, or range joins — MongoDB-delegated queries can't
+express them. These close that gap with Spark built-ins, each
+hash-checked against DuckDB.
+
+Determinism: every window ORDER BY ends in a unique key (event_id) so
+frame contents are identical across engines; float aggregates are
+rounded identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from huracan_spark.operators.range_join import bucketed_range_join
+from huracan_spark.queries.registry import register
+from huracan_spark.sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# -- lag/lead: inter-event gap per user -------------------------------------
+
+_LAG_ORACLE = """
+SELECT event_id, user_id,
+       epoch_ms(ts) - epoch_ms(lag(ts) OVER w)  AS ms_since_prev,
+       lead(event_type) OVER w                  AS next_event_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY user_id < 200
+"""
+
+
+@register("lag_lead_gaps", _LAG_ORACLE, doc="lag/lead window: inter-event gaps per user")
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "ms_since_prev",
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(F.lag("ts").over(w).cast("timestamp")),
+        )
+        .withColumn("next_event_type", F.lead("event_type").over(w))
+        .filter(F.col("user_id") < 200)
+        .select("event_id", "user_id", "ms_since_prev", "next_event_type")
+    )
+
+
+# -- row frame: moving average over last 4 events per type ------------------
+
+_MOVAVG_ORACLE = """
+SELECT event_id, event_type,
+       round(avg(value) OVER (PARTITION BY event_type ORDER BY event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+         AS moving_avg
+FROM events
+QUALIFY event_id < 5000
+"""
+
+
+@register(
+    "moving_average",
+    _MOVAVG_ORACLE,
+    doc="ROWS frame: 4-row moving average per event type",
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return (
+        _events(spark, sf_dir)
+        .withColumn("moving_avg", F.round(F.avg("value").over(w), 4))
+        .filter(F.col("event_id") < 5000)
+        .select("event_id", "event_type", "moving_avg")
+    )
+
+
+# -- unbounded frame: running total per user --------------------------------
+
+_CUMSUM_ORACLE = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS running_value
+FROM events
+QUALIFY user_id < 100
+"""
+
+
+@register(
+    "running_total",
+    _CUMSUM_ORACLE,
+    doc="UNBOUNDED PRECEDING frame: per-user running total",
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ROWS (not the default RANGE) frame: deterministic under the
+    # unique event_id ordering and matches the oracle exactly
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _events(spark, sf_dir)
+        .withColumn("running_value", F.round(F.sum("value").over(w), 4))
+        .filter(F.col("user_id") < 100)
+        .select("event_id", "user_id", "running_value")
+    )
+
+
+# -- GROUPING SETS (beyond cube/rollup: arbitrary subtotal combos) ----------
+
+_GSETS_ORACLE = """
+SELECT event_type, lang, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM (SELECT e.event_type, d.lang, e.value
+      FROM events e JOIN documents d ON e.event_id % 1000 = d.doc_id % 1000)
+GROUP BY GROUPING SETS ((event_type), (lang), (event_type, lang))
+"""
+
+
+@register(
+    "grouping_sets_agg",
+    _GSETS_ORACLE,
+    doc="GROUPING SETS: explicit subtotal combinations (beyond cube/rollup)",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    joined = ev.join(
+        docs, ev.event_id % 1000 == docs.doc_id % 1000
+    ).select("event_type", "lang", "value")
+    view = "gsets_input"
+    joined.createOrReplaceTempView(view)
+    return joined.sparkSession.sql(
+        f"""
+        SELECT event_type, lang, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM {view}
+        GROUP BY GROUPING SETS ((event_type), (lang), (event_type, lang))
+        """
+    )
+
+
+# -- range join: events into overlapping 48h windows ------------------------
+
+_N_WINDOWS = 30
+_WIN_START = "2024-01-01 00:00:00"
+_DAY_US = 86_400_000_000
+
+_RANGE_ORACLE = f"""
+WITH ranges AS (
+  SELECT i AS win_id,
+         TIMESTAMP '{_WIN_START}' + to_days(CAST(i AS INT))     AS lo,
+         TIMESTAMP '{_WIN_START}' + to_days(CAST(i + 2 AS INT)) AS hi
+  FROM generate_series(0, {_N_WINDOWS - 1}) t(i))
+SELECT r.win_id, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+FROM ranges r JOIN events e ON e.ts >= r.lo AND e.ts < r.hi
+GROUP BY r.win_id
+"""
+
+
+@register(
+    "range_join_windows",
+    _RANGE_ORACLE,
+    doc="bucketed range join: events into overlapping 48h/24h-slide windows "
+    "(equi-bucket strategy, no nested-loop join)",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "value"
+    )
+    ranges = spark.range(_N_WINDOWS).select(
+        F.col("id").alias("win_id"),
+        (
+            F.unix_micros(F.to_timestamp(F.lit(_WIN_START)))
+            + F.col("id") * _DAY_US
+        ).alias("lo_us"),
+        (
+            F.unix_micros(F.to_timestamp(F.lit(_WIN_START)))
+            + (F.col("id") + 2) * _DAY_US
+        ).alias("hi_us"),
+    )
+    joined = bucketed_range_join(
+        ev,
+        ranges,
+        point_col="ts_us",
+        lo_col="lo_us",
+        hi_col="hi_us",
+        bucket_width=_DAY_US,
+        broadcast_ranges=True,
+    )
+    return joined.groupBy("win_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -119,3 +119,49 @@ def test_paginate_deterministic(spark):
     df = spark.range(100).withColumnRenamed("id", "k")
     page = [r.k for r in paginate(df, "k", limit=10, offset=25).collect()]
     assert page == list(range(25, 35))
+
+
+def test_bucketed_range_join_matches_naive(spark):
+    """Bucket-explode strategy must equal the naive containment join,
+    including ranges spanning many buckets and points on boundaries."""
+    from huracan_spark.operators.range_join import bucketed_range_join
+
+    points = spark.createDataFrame(
+        [(i, i * 7 % 100) for i in range(200)], ["pid", "x"]
+    )
+    ranges = spark.createDataFrame(
+        [
+            (0, 0, 10),     # within one bucket
+            (1, 5, 45),     # spans several buckets
+            (2, 95, 100),   # touches the top edge (hi exclusive)
+            (3, 10, 10),    # empty range (lo == hi)
+            (4, 0, 100),    # covers everything
+        ],
+        ["rid", "lo", "hi"],
+    )
+    got = sorted(
+        (r.pid, r.rid)
+        for r in bucketed_range_join(
+            points, ranges, "x", "lo", "hi", bucket_width=8
+        ).collect()
+    )
+    naive = sorted(
+        (p, rid)
+        for p, x in [(i, i * 7 % 100) for i in range(200)]
+        for rid, lo, hi in [(0, 0, 10), (1, 5, 45), (2, 95, 100), (3, 10, 10), (4, 0, 100)]
+        if lo <= x < hi
+    )
+    assert got == naive
+
+
+def test_bucketed_range_join_no_nested_loop(spark):
+    """The plan must be a hash join on the synthetic bucket key, not
+    BroadcastNestedLoopJoin — that is the whole point at 100 TB."""
+    from huracan_spark.operators.range_join import bucketed_range_join
+
+    points = spark.range(100).withColumnRenamed("id", "x")
+    ranges = spark.createDataFrame([(0, 10, 50)], ["rid", "lo", "hi"])
+    plan = bucketed_range_join(
+        points, ranges, "x", "lo", "hi", bucket_width=16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan

@@ -139,3 +139,66 @@ def test_orchestrator_mode_switch(spark):
     assert m2.mode == "backfill" and m2.pause_poll and m2.behind == 10
     m3 = decide_mode(latest_cp=100, completed=None)
     assert m3.mode == "backfill" and m3.behind == 100
+
+
+def _mk_changes(spark, rows):
+    from huracan_spark.schemas import OBJECT_CHANGE_SCHEMA
+
+    data = [
+        (cp, f"tx{cp}", ct, oid, v, 1000, 2000, "livescan")
+        for (cp, ct, oid, v) in rows
+    ]
+    return spark.createDataFrame(data, OBJECT_CHANGE_SCHEMA)
+
+
+def test_stateful_dedup_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState keeps a per-id version high-water mark
+    across micro-batches: stale versions are dropped, newer pass
+    (the corrected etl.rs:967-969 semantics)."""
+    import time
+
+    from huracan_spark.schemas import OBJECT_CHANGE_SCHEMA
+    from huracan_spark.streaming.stateful import dedup_latest_version_stream
+
+    feed = str(tmp_path / "feed")
+    _mk_changes(
+        spark, [(1, "created", "a", 1), (1, "mutated", "a", 3), (1, "created", "b", 5)]
+    ).coalesce(1).write.mode("append").parquet(feed)
+    time.sleep(1.1)  # distinct mtimes => deterministic file order
+    _mk_changes(
+        spark, [(2, "mutated", "a", 2), (2, "mutated", "a", 4), (2, "mutated", "b", 6)]
+    ).coalesce(1).write.mode("append").parquet(feed)
+
+    stream = (
+        spark.readStream.schema(OBJECT_CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        dedup_latest_version_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.object_id, r.version)
+        for r in spark.sql("SELECT object_id, version FROM dedup_out").collect()
+    }
+    # batch1: a->3 (1 deduped in-batch), b->5; batch2: a->4 beats 3,
+    # a->2 stale dropped, b->6 beats 5
+    assert got == {("a", 3), ("b", 5), ("a", 4), ("b", 6)}
+
+
+def test_stateful_dedup_batch_twin(spark):
+    from huracan_spark.streaming.stateful import dedup_latest_version_batch
+
+    df = _mk_changes(
+        spark,
+        [(1, "created", "a", 1), (2, "mutated", "a", 9), (1, "created", "b", 2)],
+    )
+    got = {(r.object_id, r.version) for r in dedup_latest_version_batch(df).collect()}
+    assert got == {("a", 9), ("b", 2)}
