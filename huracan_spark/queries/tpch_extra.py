@@ -502,3 +502,191 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# -- q2 shape: min-value supplier per part (correlated min subquery) --------
+
+_Q2_ORACLE = """
+SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_size = 10
+  AND s.s_acctbal = (SELECT min(s2.s_acctbal)
+                     FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+                     WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@register(
+    "tpch_q2",
+    _Q2_ORACLE,
+    doc="TPC-H Q2 shape: correlated min subquery -> per-key min join "
+    "(supplier relation derived from lineitem; no partsupp in schema)",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 10)
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    supp = _t(spark, sf_dir, "supplier")
+    # candidate (part, supplier) pairs for the filtered parts
+    pairs = (
+        li.join(F.broadcast(part.select("p_partkey", "p_name")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+        .distinct()
+    )
+    # decorrelated min per part; equality on raw (unarithmetic) doubles
+    # read from the same parquet is exact in both engines
+    mins = pairs.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        pairs.join(
+            F.broadcast(mins),
+            (F.col("p_partkey") == F.col("m_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+# -- q9 shape: profit by nation and year ------------------------------------
+
+_Q9_ORACLE = """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - p.p_retailprice * l.l_quantity * 0.1), 2) AS profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "tpch_q9",
+    _Q9_ORACLE,
+    doc="TPC-H Q9 shape: profit per nation-year, 5-way join + LIKE filter "
+    "(p_retailprice*0.1 stands in for ps_supplycost; no partsupp)",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    s_dim = F.broadcast(supp.join(nation, supp.s_nationkey == nation.n_nationkey))
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(s_dim, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+# -- q11 shape: HAVING over a global scalar-subquery threshold --------------
+
+_Q11_ORACLE = """
+SELECT l_suppkey, round(sum(l_extendedprice), 2) AS value
+FROM lineitem
+GROUP BY l_suppkey
+HAVING sum(l_extendedprice) > (SELECT sum(l_extendedprice) * 0.0005
+                               FROM lineitem)
+"""
+
+
+@register(
+    "tpch_q11",
+    _Q11_ORACLE,
+    doc="TPC-H Q11 shape: grouped HAVING vs global scalar-subquery fraction",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum("l_extendedprice").alias("raw_value")
+    )
+    threshold = li.agg((F.sum("l_extendedprice") * 0.0005).alias("thr"))
+    return (
+        per_supp.join(F.broadcast(threshold))
+        .filter(F.col("raw_value") > F.col("thr"))
+        .select("l_suppkey", F.round(F.col("raw_value"), 2).alias("value"))
+    )
+
+
+# -- q16 shape: distinct-count per part attributes --------------------------
+
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_size IN (1, 5, 9)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register(
+    "tpch_q16",
+    _Q16_ORACLE,
+    doc="TPC-H Q16 shape: COUNT(DISTINCT) per part attributes over a join",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 5, 9))
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# -- q20 shape: nested IN chain -> stacked semi-joins -----------------------
+
+_Q20_ORACLE = """
+SELECT s.s_suppkey, s.s_name, s.s_acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY l.l_suppkey
+  HAVING sum(l.l_quantity) > 60)
+"""
+
+
+@register(
+    "tpch_q20",
+    _Q20_ORACLE,
+    doc="TPC-H Q20 shape: nested IN subqueries -> stacked semi-joins",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part_small = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    # inner IN: lineitems of the selected parts (semi-join, broadcast dim)
+    li_small = li.join(
+        F.broadcast(part_small), li.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    # quantities are integral -> the >60 HAVING boundary is exact
+    heavy_supps = (
+        li_small.groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 60)
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.join(
+        F.broadcast(heavy_supps), supp.s_suppkey == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name", "s_acctbal")
