@@ -56,3 +56,39 @@ def test_lsh_signature_is_shuffle_free_per_row(spark, sf_dir):
     p = _plan(spark, sf_dir, "ann_lsh_buckets")
     assert "Generate" not in p  # no explode
     assert p.count("Exchange") == 1  # only the final groupBy(sig)
+
+
+@pytest.mark.parametrize(
+    "name, semi, anti",
+    [
+        ("tpch_q4", True, False),     # EXISTS -> semi
+        ("tpch_q20", True, False),    # nested IN -> stacked semis
+        ("tpch_q21", True, True),     # EXISTS + NOT EXISTS
+        ("anti_join_no_orders", False, True),
+    ],
+)
+def test_subquery_shapes_plan_as_semi_anti_joins(spark, sf_dir, name, semi, anti):
+    """Correlated-subquery shapes must plan as (semi/anti) hash joins,
+    never as per-row subquery re-execution or a cartesian product."""
+    p = _plan(spark, sf_dir, name)
+    if semi:
+        assert "LeftSemi" in p
+    if anti:
+        assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_range_join_query_is_hash_join(spark, sf_dir):
+    """range_join_windows must ride the bucket equi-key, not a
+    BroadcastNestedLoopJoin over the raw interval predicate."""
+    p = _plan(spark, sf_dir, "range_join_windows")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q19_part_side_broadcast(spark, sf_dir):
+    """Q19's dim join must broadcast part; the OR-of-AND predicate
+    must not force a nested loop."""
+    p = _plan(spark, sf_dir, "tpch_q19")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
