@@ -219,3 +219,66 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.groupBy("sig").agg(
         F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
     )
+
+
+# -- IVF-style ANN (the second scale path beside hyperplane LSH) ------------
+#
+# Inverted-file ANN with deterministic "centroids": the first K corpus
+# vectors act as coarse quantizer cells (a real deployment would run
+# k-means once offline and broadcast the centroid table — the query
+# shape is identical).  Every vector is assigned to its nearest
+# centroid by exact cosine; searches then probe only the closest
+# cell(s) instead of the whole corpus.  The assignment below IS the
+# index build: one broadcast join of K rows against the corpus — no
+# shuffle of the corpus itself, linear in |corpus| x K.
+
+N_CENTROIDS = 8
+
+_IVF_ORACLE = f"""
+WITH n AS ({_NORMALIZED_SQL}),
+cents AS (SELECT vec_id AS centroid_id, nemb AS cemb FROM n
+          WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+  SELECT v.vec_id, c.centroid_id,
+         round({_dot_sql('v.nemb', 'c.cemb')}, 6) AS cosine,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY round({_dot_sql('v.nemb', 'c.cemb')}, 6) DESC,
+                                     c.centroid_id) AS rn
+  FROM n v CROSS JOIN cents c
+)
+SELECT centroid_id, count(*) AS n_vectors,
+       round(min(cosine), 6) AS min_cos, round(max(cosine), 6) AS max_cos
+FROM scored WHERE rn = 1
+GROUP BY centroid_id
+"""
+
+
+@register(
+    "ivf_ann_assign",
+    _IVF_ORACLE,
+    doc=f"IVF-style ANN coarse quantization: nearest-of-{N_CENTROIDS}-centroids "
+    "assignment (broadcast join, corpus never shuffles)",
+)
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _normalized(_emb(spark, sf_dir))
+    cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("nemb").alias("cemb")
+    )
+    scored = n.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(_dot(F.col("nemb"), F.col("cemb")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.min("cosine"), 6).alias("min_cos"),
+            F.round(F.max("cosine"), 6).alias("max_cos"),
+        )
+    )

@@ -127,3 +127,38 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.fingerprint("text").alias("fingerprint"),
         X.hash60(F.col("text"), "fp").alias("fingerprint60"),
     )
+
+
+# -- BPE-ish regex tokenization (the second tokenizer the brief asks for) ---
+#
+# GPT-2-style pre-tokenization approximated with an RE2/Java-regex
+# common subset: contraction suffixes, letter runs, digit runs, single
+# non-space symbols.  Both engines extract non-overlapping matches
+# left-to-right, so token streams are identical.
+
+_BPE_PATTERN = r"'(?:s|t|re|ve|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_BPE_SQL_PATTERN = _BPE_PATTERN.replace("'", "''")  # escape for SQL literal
+
+_BPE_ORACLE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{_BPE_SQL_PATTERN}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '{_BPE_SQL_PATTERN}')))
+         AS n_unique_bpe
+FROM documents
+"""
+
+
+@register(
+    "doc_bpe_tokens",
+    _BPE_ORACLE,
+    doc="BPE-ish regex tokenizer (GPT-2-style pre-tokenization subset): "
+    "token + unique-token counts per document",
+)
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_bpe"),
+    )

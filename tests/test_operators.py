@@ -165,3 +165,61 @@ def test_bucketed_range_join_no_nested_loop(spark):
         points, ranges, "x", "lo", "hi", bucket_width=16
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
+
+
+def test_salted_aggregate_equals_plain(spark):
+    from huracan_spark.operators.salting import salted_aggregate
+
+    df = spark.createDataFrame(
+        [("hot", i % 7, float(i)) for i in range(500)]
+        + [("cold", i, float(i)) for i in range(20)],
+        ["k", "m", "v"],
+    )
+    got = {
+        r.k: (r.total, r.n, r.lo, r.hi)
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            [("v", "sum", "total"), ("v", "count", "n"), ("v", "min", "lo"), ("v", "max", "hi")],
+            n_salts=8,
+        ).collect()
+    }
+    want = {
+        r.k: (r.total, r.n, r.lo, r.hi)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("total"),
+            F.count("v").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_equals_plain(spark):
+    from huracan_spark.operators.salting import salted_join
+
+    fact = spark.createDataFrame(
+        [(i % 3, i, float(i) * 2) for i in range(300)], ["k", "seq", "v"]
+    )
+    dim = spark.createDataFrame([(0, "zero"), (1, "one"), (2, "two")], ["k", "name"])
+    got = sorted(
+        (r.k, r.seq, r.v, r.name)
+        for r in salted_join(fact, dim, "k", n_salts=4).collect()
+    )
+    want = sorted(
+        (r.k, r.seq, r.v, r.name) for r in fact.join(dim, "k").collect()
+    )
+    assert got == want
+
+
+def test_salted_aggregate_rejects_non_decomposable(spark):
+    from huracan_spark.operators.salting import salted_aggregate
+
+    df = spark.createDataFrame([("a", 1.0)], ["k", "v"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_aggregate(df, ["k"], [("v", "avg", "m")])
