@@ -126,3 +126,91 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
             yield out
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("src_dim_a", T.IntegerType(), False),
+        T.StructField("src_dim_b", T.IntegerType(), False),
+        T.StructField("dst_dim_a", T.IntegerType(), False),
+        T.StructField("dst_dim_b", T.IntegerType(), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_digest", T.StringType(), False),
+    ]
+)
+
+
+def resize_media(media: DataFrame, dst_a: int, dst_b: int, batch_size: int = 256) -> DataFrame:
+    """mapInPandas resize stage (1:1 rows, payload rewritten).
+
+    The pixel resample itself is behind ``decode_real`` (absent codecs),
+    so the stub emits a deterministic surrogate payload — the md5 chain
+    of (digest, dst dims), length proportional to the target area — while
+    the batch shape, schema, and partition behavior match the real
+    kernel exactly.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            digests = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            dims = digests.map(lambda h: _fake_dims(h, ""))
+            surrogate = digests.map(
+                lambda h: hashlib.md5(f"{h}:{dst_a}x{dst_b}".encode()).digest()
+                * max(1, (dst_a * dst_b) // 10_000)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": surrogate,
+                    "src_dim_a": dims.map(lambda t: t[0]).astype("int32"),
+                    "src_dim_b": dims.map(lambda t: t[1]).astype("int32"),
+                    "dst_dim_a": pd.Series([dst_a] * len(pdf)).astype("int32"),
+                    "dst_dim_b": pd.Series([dst_b] * len(pdf)).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """mapInPandas frame-sampling stage (1:N fan-out for videos).
+
+    A video's frame count is derived deterministically from its content
+    hash (h[8:12] % 300, the decode stub's contract); every ``every_n``-th
+    frame becomes an output row.  Non-video rows are dropped.  This is
+    the flatMap-shaped pandas stage a real ffmpeg frame extractor plugs
+    into — fan-out happens inside the Arrow batch, no shuffle.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = pdf[pdf["kind"] == "video"]
+            if not len(vids):
+                continue
+            ids, idxs, digs = [], [], []
+            for mid, payload in zip(vids["media_id"], vids["payload"]):
+                h = hashlib.md5(bytes(payload)).hexdigest()
+                n_frames = int(h[8:12], 16) % 300
+                for i in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    digs.append(hashlib.md5(f"{h}:frame:{i}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_digest": pd.Series(digs, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(_sample, schema=FRAME_SCHEMA)

@@ -34,3 +34,38 @@ def test_media_partitioning_preserved(spark, sf_dir):
     feats = extract_features(synthesize_media(docs))
     # mapInPandas must not shuffle: same partition count as input
     assert feats.rdd.getNumPartitions() == 4
+
+
+def test_resize_media_contract(spark, sf_dir):
+    from huracan_spark.multimodal import resize_media, synthesize_media
+    from huracan_spark.sources.tables import load_table
+
+    media = synthesize_media(load_table(spark, sf_dir, "documents").limit(30))
+    out = resize_media(media, 224, 224)
+    rows = out.collect()
+    assert len(rows) == 30
+    assert all(r.dst_dim_a == 224 and r.dst_dim_b == 224 for r in rows)
+    # surrogate payload is deterministic: same input -> same bytes
+    again = {r.media_id: bytes(r.payload) for r in resize_media(media, 224, 224).collect()}
+    assert all(bytes(r.payload) == again[r.media_id] for r in rows)
+    # source dims come from the decode stub's hash contract
+    assert all(0 <= r.src_dim_a < 1920 and 0 <= r.src_dim_b < 1080 for r in rows)
+
+
+def test_sample_frames_fanout(spark, sf_dir):
+    import hashlib
+
+    from huracan_spark.multimodal import sample_frames, synthesize_media
+    from huracan_spark.sources.tables import load_table
+
+    media = synthesize_media(load_table(spark, sf_dir, "documents").limit(60))
+    out = sample_frames(media, every_n=25).collect()
+    vids = {r.media_id: bytes(r.payload) for r in media.collect() if r.kind == "video"}
+    # expected fan-out per video from the stub's n_frames contract
+    expected = 0
+    for payload in vids.values():
+        h = hashlib.md5(payload).hexdigest()
+        expected += len(range(0, int(h[8:12], 16) % 300, 25))
+    assert len(out) == expected
+    assert all(r.media_id in vids for r in out)
+    assert all(r.frame_idx % 25 == 0 for r in out)

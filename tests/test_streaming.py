@@ -202,3 +202,79 @@ def test_stateful_dedup_batch_twin(spark):
     )
     got = {(r.object_id, r.version) for r in dedup_latest_version_batch(df).collect()}
     assert got == {("a", 9), ("b", 2)}
+
+
+def test_watermarked_window_drops_late_data(spark, tmp_path):
+    """Windowed agg, 5-min watermark, append mode across restarts:
+    a window finalizes once the watermark passes its end, WITHOUT late
+    rows beyond the horizon; in-horizon rows land before finalization.
+    (The watermark survives restart via the commit log — S9.)"""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from huracan_spark.streaming.windows import windowed_event_counts
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+    feed = str(tmp_path / "wfeed")
+    ck = str(tmp_path / "wckpt")
+    out = str(tmp_path / "wout")
+
+    def _rows(*specs):
+        return spark.createDataFrame(
+            [(datetime(2024, 1, 1, 10, m, s), et, v) for m, s, et, v in specs], schema
+        )
+
+    def _sink(bdf, _bid):
+        if bdf.count():
+            bdf.write.mode("append").parquet(out)
+
+    def _run_once():
+        stream = spark.readStream.schema(schema).parquet(feed)
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: events to 10:20 -> watermark commits at 10:15
+    _rows((0, 30, "click", 1.0), (5, 0, "click", 2.0), (20, 0, "view", 3.0)).coalesce(
+        1
+    ).write.mode("append").parquet(feed)
+    _run_once()
+    # run 2: 10:01 is beyond the horizon (window [10:00,10:10) closed at
+    # watermark 10:15) -> dropped; 10:12's window is still open -> lands
+    _rows((1, 0, "click", 100.0), (12, 0, "view", 4.0)).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    _run_once()
+    emitted = {
+        (r.window_start.minute, r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    # the finalized 10:00 window must NOT contain the late click (100.0)
+    assert emitted[(0, "click")] == (2, 3.0)
+    assert (10, "view") not in emitted  # still open, not emitted yet
+
+    # runs 3+4: advance event time so the 10:10 window finalizes —
+    # proving the in-horizon 10:12 row DID land in state
+    _rows((40, 0, "click", 5.0)).coalesce(1).write.mode("append").parquet(feed)
+    _run_once()
+    _rows((50, 0, "click", 6.0)).coalesce(1).write.mode("append").parquet(feed)
+    _run_once()
+    emitted = {
+        (r.window_start.minute, r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert emitted[(10, "view")] == (1, 4.0)
+    assert emitted[(20, "view")] == (1, 3.0)
