@@ -331,7 +331,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", "source", F.explode(tokens("text")).alias("token"))
-    sims = _simhash_spark(tok)
+    # persist: the pair join reads the sketch table on both sides —
+    # materialize the (doc_id, source, simhash) sketches once
+    sims = _simhash_spark(tok).persist()
     a = sims.alias("a")
     b = sims.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

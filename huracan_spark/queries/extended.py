@@ -185,3 +185,38 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
     )
+
+
+# -- skew-salted aggregation (driver-checked transparency proof) ------------
+
+_SALTED_ORACLE = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "salted_agg_per_type",
+    _SALTED_ORACLE,
+    doc="two-phase skew-salted aggregation — result identical to the "
+    "plain GROUP BY (operators/salting.py; hot keys spread over 16 "
+    "reducers before the final combine)",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.operators.salting import salted_aggregate
+
+    ev = _events(spark, sf_dir).select("event_type", "event_id", "value")
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        [("value", "count", "n"), ("value", "sum", "raw_sum"), ("value", "max", "raw_max")],
+        n_salts=16,
+        mix_cols=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        F.col("n"),
+        F.round("raw_sum", 2).alias("sum_value"),
+        F.round("raw_max", 4).alias("max_value"),
+    )
