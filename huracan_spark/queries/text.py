@@ -162,3 +162,52 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_bpe"),
     )
+
+
+# -- rolling-hash fingerprint (char k-gram winnowing-style) -----------------
+#
+# The second fingerprint the brief asks for: position-independent
+# content signatures from overlapping character k-grams, Rabin-Karp
+# style.  Each k-gram is hashed (hash60); the document signature is
+# the MINIMUM k-gram hash (1-permutation winnowing) plus the distinct
+# k-gram count — robust to reordering/small edits in a way the
+# whole-text md5 fingerprint is not.  All expressible as sequence +
+# transform, no UDFs.
+
+_KGRAM = 8
+
+_ROLLING_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(text) - {_KGRAM} + 1, 0)),
+                        i -> {X.hash60_sql(f'substr(text, i, {_KGRAM})', 'rh')}) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(hs) = 0 THEN NULL ELSE list_min(hs) END AS min_gram_hash,
+       len(list_distinct(hs)) AS n_distinct_grams
+FROM grams
+"""
+
+
+@register(
+    "doc_rolling_fingerprint",
+    _ROLLING_ORACLE,
+    doc=f"rolling-hash fingerprint: min {_KGRAM}-char-gram hash60 "
+    "(winnowing-style) + distinct-gram count per document",
+)
+def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_grams = F.greatest(F.length("text") - _KGRAM + 1, F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: X.hash60(F.substring(F.col("text"), i, F.lit(_KGRAM)), "rh"),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("_hs", grams)
+        .select(
+            "doc_id",
+            F.array_min("_hs").alias("min_gram_hash"),
+            F.size(F.array_distinct("_hs")).alias("n_distinct_grams"),
+        )
+    )
