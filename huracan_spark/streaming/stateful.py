@@ -57,47 +57,74 @@ _COLS = [
 
 
 def _emit_newer(
-    pdfs: Iterable[pd.DataFrame], floor_version: int | None
+    pdfs: Iterable[pd.DataFrame],
+    floor_version: int | None,
+    winner_only: bool = False,
 ) -> tuple[list[pd.DataFrame], int | None]:
-    """Rows beating ``floor_version``, deduped to max-version-per-id
-    within the group; returns (chunks, new max version)."""
+    """Rows beating ``floor_version``; returns (chunks, new max).
+
+    Streaming mode (``winner_only=False``) emits EVERY distinct version
+    above the floor, not just the batch max: a higher version can still
+    fail enrichment downstream (-> DLQ), and the sink's K1 guard then
+    falls back to the best successfully-enriched version — shedding the
+    cascade here would lose that fallback. The floor only protects
+    against REPLAYED versions (at-least-once delivery), mirroring the
+    reference's RocksDB guard with the version fix (etl.rs:967-969).
+
+    Batch mode (``winner_only=True``) is a pure compaction: one
+    max-version winner per key.
+    """
     out: list[pd.DataFrame] = []
     high = floor_version
     for pdf in pdfs:
-        pdf = pdf.sort_values("version")
-        # one winner per chunk: the max version; but emit every row
-        # that beats the running floor so multi-id groups (batch mode
-        # groups by id too) behave identically to sequential replay
         keep = pdf[pdf["version"] > (high if high is not None else -1)]
         if len(keep):
-            keep = keep.loc[[keep["version"].idxmax()]]
-            high = int(keep["version"].iloc[0])
+            keep = keep.sort_values("version").drop_duplicates(
+                "version", keep="last"
+            )
+            if winner_only:
+                keep = keep.loc[[keep["version"].idxmax()]]
+            high = int(keep["version"].max())
             out.append(keep[_COLS])
     return out, high
 
 
-def _stateful_fn(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    floor_version = state.get[0] if state.exists else None
-    chunks, high = _emit_newer(pdfs, floor_version)
-    if high is not None and (floor_version is None or high > floor_version):
-        state.update((high,))
-    state.setTimeoutDuration(3_600_000)  # 1h GC, the 120-cp analog
-    yield from chunks
-
-
 def dedup_latest_version_stream(
-    changes: DataFrame, key_col: str = "object_id"
+    changes: DataFrame,
+    key_col: str = "object_id",
+    state_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming version-aware dedup (M3 corrected): emit a change only
-    when its version beats the per-id high-water mark."""
+    when its version beats the per-id high-water mark.
+
+    ``state_timeout_ms`` enables processing-time state GC (the 120-cp
+    analog) for CONTINUOUS streams. Leave it None for availableNow /
+    bounded replays: a pending state timeout makes Spark keep running
+    empty micro-batches until it fires, so a drain-and-stop query
+    would never terminate.
+    """
+
+    def _fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        floor_version = state.get[0] if state.exists else None
+        chunks, high = _emit_newer(pdfs, floor_version)
+        if high is not None and (floor_version is None or high > floor_version):
+            state.update((high,))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield from chunks
+
     return changes.groupBy(key_col).applyInPandasWithState(
-        _stateful_fn,
+        _fn,
         outputStructType=_OUT_SCHEMA,
         stateStructType="high_version long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 
@@ -107,7 +134,7 @@ def dedup_latest_version_batch(
     """Batch twin: same per-id winner selection in one pass."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        chunks, _ = _emit_newer([pdf], None)
+        chunks, _ = _emit_newer([pdf], None, winner_only=True)
         return chunks[0] if chunks else pdf.iloc[0:0][_COLS]
 
     return changes.groupBy(key_col).applyInPandas(fn, schema=_OUT_SCHEMA)

@@ -61,6 +61,9 @@ class StreamConfig:
     available_now: bool = True  # False => continuous micro-batches
     trigger_interval: str = "100 milliseconds"  # pollintervalms analog
     extra_sources: list[DataFrame] = field(default_factory=list)
+    # True => applyInPandasWithState per-id version high-water mark
+    # (corrected etl.rs:967-969 semantics) instead of watermark dedup
+    version_aware_dedup: bool = False
 
 
 def changes_file_stream(
@@ -86,29 +89,62 @@ def run_stream(
     for extra in cfg.extra_sources:  # M1: poll + livescan union
         merged = merged.unionByName(extra)
 
-    # M2/M3: watermarked dedup on the logical change key.  Event time
-    # is ingest time (ts_first_seen, epoch ms).
-    deduped = (
-        merged.withColumn("_event_time", F.timestamp_millis(F.col("ts_first_seen")))
-        .withWatermark("_event_time", DEDUP_WATERMARK)
-        .dropDuplicatesWithinWatermark(["object_id", "version", "change_type"])
-        .drop("_event_time")
-    )
+    if cfg.version_aware_dedup:
+        # M3 corrected semantics (streaming/stateful.py): per-object
+        # version high-water mark across micro-batches — subsumes
+        # exact-duplicate dropping AND sheds stale versions before the
+        # sink, cutting MERGE input at the cost of per-id state.
+        from huracan_spark.streaming.stateful import dedup_latest_version_stream
+
+        # P1 triage MUST precede version dedup here: if an object's
+        # highest version is a wrapped/transferred/published change,
+        # the high-water mark would otherwise swallow its keepable
+        # lower-version changes and the object would never land.
+        # state GC only for continuous mode; with availableNow a
+        # pending timeout would keep the drain loop alive forever
+        from huracan_spark.schemas import KEPT_CHANGE_TYPES
+
+        deduped = dedup_latest_version_stream(
+            merged.filter(F.col("change_type").isin(*KEPT_CHANGE_TYPES)),
+            state_timeout_ms=None if cfg.available_now else 3_600_000,
+        )
+    else:
+        # M2/M3: watermarked dedup on the logical change key.  Event
+        # time is ingest time (ts_first_seen, epoch ms).
+        deduped = (
+            merged.withColumn(
+                "_event_time", F.timestamp_millis(F.col("ts_first_seen"))
+            )
+            .withWatermark("_event_time", DEDUP_WATERMARK)
+            .dropDuplicatesWithinWatermark(["object_id", "version", "change_type"])
+            .drop("_event_time")
+        )
 
     def _process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        parsed = parse_changes(batch_df)
-        res = enrich(parsed, content, cfg.whitelist, cfg.blacklist)
-        silver.merge(build_silver_batch(res.enriched))
-        if cfg.dlq_dir:
-            res.dlq.write.mode("append").parquet(cfg.dlq_dir)
-        if cfg.completed_dir:
-            done = checkpoint_completion(parsed, res.enriched, res.dlq)
-            done.write.mode("append").parquet(cfg.completed_dir)
+        # materialize the micro-batch ONCE: the tail runs several
+        # actions (merge, DLQ, completion) and re-evaluating the input
+        # would re-execute upstream stateful operators against
+        # already-advanced state (crashes the pandas-with-state path,
+        # and triple-reads the source on the watermark path)
+        batch_df = batch_df.persist()
+        try:
+            parsed = parse_changes(batch_df)
+            res = enrich(parsed, content, cfg.whitelist, cfg.blacklist)
+            silver.merge(build_silver_batch(res.enriched))
+            if cfg.dlq_dir:
+                res.dlq.write.mode("append").parquet(cfg.dlq_dir)
+            if cfg.completed_dir:
+                done = checkpoint_completion(parsed, res.enriched, res.dlq)
+                done.write.mode("append").parquet(cfg.completed_dir)
+        finally:
+            batch_df.unpersist()
 
     writer = (
         deduped.writeStream.foreachBatch(_process_batch)
         .option("checkpointLocation", cfg.checkpoint_dir)
-        .outputMode("update")
+        # the stateful high-water-mark op declares append semantics;
+        # foreachBatch itself is mode-agnostic
+        .outputMode("append" if cfg.version_aware_dedup else "update")
     )
     if cfg.available_now:
         writer = writer.trigger(availableNow=True)

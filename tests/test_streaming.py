@@ -188,9 +188,11 @@ def test_stateful_dedup_across_microbatches(spark, tmp_path):
         (r.object_id, r.version)
         for r in spark.sql("SELECT object_id, version FROM dedup_out").collect()
     }
-    # batch1: a->3 (1 deduped in-batch), b->5; batch2: a->4 beats 3,
-    # a->2 stale dropped, b->6 beats 5
-    assert got == {("a", 3), ("b", 5), ("a", 4), ("b", 6)}
+    # batch1: the whole above-floor cascade emits (a->1, a->3, b->5) —
+    # a higher version may still fail enrichment downstream, so lower
+    # versions are the sink's fallback; batch2: a->4 beats floor 3,
+    # a->2 is a stale replay (dropped), b->6 beats 5
+    assert got == {("a", 1), ("a", 3), ("b", 5), ("a", 4), ("b", 6)}
 
 
 def test_stateful_dedup_batch_twin(spark):
@@ -278,3 +280,34 @@ def test_watermarked_window_drops_late_data(spark, tmp_path):
     }
     assert emitted[(10, "view")] == (1, 4.0)
     assert emitted[(20, "view")] == (1, 3.0)
+
+
+def test_stream_version_aware_dedup_converges_to_golden(spark, fx, tmp_path):
+    """run_stream with the stateful per-id high-water-mark dedup must
+    reach the same silver state as the batch golden — stale versions
+    are shed before the sink instead of inside the MERGE."""
+    s_batch = SilverTable(spark, str(tmp_path / "vbatch"), n_buckets=4)
+    run_backfill(spark, fx["changes"], fx["content"], s_batch)
+    expected = sorted(map(tuple, s_batch.read().collect()))
+
+    feed = str(tmp_path / "vfeed")
+    os.makedirs(feed)
+    fx["changes"].withColumn("_c", F.abs(F.hash("object_id")) % 3).write.partitionBy(
+        "_c"
+    ).mode("overwrite").parquet(str(tmp_path / "vchunks"))
+    for c in range(3):
+        spark.read.parquet(str(tmp_path / f"vchunks/_c={c}")).write.mode(
+            "append"
+        ).parquet(feed)
+
+    s_stream = SilverTable(spark, str(tmp_path / "vstream"), n_buckets=4)
+    cfg = StreamConfig(
+        checkpoint_dir=str(tmp_path / "vckpt"),
+        max_files_per_trigger=2,
+        version_aware_dedup=True,
+    )
+    q = run_stream(
+        spark, changes_file_stream(spark, feed, 2), fx["content"], s_stream, cfg
+    )
+    _await(q)
+    assert sorted(map(tuple, s_stream.read().collect())) == expected
