@@ -176,10 +176,13 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KGRAM = 8
 
+_STRIDE = 3  # strided gram sampling: 3x fewer hashes, still
+# position-robust — the winnowing trade (sample density vs cost)
+
 _ROLLING_ORACLE = f"""
 WITH grams AS (
   SELECT doc_id,
-         list_transform(generate_series(1, greatest(len(text) - {_KGRAM} + 1, 0)),
+         list_transform(generate_series(1, greatest(len(text) - {_KGRAM} + 1, 0), {_STRIDE}),
                         i -> {X.hash60_sql(f'substr(text, i, {_KGRAM})', 'rh')}) AS hs
   FROM documents
 )
@@ -197,9 +200,14 @@ FROM grams
     "(winnowing-style) + distinct-gram count per document",
 )
 def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_grams = F.greatest(F.length("text") - _KGRAM + 1, F.lit(0))
+    n_grams = F.length("text") - _KGRAM + 1
+    # CASE guards the short-doc edge: Spark sequence(1, 0, step) throws
+    # where DuckDB generate_series yields empty — branch lazily instead
+    positions = F.when(
+        n_grams >= 1, F.sequence(F.lit(1), n_grams, F.lit(_STRIDE))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
     grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
+        positions,
         lambda i: X.hash60(F.substring(F.col("text"), i, F.lit(_KGRAM)), "rh"),
     )
     return (
