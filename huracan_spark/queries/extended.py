@@ -220,3 +220,21 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("raw_sum", 2).alias("sum_value"),
         F.round("raw_max", 4).alias("max_value"),
     )
+
+
+@register(
+    "approx_value_quantiles",
+    None,  # KLL/GK sketch internals differ across engines -> rows-only
+    doc="approx_percentile (GK sketch) per event type; like the HLL "
+    "query, sketch-based results are engine-specific by design",
+)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
+                "approx_quantiles"
+            )
+        )
+    )

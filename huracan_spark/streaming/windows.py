@@ -60,3 +60,33 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def sessionized_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Session windows (dynamic-gap sessionization): consecutive events
+    of a key closer than ``gap`` merge into one session; the session
+    closes — and in append mode emits exactly once — when the watermark
+    passes its end. State per OPEN session only, partitioned by key.
+
+    The reference has no session semantics at all (SURVEY §2.7); the
+    batch twin of this query is the gaps-and-islands `session_windows`
+    entry in queries/relational.py — same definition, two engines.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )

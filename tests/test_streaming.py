@@ -311,3 +311,71 @@ def test_stream_version_aware_dedup_converges_to_golden(spark, fx, tmp_path):
     )
     _await(q)
     assert sorted(map(tuple, s_stream.read().collect())) == expected
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """Native session windows: events within the gap merge, a quiet
+    period splits sessions, and sessions finalize (append mode) once
+    the watermark passes."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from huracan_spark.streaming.windows import sessionized_event_counts
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+    feed = str(tmp_path / "sfeed")
+    ck = str(tmp_path / "sckpt")
+    out = str(tmp_path / "sout")
+
+    def _rows(*specs):
+        return spark.createDataFrame(
+            [(datetime(2024, 1, 1, h, m), u, v) for h, m, u, v in specs], schema
+        )
+
+    def _sink(bdf, _bid):
+        if bdf.count():
+            bdf.write.mode("append").parquet(out)
+
+    def _run_once():
+        stream = spark.readStream.schema(schema).parquet(feed)
+        q = (
+            sessionized_event_counts(stream, gap="30 minutes")
+            .writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # user 1: 10:00,10:10,10:25 = one session; 11:30 starts another.
+    # user 2: 10:05 alone.
+    _rows((10, 0, 1, 1.0), (10, 10, 1, 2.0), (10, 25, 1, 3.0),
+          (11, 30, 1, 4.0), (10, 5, 2, 5.0)).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    _run_once()
+    # advance the watermark far enough to close everything
+    _rows((13, 0, 9, 0.0)).coalesce(1).write.mode("append").parquet(feed)
+    _run_once()
+    _rows((14, 0, 9, 0.0)).coalesce(1).write.mode("append").parquet(feed)
+    _run_once()
+
+    got = {
+        (r.user_id, r.session_start.hour, r.session_start.minute): (
+            r.n_events,
+            r.sum_value,
+            (r.session_end.hour, r.session_end.minute),
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[(1, 10, 0)] == (3, 6.0, (10, 55))  # 10:25 + 30min gap
+    assert got[(1, 11, 30)] == (1, 4.0, (12, 0))
+    assert got[(2, 10, 5)] == (1, 5.0, (10, 35))
