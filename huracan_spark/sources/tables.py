@@ -36,6 +36,13 @@ def default_sf_dir() -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; one of {TABLES}")
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS); a session that was
+        # not built by session.py::get_spark (e.g. an externally owned
+        # vanilla SparkSession) would fail the read with
+        # PARQUET_TYPE_ILLEGAL.  The conf is runtime-settable, so set it
+        # here — the loader must work on ANY session, not just ours.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts arrives as long nanoseconds (see session.py nanosAsLong);
