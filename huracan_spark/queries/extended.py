@@ -226,15 +226,17 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_value_quantiles",
     None,  # KLL/GK sketch internals differ across engines -> rows-only
     doc="approx_percentile (GK sketch) per event type; like the HLL "
-    "query, sketch-based results are engine-specific by design",
+    "query, sketch-based results are engine-specific by design. Scalar "
+    "columns (not an array) so the driver's pandas canonicalizer can "
+    "sort/hash the rows-only check.",
 )
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _events(spark, sf_dir)
         .groupBy("event_type")
         .agg(
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
-                "approx_quantiles"
-            )
+            F.percentile_approx("value", 0.5, 10_000).alias("p50"),
+            F.percentile_approx("value", 0.95, 10_000).alias("p95"),
+            F.percentile_approx("value", 0.99, 10_000).alias("p99"),
         )
     )

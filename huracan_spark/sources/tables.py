@@ -40,21 +40,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.parquet stores ts as TIMESTAMP(NANOS); a session that was
         # not built by session.py::get_spark (e.g. an externally owned
         # vanilla SparkSession) would fail the read with
-        # PARQUET_TYPE_ILLEGAL.  The conf is runtime-settable, so set it
-        # here — the loader must work on ANY session, not just ours.
+        # PARQUET_TYPE_ILLEGAL.  The conf is runtime-settable and only
+        # consulted at read/schema time (verified: restoring it before the
+        # action does not break execution), so flip it for the read and
+        # restore the caller's prior value — no lasting side effect on
+        # sessions the library doesn't own.
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        # ts arrives as long nanoseconds (see session.py nanosAsLong);
-        # truncate to microseconds — exactly what DuckDB does when it
-        # reads the same parquet, so oracle comparisons line up.
+        try:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        finally:
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+        # ts arrives as long nanoseconds; truncate to microseconds —
+        # exactly what DuckDB does when it reads the same parquet, so
+        # oracle comparisons line up.
         # integer division: ns values (~1.7e18) overflow double's mantissa,
-        # so `/ 1000` would silently round by up to ~256ns
+        # so `/ 1000` would silently round by up to ~256ns.
+        # timestampadd onto a TIMESTAMP_NTZ epoch is timezone-INDEPENDENT:
+        # timestamp_micros(..).cast('timestamp_ntz') would render the
+        # instant in spark.sql.session.timeZone, shifting values on any
+        # non-UTC caller session relative to the DuckDB oracle (which
+        # reads the nanos as naive).
         df = df.withColumn(
             "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
         )
-    return df
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

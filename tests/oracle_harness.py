@@ -32,8 +32,15 @@ def _norm_cell(v: Any) -> str:
         return str(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict, set)):
+        # The driver canonicalizes via pandas sort_values, which raises
+        # "unhashable type" on container cells.  Mirror that strictness so
+        # the local harness catches what the driver catches: queries must
+        # flatten arrays to scalar columns.
+        raise TypeError(
+            f"container-typed cell {type(v).__name__} not allowed; "
+            "flatten array columns to scalars"
+        )
     return str(v)
 
 
@@ -58,6 +65,9 @@ def compare_query(spark, con, name: str, fn, oracle: str | None, sf_dir: str):
     spark_cols = list(sdf.columns)
     spark_rows = [tuple(r) for r in sdf.collect()]
     if oracle is None:
+        # rows-only checks still go through the driver's pandas canon —
+        # exercise the same strictness (no container cells).
+        _norm_rows(spark_cols, spark_rows)
         return True, f"rows-only: {len(spark_rows)} rows"
     res = con.execute(oracle)
     ora_cols = [d[0] for d in res.description]

@@ -28,6 +28,36 @@ def test_load_events_on_vanilla_session(spark, sf_dir):
     df = load_table(fresh, sf_dir, "events")
     assert dict(df.dtypes)["ts"] == "timestamp_ntz"
     assert df.count() > 0
+    # the loader must not leave a lasting side effect on a session it
+    # doesn't own: the conf we set to "false" above must survive the read
+    assert fresh.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
+
+
+def test_load_events_timezone_independent(spark, sf_dir):
+    """ts values must be identical regardless of the caller session's
+    timezone — the nanos are naive, and the DuckDB oracle reads them
+    naively; a TIMESTAMP_LTZ→ntz cast would shift them on non-UTC
+    sessions."""
+    from huracan_spark.sources.tables import load_table
+
+    utc = _vanilla(spark)
+    utc.conf.set("spark.sql.session.timeZone", "UTC")
+    tokyo = _vanilla(spark)
+    tokyo.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+
+    agg = lambda s: (
+        load_table(s, sf_dir, "events")
+        .agg(
+            F.min("ts").alias("lo"),
+            F.max("ts").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    a, b = agg(utc), agg(tokyo)
+    assert a["n"] == b["n"] > 0
+    assert a["lo"] == b["lo"]
+    assert a["hi"] == b["hi"]
 
 
 def test_events_query_on_vanilla_session(spark, sf_dir):
@@ -47,4 +77,9 @@ def test_entry_on_vanilla_session(spark):
 
     fresh = _vanilla(spark)
     df = entry_mod.entry(fresh)
-    assert df.count() >= 0
+    # meaningful check, not just "doesn't throw": the flagship query must
+    # produce rows on a vanilla session, same as on our own session
+    rows = df.collect()
+    assert len(rows) > 0
+    ours = entry_mod.entry(spark).collect()
+    assert len(rows) == len(ours)
