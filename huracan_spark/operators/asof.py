@@ -60,10 +60,15 @@ def asof_join(
         ).alias("_lrow"),
         carried.alias("_rrow"),
     )
-    # right rows sort before left at equal time -> <= semantics
+    # right rows sort before left at equal time -> <= semantics.
+    # _rrow as the final key breaks ties among duplicate right rows at
+    # the same (key, time) deterministically (greatest payload struct
+    # wins, independent of partitioning/run order); without it,
+    # F.last over tied rows is pick-any.  Requires right_cols to be
+    # orderable types (atomics/structs/arrays — not maps).
     w = (
         Window.partitionBy("_k")
-        .orderBy("_time", "_is_left")
+        .orderBy("_time", "_is_left", "_rrow")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = l_tag.unionByName(r_tag).withColumn(

@@ -46,21 +46,37 @@ def bucketed_range_join(
     timestamps with unix_micros first). Output carries all columns of
     both inputs. ``broadcast_ranges=True`` skips the shuffle when the
     exploded ranges side is dimension-sized.
+
+    ``how``: ``inner`` or ``left`` (left preserves points that fall in
+    no range, with null range columns — the containment predicate is
+    part of the join condition, not a post-filter, so outer rows
+    survive).  Right/full outer are rejected: the ranges side is
+    exploded to one row per overlapped bucket, so an unmatched range
+    would surface once per bucket instead of once.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"how={how!r} unsupported: ranges are bucket-exploded, so only "
+            "'inner' and 'left' (point-preserving) have exact semantics"
+        )
 
     def bucket(c: Column) -> Column:
         return F.floor(c / F.lit(bucket_width)).cast("long")
 
-    p = points.withColumn("__bucket", bucket(F.col(point_col)))
+    p = points.withColumn("__pbucket", bucket(F.col(point_col)))
     r = ranges.withColumn(
-        "__bucket",
+        "__rbucket",
         F.explode(
             F.sequence(bucket(F.col(lo_col)), bucket(F.col(hi_col)))
         ),
     )
     if broadcast_ranges:
         r = F.broadcast(r)
-    joined = p.join(r, "__bucket", how).filter(
-        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    # each pair meets in exactly ONE bucket (the point's own), so a
+    # left join emits unmatched points exactly once, null-extended
+    cond = (
+        (F.col("__pbucket") == F.col("__rbucket"))
+        & (F.col(point_col) >= F.col(lo_col))
+        & (F.col(point_col) < F.col(hi_col))
     )
-    return joined.drop("__bucket")
+    return p.join(r, cond, how).drop("__pbucket", "__rbucket")

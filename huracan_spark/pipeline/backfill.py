@@ -81,7 +81,9 @@ def run_backfill(
     res: EnrichResult = enrich(deduped, content, whitelist, blacklist)
     batch = build_silver_batch(res.enriched)
     metrics = silver.merge(batch, collect_metrics=collect_metrics)
-    newly_done = checkpoint_completion(deduped, res.enriched, res.dlq)
+    # accounting from the PRE-triage bounded input: checkpoints whose
+    # changes are all triage-dropped must still complete (K6)
+    newly_done = checkpoint_completion(bounded, res.dlq)
     max_cp = newly_done.agg(F.max("checkpoint_id")).first()[0]
     return BackfillResult(
         silver=silver,

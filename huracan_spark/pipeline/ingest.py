@@ -143,27 +143,29 @@ def build_silver_batch(enriched: DataFrame) -> DataFrame:
     )
 
 
-def checkpoint_completion(
-    parsed: DataFrame, enriched: DataFrame, dlq: DataFrame, errored_or_filtered_ok: bool = True
-) -> DataFrame:
+def checkpoint_completion(changes: DataFrame, dlq: DataFrame) -> DataFrame:
     """K5/K6 (etl.rs:518-570, mongo.rs:23-58): a checkpoint is complete
-    when every kept change counted for it has been accounted for —
-    sunk, dead-lettered, or dropped by triage.
+    when every change counted for it has been accounted for — sunk,
+    dead-lettered, or dropped by triage/filters.
+
+    ``changes`` must be the PRE-triage input of the run: the reference
+    acks every scanned item, including ones its P1 triage drops
+    (etl.rs:529-567), so a checkpoint containing only wrapped/
+    transferred/published changes still completes.  Counting from the
+    post-triage stream would leave such checkpoints forever absent
+    from the completed table, and ``apply_checkpoint_bounds`` would
+    rescan them on every subsequent backfill.
 
     In batch mode accounting is per-cp row counts; rows dropped by
-    P4/P3 count as accounted (the reference acks them too — drop +
-    metric).  Returns the completed-checkpoint table (checkpoint_id).
+    P1/P3/P4 count as accounted (drop + metric, like the reference).
+    Only a DLQ'd row — work that still needs a retry — blocks its
+    checkpoint.  Returns the completed-checkpoint table (checkpoint_id).
     """
-    expected = parsed.groupBy("cp").agg(F.count("*").alias("n_expected"))
-    if errored_or_filtered_ok:
-        # everything parsed is accounted for in a successful batch run
-        # except rows that went to the DLQ
-        dead = dlq.groupBy("cp").agg(F.count("*").alias("n_dead"))
-        out = (
-            expected.join(dead, "cp", "left")
-            .withColumn("n_dead", F.coalesce("n_dead", F.lit(0)))
-            .filter(F.col("n_dead") == 0)
-            .select(F.col("cp").alias("checkpoint_id"))
-        )
-        return out
-    raise NotImplementedError
+    expected = changes.groupBy("cp").agg(F.count("*").alias("n_expected"))
+    dead = dlq.groupBy("cp").agg(F.count("*").alias("n_dead"))
+    return (
+        expected.join(dead, "cp", "left")
+        .withColumn("n_dead", F.coalesce("n_dead", F.lit(0)))
+        .filter(F.col("n_dead") == 0)
+        .select(F.col("cp").alias("checkpoint_id"))
+    )

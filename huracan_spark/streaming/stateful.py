@@ -73,20 +73,26 @@ def _emit_newer(
 
     Batch mode (``winner_only=True``) is a pure compaction: one
     max-version winner per key.
+
+    Every chunk is filtered against the floor captured at BATCH entry
+    — never against a floor advanced mid-batch.  A micro-batch's rows
+    for one key can span several Arrow chunks in arbitrary version
+    order; advancing the floor per chunk would silently drop a version
+    that is above the state floor but below an earlier chunk's max,
+    shedding part of the cascade the sink relies on.  The running max
+    is tracked separately and becomes the new state once, after all
+    chunks.
     """
-    out: list[pd.DataFrame] = []
-    high = floor_version
-    for pdf in pdfs:
-        keep = pdf[pdf["version"] > (high if high is not None else -1)]
-        if len(keep):
-            keep = keep.sort_values("version").drop_duplicates(
-                "version", keep="last"
-            )
-            if winner_only:
-                keep = keep.loc[[keep["version"].idxmax()]]
-            high = int(keep["version"].max())
-            out.append(keep[_COLS])
-    return out, high
+    floor = -1 if floor_version is None else floor_version
+    kept = [pdf[pdf["version"] > floor] for pdf in pdfs]
+    kept = [k for k in kept if len(k)]
+    if not kept:
+        return [], floor_version
+    allk = pd.concat(kept) if len(kept) > 1 else kept[0]
+    allk = allk.sort_values("version").drop_duplicates("version", keep="last")
+    if winner_only:
+        allk = allk.loc[[allk["version"].idxmax()]]
+    return [allk[_COLS]], int(allk["version"].max())
 
 
 def dedup_latest_version_stream(

@@ -134,7 +134,11 @@ def run_stream(
             if cfg.dlq_dir:
                 res.dlq.write.mode("append").parquet(cfg.dlq_dir)
             if cfg.completed_dir:
-                done = checkpoint_completion(parsed, res.enriched, res.dlq)
+                # pre-triage batch_df, not parsed: all-dropped cps
+                # still complete (version_aware mode triages upstream
+                # of the micro-batch, so there batch_df is the best
+                # observable input)
+                done = checkpoint_completion(batch_df, res.dlq)
                 done.write.mode("append").parquet(cfg.completed_dir)
         finally:
             batch_df.unpersist()

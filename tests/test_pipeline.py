@@ -250,3 +250,26 @@ def test_dlq_poison_line_surfaces_as_null(spark, tmp_path):
     df = read_dlq(spark, d)
     assert df.count() == 2
     assert df.filter("object_id IS NULL").count() == 1  # triage-able
+
+
+def test_completion_includes_all_triage_dropped_checkpoints(spark, fx, tmp_path):
+    """K6 (etl.rs:529-567): the reference acks every scanned item,
+    including triage-dropped ones — a checkpoint containing ONLY
+    wrapped/transferred changes must land in the completed table, or
+    apply_checkpoint_bounds rescans it on every backfill run."""
+    from huracan_spark.schemas import OBJECT_CHANGE_SCHEMA
+
+    dropped_only = spark.createDataFrame(
+        [
+            (999_999, "txw", "wrapped", "0xdead", 1, 1000, 2000, "livescan"),
+            (999_999, "txt", "transferred", "0xbeef", 2, 1000, 2000, "livescan"),
+        ],
+        OBJECT_CHANGE_SCHEMA,
+    )
+    changes = fx["changes"].unionByName(dropped_only)
+    silver = SilverTable(spark, str(tmp_path / "silver-dropped"), n_buckets=4)
+    res = run_backfill(spark, changes, fx["content"], silver)
+    done = {r.checkpoint_id for r in res.completed_checkpoints.collect()}
+    assert 999_999 in done
+    # and the dropped changes never reached silver
+    assert silver.read().filter(F.col("_id").isin("0xdead", "0xbeef")).count() == 0

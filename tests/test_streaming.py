@@ -379,3 +379,44 @@ def test_streaming_session_windows(spark, tmp_path):
     assert got[(1, 10, 0)] == (3, 6.0, (10, 55))  # 10:25 + 30min gap
     assert got[(1, 11, 30)] == (1, 4.0, (12, 0))
     assert got[(2, 10, 5)] == (1, 5.0, (10, 35))
+
+
+def test_stateful_dedup_cascade_spans_arrow_chunks(spark, tmp_path):
+    """A key's micro-batch can span several Arrow chunks in ANY version
+    order; the whole above-floor cascade must emit (VERDICT r2 item 3:
+    the floor is captured at batch entry, not advanced per chunk —
+    a descending chunk order must not shed the lower versions the
+    sink's DLQ-fallback MERGE depends on)."""
+    from huracan_spark.schemas import OBJECT_CHANGE_SCHEMA
+    from huracan_spark.streaming.stateful import dedup_latest_version_stream
+
+    feed = str(tmp_path / "feed")
+    # one file, key 'a' versions DESCENDING: with per-chunk floors and
+    # 1-row chunks, only version 9 would survive
+    _mk_changes(
+        spark,
+        [(1, "mutated", "a", v) for v in (9, 7, 5, 3, 1)]
+        + [(1, "created", "b", 2)],
+    ).coalesce(1).write.mode("append").parquet(feed)
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        stream = spark.readStream.schema(OBJECT_CHANGE_SCHEMA).parquet(feed)
+        q = (
+            dedup_latest_version_stream(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_chunks")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    got = {
+        (r.object_id, r.version)
+        for r in spark.sql("SELECT object_id, version FROM dedup_chunks").collect()
+    }
+    assert got == {("a", 9), ("a", 7), ("a", 5), ("a", 3), ("a", 1), ("b", 2)}
