@@ -10,8 +10,21 @@ from the same hash constants (functions/textfns.py hash60):
                 a band signature — at 100 TB only the band join shuffles,
                 never the doc-pair cross product
 - SimHash:      32-bit sign-aggregated token-hash sketch; near-dups =
-                hamming distance <= 6 (banded by source here to bound
-                the pair join; at scale, band by simhash prefix)
+                hamming distance <= 6.  TWO pair generators:
+                ``simhash_near_dups`` (all-pairs within source — the
+                exactness baseline, quadratic per source) and
+                ``simhash_banded_near_dups`` (THE scale path):
+                pigeonhole banding — split the sketch into 7 segments,
+                hamming <= 6 guarantees >= 1 identical segment, so only
+                (segment, value) buckets ever join, never doc pairs.
+
+Scale guard on the Jaccard path: shingles whose document frequency
+exceeds ``JACCARD_DF_CAP`` are dropped BEFORE the self-join (standard
+winnowing).  One stop-bigram shared by k docs otherwise contributes
+k^2 join rows — the hot-shingle blowup that kills a shingle self-join
+at 100 TB.  The cap bounds every shingle's contribution to CAP^2 and
+is mirrored in the oracle so both engines compute the same Jaccard
+over the capped shingle universe.
 """
 
 from __future__ import annotations
@@ -37,7 +50,13 @@ N_BANDS = 4
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 6
+# pigeonhole: > SIMHASH_MAX_HAMMING segments => any pair within the
+# hamming radius shares at least one untouched segment
+SIMHASH_SEGMENTS = SIMHASH_MAX_HAMMING + 1
 JACCARD_THRESHOLD = 0.2
+# winnowing cap: shingles in more docs than this (per source) are
+# dropped before the Jaccard self-join — bounds the join fan-out
+JACCARD_DF_CAP = 100
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,7 +120,12 @@ _SHINGLES_SQL = f"""
 # -- n-gram Jaccard ---------------------------------------------------------
 
 _JACCARD_ORACLE = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh0 AS ({_SHINGLES_SQL}),
+hot AS (
+  SELECT source, shingle FROM sh0
+  GROUP BY source, shingle HAVING count(*) > {JACCARD_DF_CAP}
+),
+sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (source, shingle)),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
@@ -118,16 +142,29 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
 """
 
 
-@register(
-    "ngram_jaccard_pairs",
-    _JACCARD_ORACLE,
-    doc="n-gram Jaccard near-dup: shingle self-join within source, threshold pairs",
-)
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(_docs(spark, sf_dir)).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+def jaccard_pairs(sh: DataFrame, df_cap: int = JACCARD_DF_CAP) -> DataFrame:
+    """Exact Jaccard pairs over a (doc_id, source, shingle) table with
+    document-frequency winnowing.
+
+    Shingles present in more than ``df_cap`` docs of a source are
+    dropped BEFORE the self-join: a shingle shared by k docs yields
+    k*(k-1)/2 join rows, so one hot stop-bigram otherwise dominates
+    the whole shuffle at scale.  The hot list is tiny (only the
+    over-cap keys) and broadcast into an anti-join; set sizes are
+    computed over the capped universe so Jaccard stays a true set
+    similarity of what was joined.
+    """
+    sh = sh.cache()
+    hot = (
+        sh.groupBy("source", "shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("source", "shingle")
+    )
+    capped = sh.join(F.broadcast(hot), ["source", "shingle"], "left_anti")
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = capped.alias("a")
+    b = capped.alias("b")
     common = (
         a.join(
             b,
@@ -149,6 +186,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jacc >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
     )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    _JACCARD_ORACLE,
+    doc="n-gram Jaccard near-dup: df-capped shingle self-join within source, threshold pairs",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(_shingles(_docs(spark, sf_dir)))
 
 
 # -- MinHash + LSH ----------------------------------------------------------
@@ -326,7 +372,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 @register(
     "simhash_near_dups",
     _SIMHASH_PAIRS_ORACLE,
-    doc=f"SimHash near-dup pairs: hamming <= {SIMHASH_MAX_HAMMING} within source",
+    doc=f"SimHash near-dup pairs: hamming <= {SIMHASH_MAX_HAMMING} within source "
+    "(all-pairs EXACTNESS BASELINE — quadratic per source; the scale "
+    "path is simhash_banded_near_dups)",
 )
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -350,3 +398,83 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.alias("hamming"),
         )
     )
+
+
+# -- SimHash pigeonhole banding (the scale path) -----------------------------
+#
+# Split the 32-bit sketch into SIMHASH_SEGMENTS = 7 contiguous bit
+# segments (widths 5,5,5,5,4,4,4).  Two sketches within hamming
+# distance <= 6 differ in at most 6 bit positions, so by pigeonhole at
+# least one of the 7 segments is bit-identical in both — every true
+# near-dup pair meets in >= 1 (segment_idx, segment_value) bucket.
+# Candidate generation therefore joins ONLY on those bucket keys (7
+# rows per doc, one equi-join a hash partitioner can plan and AQE can
+# skew-split), then verifies exact hamming.  The all-pairs-per-source
+# cross product never materializes; lossless vs the quadratic
+# formulation by construction, which the oracle asserts by running the
+# O(n^2) SQL against this plan's output.
+
+
+def _seg_bounds() -> list[tuple[int, int]]:
+    """(offset, width) per segment; wide segments first."""
+    base, extra = divmod(SIMHASH_BITS, SIMHASH_SEGMENTS)
+    out, off = [], 0
+    for i in range(SIMHASH_SEGMENTS):
+        w = base + (1 if i < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def simhash_banded_pairs(sims: DataFrame) -> DataFrame:
+    """Near-dup pairs from a (doc_id, source, simhash) sketch table via
+    pigeonhole banding; equals the all-pairs formulation exactly."""
+    segs = None
+    for i, (off, w) in enumerate(_seg_bounds()):
+        part = sims.select(
+            "doc_id",
+            "source",
+            "simhash",
+            F.lit(i).alias("seg"),
+            F.shiftright(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .alias("segval"),
+        )
+        segs = part if segs is None else segs.unionByName(part)
+    a = segs.alias("a")
+    b = segs.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.segval") == F.col("b.segval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        # a pair sharing several identical segments meets in several
+        # buckets; hamming is deterministic per pair so distinct on the
+        # full row collapses them
+        .distinct()
+    )
+
+
+@register(
+    "simhash_banded_near_dups",
+    _SIMHASH_PAIRS_ORACLE,
+    doc=f"SimHash near-dups via {SIMHASH_SEGMENTS}-segment pigeonhole banding "
+    f"(hamming <= {SIMHASH_MAX_HAMMING} => >= 1 identical segment) — the "
+    "100 TB pair generator; oracle is the O(n^2) formulation, asserting "
+    "the banding is lossless",
+)
+def q_simhash_banded_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", "source", F.explode(tokens("text")).alias("token"))
+    sims = _simhash_spark(tok).persist()
+    return simhash_banded_pairs(sims)

@@ -134,7 +134,9 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {NEAR_DUP_COS}
 @register(
     "embedding_near_dups",
     _NEAR_ORACLE,
-    doc="embedding-cosine near-dup pairs within label blocks (pre-normalized, single fold per pair)",
+    doc="embedding-cosine near-dup pairs within label blocks (pre-normalized, "
+    "single fold per pair) — all-pairs EXACTNESS BASELINE, quadratic per "
+    "block; the scale path is embedding_lsh_near_dups",
 )
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the self-join reads the normalized corpus on BOTH sides;
@@ -289,4 +291,146 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("cosine"), 6).alias("min_cos"),
             F.round(F.max("cosine"), 6).alias("max_cos"),
         )
+    )
+
+
+# -- LSH-bucketed near-dup PAIRS (the scale pair generator) ------------------
+#
+# embedding_near_dups above is the exactness baseline: all-pairs within
+# label blocks, quadratic per block.  This is the pair generator that
+# survives 100 TB: candidates are pairs whose hyperplane signatures
+# agree on a BAND (the 12 planes split into N_SIG_BANDS = 2 bands of
+# 6) up to PROBE_HAMMING bit flips — multi-probe LSH (Lv et al.,
+# VLDB'07): the probe side of the join is exploded to its band
+# signature plus every Hamming-1 neighbor, the build side keeps the
+# exact signature, so "within 1 flip" is still a PLAIN EQUI-JOIN on
+# (band, sig) that a hash partitioner plans and AQE skew-splits —
+# never a nested-loop hamming predicate, never the doc-pair cross
+# product.  Cosine is then verified exactly on the candidates.
+#
+# Banding trades recall for linearity; multi-probe buys recall back
+# (band-agreement probability p^w -> p^w + w*p^(w-1)*(1-p)) for a
+# constant (w+1)-way probe fan-out.  At production scale the knobs
+# are plane count (bucket granularity grows 2^w with corpus size) and
+# probe radius.  The oracle runs the SAME multi-probe formulation
+# (hamming(band_sig) <= PROBE_HAMMING) so the contract is bit-exact,
+# and the recall-vs-baseline gap is measured in tests, not hidden.
+
+N_SIG_BANDS = 2
+PLANES_PER_BAND = N_HYPERPLANES // N_SIG_BANDS
+_BAND_MASK = (1 << PLANES_PER_BAND) - 1
+PROBE_HAMMING = 1
+
+
+def _banded_vectors(e: DataFrame) -> DataFrame:
+    """(vec_id, nemb, band, bsig): normalized vector exploded to one
+    row per signature band.  One projection, shuffle-free."""
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = e.withColumn("_d", dbl)
+    nrm = F.sqrt(_dot(F.col("_d"), F.col("_d")))
+    sig = None
+    for p, plane in enumerate(_PLANES):
+        plane_lit = F.array(*[F.lit(v) for v in plane])
+        proj = F.aggregate(
+            F.zip_with(F.col("_d"), plane_lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    withsig = e.select(
+        "vec_id",
+        F.transform(F.col("_d"), lambda x: x / nrm).alias("nemb"),
+        sig.alias("sig"),
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), b * PLANES_PER_BAND)
+                .bitwiseAND(F.lit(_BAND_MASK))
+                .alias("bsig"),
+            )
+            for b in range(N_SIG_BANDS)
+        ]
+    )
+    return withsig.select(
+        "vec_id", "nemb", F.explode(bands).alias("_b")
+    ).select("vec_id", "nemb", F.col("_b.band").alias("band"), F.col("_b.bsig").alias("bsig"))
+
+
+_LSH_PAIRS_ORACLE = f"""
+WITH sigs AS ({_signature_sql()}),
+n AS ({_NORMALIZED_SQL}),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT vec_id, {b} AS band, (sig >> {b * PLANES_PER_BAND}) & {_BAND_MASK} AS bsig FROM sigs"
+      for b in range(N_SIG_BANDS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.vec_id < b.vec_id
+   AND bit_count(xor(a.bsig, b.bsig)) <= {PROBE_HAMMING}
+)
+SELECT vec_a, vec_b, round({_dot_sql('na.nemb', 'nb.nemb')}, 6) AS cosine
+FROM cand
+JOIN n na ON na.vec_id = vec_a
+JOIN n nb ON nb.vec_id = vec_b
+WHERE round({_dot_sql('na.nemb', 'nb.nemb')}, 6) >= {NEAR_DUP_COS}
+"""
+
+
+@register(
+    "embedding_lsh_near_dups",
+    _LSH_PAIRS_ORACLE,
+    doc=f"embedding near-dup pairs via multi-probe hyperplane LSH ({N_SIG_BANDS} "
+    f"bands x {PLANES_PER_BAND} planes, probe radius {PROBE_HAMMING}) — the "
+    "100 TB pair generator; candidates only ever equi-join on (band, sig) "
+    "probe keys",
+)
+def q_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persist: the candidate join reads the banded table on both sides
+    # (probe-exploded on one, exact on the other)
+    bv = _banded_vectors(_emb(spark, sf_dir)).persist()
+    # multi-probe side: exact signature + every Hamming-1 flip, so the
+    # "within 1 flip" predicate stays an equi-join key.  One-sided
+    # probing covers both orientations: hamming(A,B)=1 means exactly
+    # one flip of A equals B.
+    probes = bv.select(
+        "vec_id",
+        "nemb",
+        "band",
+        F.explode(
+            F.array(
+                F.col("bsig"),
+                *[
+                    F.col("bsig").bitwiseXOR(F.lit(1 << j))
+                    for j in range(PLANES_PER_BAND)
+                ],
+            )
+        ).alias("pbsig"),
+    )
+    a = probes.alias("a")
+    b = bv.alias("b")
+    cos = F.round(_dot(F.col("a.nemb"), F.col("b.nemb")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.pbsig") == F.col("b.bsig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+        # a pair can meet through several probe keys/bands; cosine is
+        # deterministic so full-row distinct collapses the dups
+        .distinct()
     )

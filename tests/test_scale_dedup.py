@@ -1,0 +1,105 @@
+"""Scale-path pair generators: lossless/bounded guarantees.
+
+VERDICT r2 items 4-6: the three quadratic-inside-blocking-key pair
+generators get scale-safe twins.  These tests pin the properties that
+make them safe at 100 TB:
+
+- simhash banding is LOSSLESS (pigeonhole): banded pairs == all-pairs
+- the Jaccard df cap BOUNDS hot-shingle join fan-out
+- embedding LSH banding generates a SUBSET of the true near pairs
+  (linear candidates, measured recall) and its plan has no
+  nested-loop/cartesian join
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from huracan_spark.queries.registry import REGISTRY, spark_queries
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    spark_queries()
+    return REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_simhash_banding_lossless(spark, sf_dir):
+    """Pigeonhole guarantee: hamming <= 6 over 7 segments => at least
+    one identical segment, so banding loses NO pair vs all-pairs."""
+    spark_queries()
+    banded = sorted(
+        map(tuple, REGISTRY["simhash_banded_near_dups"].fn(spark, sf_dir).collect())
+    )
+    allpairs = sorted(
+        map(tuple, REGISTRY["simhash_near_dups"].fn(spark, sf_dir).collect())
+    )
+    assert banded == allpairs
+    assert len(banded) > 0  # non-vacuous
+
+
+def test_jaccard_df_cap_bounds_hot_shingle(spark):
+    """One shingle shared by k docs must not contribute k^2 join rows:
+    over-cap shingles are dropped before the self-join."""
+    from huracan_spark.queries.dedup import jaccard_pairs
+
+    rows = [(f"d{i}", "s", "hot hot") for i in range(40)]
+    # two docs sharing 3 rare shingles (plus one rare each -> J = 3/5)
+    for d in ("a", "b"):
+        rows += [(d, "s", f"rare {j}") for j in range(3)] + [(d, "s", f"only {d}")]
+    sh = spark.createDataFrame(rows, "doc_id string, source string, shingle string")
+
+    capped = jaccard_pairs(sh, df_cap=10)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in capped.collect()}
+    # the 40-doc hot clique vanished; only the rare-shingle pair remains
+    assert got == {("a", "b"): 0.6}
+
+    # without the cap the hot shingle manufactures the full clique
+    uncapped = jaccard_pairs(sh, df_cap=10_000)
+    assert uncapped.count() == 40 * 39 // 2 + 1
+
+
+def test_embedding_lsh_pairs_subset_with_recall(spark, sf_dir):
+    """Banded candidates are a subset of the true near pairs (banding
+    only MISSES, never invents — cosine is verified exactly), with
+    non-trivial recall on the fixture corpus."""
+    from huracan_spark.queries.dedup import _docs  # noqa: F401 (parallel import path)
+    from huracan_spark.queries.similarity import (
+        NEAR_DUP_COS,
+        _dot,
+        _emb,
+        _normalized,
+    )
+
+    spark_queries()
+    banded = {
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["embedding_lsh_near_dups"].fn(spark, sf_dir).collect()
+    }
+    # exact all-pairs ground truth (no label blocking), fine at sf0.001
+    n = _normalized(_emb(spark, sf_dir)).persist()
+    a, b = n.alias("a"), n.alias("b")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(_dot(F.col("a.nemb"), F.col("b.nemb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+        .collect()
+    }
+    assert banded <= exact
+    assert len(exact) > 0
+    recall = len(banded) / len(exact)
+    # 2 bands x 6 planes on near-orthogonal synthetic vectors: banding
+    # must retain a meaningful share of true pairs
+    assert recall >= 0.3, f"recall collapsed: {recall:.2f} ({len(banded)}/{len(exact)})"
+
+
+def test_scale_pair_generators_plan_no_nested_loop(spark, sf_dir):
+    """The whole point of banding: candidate joins are equi-joins a
+    hash partitioner can plan — never BroadcastNestedLoop/cartesian."""
+    for name in ("simhash_banded_near_dups", "embedding_lsh_near_dups"):
+        p = _plan(spark, sf_dir, name)
+        assert "NestedLoop" not in p and "Cartesian" not in p, name
