@@ -478,3 +478,95 @@ def q_simhash_banded_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", "source", F.explode(tokens("text")).alias("token"))
     sims = _simhash_spark(tok).persist()
     return simhash_banded_pairs(sims)
+
+
+# -- duplicate clusters + canonical representative ---------------------------
+#
+# The last mile of the dedup pipeline: candidate pairs form a graph;
+# connected components are the duplicate clusters; one doc per cluster
+# survives.  Components via iterative min-label propagation
+# (operators/connected_components.py — one shuffle join per round,
+# nothing driver-side); the DuckDB oracle recomputes components with a
+# recursive transitive-closure CTE, so the iterative Spark algorithm
+# is checked against an independent formulation, not itself.
+
+_CC_EDGES_SQL = f"""
+cand AS ({_MINHASH_ORACLE}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM cand
+),
+walk(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+)
+"""
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_CC_EDGES_SQL}
+SELECT doc_id, cluster_id FROM clusters
+"""
+
+_CANONICAL_ORACLE = f"""
+WITH RECURSIVE {_CC_EDGES_SQL},
+ranked AS (
+  SELECT c.cluster_id, c.doc_id,
+         row_number() OVER (
+           PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS kept_doc, n_members FROM ranked WHERE rn = 1
+"""
+
+
+def _minhash_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.operators.connected_components import connected_components
+
+    pairs = q_minhash_lsh(spark, sf_dir)
+    return connected_components(pairs, src="doc_a", dst="doc_b")
+
+
+@register(
+    "dedup_clusters",
+    _CLUSTERS_ORACLE,
+    doc="duplicate clusters: connected components over MinHash-LSH candidate "
+    "pairs via iterative min-label propagation (one shuffle per round); "
+    "oracle recomputes components with a recursive transitive-closure CTE",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_cluster_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+@register(
+    "dedup_canonical",
+    _CANONICAL_ORACLE,
+    doc="one kept representative per duplicate cluster: longest text wins, "
+    "doc_id breaks ties deterministically",
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    clusters = _minhash_cluster_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = (
+        clusters.join(d, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("cluster_id")))
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id", F.col("doc_id").alias("kept_doc"), "n_members"
+    )

@@ -103,3 +103,56 @@ def test_scale_pair_generators_plan_no_nested_loop(spark, sf_dir):
     for name in ("simhash_banded_near_dups", "embedding_lsh_near_dups"):
         p = _plan(spark, sf_dir, name)
         assert "NestedLoop" not in p and "Cartesian" not in p, name
+
+
+# -- connected components (dedup clustering) --------------------------------
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (worst-case diameter) plus a 2-clique plus the
+    propagation must label every node with its component min."""
+    from huracan_spark.operators.connected_components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 20)],
+        "src long, dst long",
+    )
+    got = {r.node: r.label for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_string_ids(spark):
+    """String node ids: hashed-sum convergence check path."""
+    from huracan_spark.operators.connected_components import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    got = {r.node: r.label for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_raises_on_iteration_cap(spark):
+    from huracan_spark.operators.connected_components import connected_components
+    import pytest
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, max_iter=1)
+
+
+def test_dedup_canonical_keeps_longest(spark, sf_dir):
+    """Every kept doc must have max n_chars within its cluster (min
+    doc_id among equals), and clusters partition the pair graph."""
+    from huracan_spark.queries.registry import REGISTRY, spark_queries
+
+    spark_queries()
+    kept = REGISTRY["dedup_canonical"].fn(spark, sf_dir).collect()
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in REGISTRY["dedup_clusters"].fn(spark, sf_dir).collect()
+    }
+    assert len(kept) == len(set(clusters.values()))  # one rep per cluster
+    assert sum(r.n_members for r in kept) == len(clusters)
+    for r in kept:
+        assert clusters[r.kept_doc] == r.cluster_id
