@@ -39,6 +39,9 @@ from huracan_spark.functions.textfns import (
     fingerprint_sql,
     hash60,
     hash60_sql,
+    predicted_lang_sql,
+    punct_ratio_sql,
+    stopword_ratio_sql,
     tokens,
     tokens_sql,
 )
@@ -569,4 +572,106 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.filter(F.col("rn") == 1).select(
         "cluster_id", F.col("doc_id").alias("kept_doc"), "n_members"
+    )
+
+
+# -- corpus_clean: the end-to-end training-data cleaning pipeline ------------
+#
+# The composition a 100 TB pre-training pipeline actually ships, as ONE
+# declarative plan: near-dup clustering over the full corpus (dedup
+# BEFORE filtering — survivors shrink every downstream stage), keep
+# each cluster's canonical representative plus all unclustered docs,
+# then language-ID + quality gates.  Every stage reuses the
+# oracle-checked primitives above/in text.py, so the composite oracle
+# is the same CTEs chained — the driver checks the PIPELINE, not just
+# its parts.
+
+QUALITY_MIN = 0.5
+
+_CORPUS_CLEAN_ORACLE = f"""
+WITH RECURSIVE {_CC_EDGES_SQL},
+ranked AS (
+  SELECT c.cluster_id, c.doc_id,
+         row_number() OVER (
+           PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id
+         ) AS rn
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+),
+survivors AS (
+  SELECT d.doc_id FROM documents d
+  LEFT JOIN clusters c ON c.doc_id = d.doc_id
+  LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rn = 1
+  WHERE c.doc_id IS NULL OR r.doc_id IS NOT NULL
+)
+SELECT d.doc_id, d.source, d.n_chars,
+       {{lang}} AS predicted_lang,
+       {{quality}} AS quality_score
+FROM documents d JOIN survivors s ON s.doc_id = d.doc_id
+WHERE {{lang}} <> 'unknown'
+  AND {{quality}} >= {QUALITY_MIN}
+""".format(
+    lang=predicted_lang_sql("text"),
+    quality=f"""round( least(1.0, len({tokens_sql('text')}) / 50.0) * 0.4
+            + {stopword_ratio_sql('text')} * 0.4
+            + (1.0 - {punct_ratio_sql('text')}) * 0.2, 6)""",
+)
+
+
+@register(
+    "corpus_clean",
+    _CORPUS_CLEAN_ORACLE,
+    doc="end-to-end cleaning pipeline: near-dup clustering -> canonical keep "
+    "-> language-ID + quality gates, as one declarative plan; oracle chains "
+    "the same CTEs",
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from huracan_spark.functions.textfns import (
+        predicted_lang,
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
+    d = _docs(spark, sf_dir)
+    clusters = _minhash_cluster_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    # clustered docs: keep only rn=1; the join is on doc_id (clusters
+    # table is the small side — only near-dup docs survive candidate
+    # generation, so at scale this is a broadcast or a skew-safe hash
+    # join on a unique key, never a fan-out)
+    reps = (
+        clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    clustered = clusters.select("doc_id")
+    survivors = d.join(clustered, "doc_id", "left_anti").select("doc_id").unionByName(
+        reps
+    )
+    quality = F.round(
+        F.least(F.lit(1.0), token_count("text") / 50.0) * 0.4
+        + stopword_ratio("text") * 0.4
+        + (1.0 - punct_ratio("text")) * 0.2,
+        6,
+    )
+    return (
+        d.join(survivors, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            predicted_lang("text").alias("predicted_lang"),
+            quality.alias("quality_score"),
+        )
+        .filter(
+            (F.col("predicted_lang") != "unknown")
+            & (F.col("quality_score") >= QUALITY_MIN)
+        )
     )

@@ -92,3 +92,42 @@ def test_q19_part_side_broadcast(spark, sf_dir):
     p = _plan(spark, sf_dir, "tpch_q19")
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_jaccard_hot_shingle_cap_is_broadcast_anti_join(spark, sf_dir):
+    """The df-cap winnowing must subtract the (tiny) hot-shingle list
+    via a broadcast anti-join — never a shuffled one."""
+    p = _plan(spark, sf_dir, "ngram_jaccard_pairs")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_corpus_clean_no_cartesian(spark, sf_dir):
+    """The end-to-end cleaning pipeline composes joins over cluster
+    labels; none of them may degrade to nested-loop/cartesian."""
+    p = _plan(spark, sf_dir, "corpus_clean")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_connected_components_round_partial_agg(spark):
+    """One propagation round = edges join + min-agg; the min must
+    partially aggregate map-side (only one candidate label per node
+    crosses the shuffle) and the join must stay an equi-join."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(0, 1000).select(
+        F.col("id").alias("a"), (F.col("id") % 97).alias("b")
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    rnd = (
+        edges.alias("e")
+        .join(labels.alias("l"), F.col("e.b") == F.col("l.node"))
+        .groupBy(F.col("e.a").alias("node"))
+        .agg(F.min("l.label").alias("label"))
+    )
+    p = rnd._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
