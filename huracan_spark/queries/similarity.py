@@ -434,3 +434,105 @@ def q_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         # deterministic so full-row distinct collapses the dups
         .distinct()
     )
+
+
+# -- IVF training: one Lloyd iteration (oracle-checked) ----------------------
+#
+# operators/kmeans.py is the offline trainer behind ivf_ann_assign's
+# "k-means once offline" stance.  Iterative training is not
+# SQL-expressible, so the driver-checkable contract is ONE spherical
+# Lloyd step from the deterministic init: assign-to-nearest (broadcast
+# K centroids, corpus linear, argmax via partial-agg max_by — no
+# corpus shuffle), then per-centroid mean stats.  Mean vectors are
+# arrays, which the driver's canonicalizer can't hash, so the query
+# emits the scalar invariants instead: cell size, mean norm, and the
+# drift cosine between old and new centroid.
+
+_TRAIN_ORACLE = f"""
+WITH n AS ({_NORMALIZED_SQL}),
+cents AS (SELECT vec_id AS centroid_id, nemb AS cemb FROM n
+          WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+  SELECT v.vec_id, v.nemb, c.centroid_id,
+         round({_dot_sql('v.nemb', 'c.cemb')}, 6) AS cosine
+  FROM n v CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, nemb, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+dims AS (SELECT unnest(generate_series(1, {DIM})) AS dim),
+mean_comp AS (
+  SELECT a.centroid_id, d.dim, avg(a.nemb[d.dim]) AS m
+  FROM assigned a CROSS JOIN dims d
+  GROUP BY a.centroid_id, d.dim
+),
+stats AS (
+  SELECT m.centroid_id,
+         sum(m.m * m.m) AS norm2,
+         sum(m.m * c.cemb[m.dim]) AS dot_old
+  FROM mean_comp m JOIN cents c ON c.centroid_id = m.centroid_id
+  GROUP BY m.centroid_id
+),
+counts AS (SELECT centroid_id, count(*) AS n_assigned FROM assigned
+           GROUP BY centroid_id)
+SELECT s.centroid_id, ct.n_assigned,
+       round(sqrt(s.norm2), 6) AS mean_norm,
+       round(s.dot_old / sqrt(s.norm2), 6) AS drift_cos
+FROM stats s JOIN counts ct ON ct.centroid_id = s.centroid_id
+"""
+
+
+@register(
+    "ivf_train_step",
+    _TRAIN_ORACLE,
+    doc=f"one spherical Lloyd step over {N_CENTROIDS} deterministic init "
+    "centroids: partial-agg max_by assignment (no corpus shuffle), "
+    "per-centroid mean norm + drift cosine",
+)
+def q_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _normalized(_emb(spark, sf_dir)).select("vec_id", "nemb").persist()
+    cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").cast("long").alias("centroid_id"),
+        F.col("nemb").alias("cemb"),
+    )
+    scored = n.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "nemb",
+        "centroid_id",
+        F.round(_dot(F.col("nemb"), F.col("cemb")), 6).alias("cosine"),
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id",
+            F.struct(F.col("cosine"), (-F.col("centroid_id")).cast("long")),
+        ).alias("centroid_id"),
+        F.first("nemb").alias("nemb"),
+    )
+    # dim index is 1-based in the oracle; posexplode is 0-based
+    mean_comp = (
+        assigned.select("centroid_id", F.posexplode("nemb").alias("pos", "v"))
+        .groupBy("centroid_id", "pos")
+        .agg(F.avg("v").alias("m"))
+    )
+    cent_comp = cents.select(
+        "centroid_id", F.posexplode("cemb").alias("pos", "cv")
+    )
+    stats = (
+        mean_comp.join(cent_comp, ["centroid_id", "pos"])
+        .groupBy("centroid_id")
+        .agg(
+            F.sum(F.col("m") * F.col("m")).alias("norm2"),
+            F.sum(F.col("m") * F.col("cv")).alias("dot_old"),
+        )
+    )
+    counts = assigned.groupBy("centroid_id").agg(F.count("*").alias("n_assigned"))
+    return stats.join(counts, "centroid_id").select(
+        "centroid_id",
+        "n_assigned",
+        F.round(F.sqrt("norm2"), 6).alias("mean_norm"),
+        F.round(F.col("dot_old") / F.sqrt("norm2"), 6).alias("drift_cos"),
+    )
