@@ -536,3 +536,118 @@ def q_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("norm2"), 6).alias("mean_norm"),
         F.round(F.col("dot_old") / F.sqrt("norm2"), 6).alias("drift_cos"),
     )
+
+
+# -- IVF search: probe-limited top-k (the IVF query path) --------------------
+#
+# Completes the IVF story (assign -> train -> SEARCH): each probe
+# vector scores only the corpus inside its NPROBE closest cells
+# instead of the whole corpus.  Plan shape at 100 TB: the K-row
+# centroid table broadcasts twice (cell assignment of the corpus, cell
+# choice of the probes); the only corpus-sized operation is one
+# equi-join on centroid_id between the (tiny) probe-cell list and the
+# cell-partitioned corpus — a hash join AQE can plan, never a cross
+# product.  Recall loss vs brute force is the IVF trade; the oracle
+# runs the SAME probe-limited formulation so the contract is exact,
+# and the knn_cosine_topk baseline measures the gap.
+
+NPROBE = 2
+
+_IVF_SEARCH_ORACLE = f"""
+WITH n AS ({_NORMALIZED_SQL}),
+cents AS (SELECT vec_id AS centroid_id, nemb AS cemb FROM n
+          WHERE vec_id < {N_CENTROIDS}),
+corpus_cells AS (
+  SELECT vec_id, nemb, centroid_id FROM (
+    SELECT v.vec_id, v.nemb, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round({_dot_sql('v.nemb', 'c.cemb')}, 6) DESC,
+                                       c.centroid_id) AS rn
+    FROM n v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probe_cells AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT q.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({_dot_sql('q.nemb', 'c.cemb')}, 6) DESC,
+                                       c.centroid_id) AS rn
+    FROM n q CROSS JOIN cents c WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {NPROBE}
+),
+scored AS (
+  SELECT p.query_id, cc.vec_id AS neighbor_id,
+         round({_dot_sql('q.nemb', 'cc.nemb')}, 6) AS cosine
+  FROM probe_cells p
+  JOIN corpus_cells cc ON cc.centroid_id = p.centroid_id
+  JOIN n q ON q.vec_id = p.query_id
+  WHERE cc.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {TOP_K}
+"""
+
+
+@register(
+    "ivf_search",
+    _IVF_SEARCH_ORACLE,
+    doc=f"IVF probe-limited top-{TOP_K}: each probe scores only its {NPROBE} "
+    f"closest of {N_CENTROIDS} cells — centroids broadcast, corpus joined "
+    "once on centroid_id, never cross-joined",
+)
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _normalized(_emb(spark, sf_dir)).select("vec_id", "nemb").persist()
+    cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").cast("long").alias("centroid_id"),
+        F.col("nemb").alias("cemb"),
+    )
+    cos_c = F.round(_dot(F.col("nemb"), F.col("cemb")), 6)
+    scored_cells = n.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "nemb", "centroid_id", cos_c.alias("_ccos")
+    )
+    # corpus assignment: partial-agg max_by, NOT a window — a window
+    # would shuffle the corpus x K rows by vec_id; max_by combines
+    # map-side so nothing corpus-sized crosses an exchange.  Tie-break
+    # (max cosine, then min centroid_id) matches the oracle's
+    # row_number ordering.
+    corpus_cells = scored_cells.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id",
+            F.struct(F.col("_ccos"), (-F.col("centroid_id")).cast("long")),
+        ).alias("centroid_id"),
+        F.first("nemb").alias("nemb"),
+    )
+    # probe side is N_QUERIES x K rows — a window here is free, and
+    # top-NPROBE needs ranked rows, not an argmax
+    w_probe = Window.partitionBy("vec_id").orderBy(
+        F.col("_ccos").desc(), F.col("centroid_id")
+    )
+    probe_cells = (
+        scored_cells.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("nemb").alias("qemb"),
+            "centroid_id",
+        )
+    )
+    pair_cos = F.round(_dot(F.col("qemb"), F.col("nemb")), 6)
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        probe_cells.join(corpus_cells, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            pair_cos.alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )

@@ -131,3 +131,14 @@ def test_connected_components_round_partial_agg(spark):
     p = rnd._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivf_search_no_corpus_window(spark, sf_dir):
+    """IVF search must assign corpus cells via partial-agg max_by, not
+    a corpus-sized window shuffle; the final top-k window partitions
+    by the N_QUERIES probe ids only."""
+    p = _plan(spark, sf_dir, "ivf_search")
+    assert "partial_max_by" in p
+    assert "CartesianProduct" not in p
+    # exactly the probe-side windows survive: cell choice + final top-k
+    assert p.count("RunningWindowFunction") <= 2 or p.count("Window") <= 2

@@ -156,3 +156,42 @@ def test_dedup_canonical_keeps_longest(spark, sf_dir):
     assert sum(r.n_members for r in kept) == len(clusters)
     for r in kept:
         assert clusters[r.kept_doc] == r.cluster_id
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Property check: CC labels must equal a pure-Python union-find
+    reference on a batch of deterministic pseudo-random graphs."""
+    import random
+
+    def uf_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    from huracan_spark.operators.connected_components import connected_components
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40 + 20 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        got = {
+            r.node: r.label
+            for r in connected_components(
+                spark.createDataFrame(edges, "src long, dst long")
+            ).collect()
+        }
+        assert got == uf_components(edges), f"trial {trial}"
