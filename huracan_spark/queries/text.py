@@ -219,3 +219,147 @@ def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct("_hs")).alias("n_distinct_grams"),
         )
     )
+
+
+# -- repetition signals (Gopher-style quality rules) ------------------------
+#
+# Repetition is the strongest single signal for machine-generated /
+# boilerplate text in LLM training corpora (Rae et al. 2021 "Scaling
+# Language Models" §A.1.2 repetition rules, public).  Adapted to the
+# corpus shape (single-line documents): token-level duplicate fraction
+# and top word-2-gram mass.  Scale plan: explode -> two linear
+# aggregations keyed by doc_id -- no self-joins, no quadratic blowup;
+# per-doc stats carried through the grouping keys so the documents
+# table is scanned ONCE.
+
+_REP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {X.tokens_sql('text')} AS toks FROM documents
+), base AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+           AS dup_token_frac,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS bigr
+  FROM t
+), cnt AS (
+  SELECT doc_id, unnest(bigr) AS bigram FROM base
+), bg AS (
+  SELECT doc_id, bigram, count(*) AS c FROM cnt GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_bigrams FROM bg GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
+       round(coalesce(CAST(t2.top_cnt AS DOUBLE) / t2.n_bigrams, 0.0), 6)
+         AS top_bigram_frac
+FROM base b LEFT JOIN top t2 USING (doc_id)
+"""
+
+
+@register(
+    "doc_repetition",
+    _REP_ORACLE,
+    doc="repetition quality signals: duplicate-token fraction + top "
+    "word-2-gram mass per document (Gopher-rule analogs)",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        X.tokens("text").alias("toks"),
+    )
+    base = base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("toks")) / F.size("toks"), 6
+        ).alias("dup_token_frac"),
+        # sequence(1, 0) throws in Spark where DuckDB returns empty ->
+        # CASE-guard short docs (CLAUDE.md invariant)
+        F.when(
+            F.size("toks") >= 2,
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            ),
+        )
+        .otherwise(F.expr("CAST(array() AS array<string>)"))
+        .alias("bigr"),
+    )
+    # explode_outer keeps zero-bigram docs alive with a NULL marker row;
+    # per-doc scalars ride the grouping keys so there is no join back
+    # (single scan, two linear shuffles on doc_id)
+    c_valid = F.when(F.col("bigram").isNotNull(), F.col("c")).otherwise(F.lit(0))
+    return (
+        base.select(
+            "doc_id", "n_tokens", "dup_token_frac", F.explode_outer("bigr").alias("bigram")
+        )
+        .groupBy("doc_id", "n_tokens", "dup_token_frac", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n_tokens", "dup_token_frac")
+        .agg(
+            F.max(c_valid).alias("top_cnt"),
+            F.sum(c_valid).alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_frac",
+            F.round(
+                F.coalesce(F.col("top_cnt") / F.col("n_bigrams"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+# -- PII / URL scrubbing ----------------------------------------------------
+#
+# Standard pre-training scrub stage: detect-and-redact emails, URLs and
+# IPv4 literals with a Java-regex/RE2 common-subset pattern set so both
+# engines match identically.  Replacement order is fixed (URL first so
+# an email inside a URL is not double-counted).  The fixture corpus is
+# PII-free by construction (counts 0, text unchanged -- asserted by the
+# oracle); behavior on text that DOES contain PII is pinned by
+# tests/test_functions.py::test_pii_scrub_synthetic.
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_URL = r"https?://[^\s]+"
+_PII_IP = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+
+_PII_ORACLE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_URL}')) AS n_urls,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PII_IP}')) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_URL}', '<URL>', 'g'),
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IP}', '<IP>', 'g') AS redacted
+FROM documents
+"""
+
+
+def pii_scrub(col) -> "F.Column":
+    """Redact URLs, then emails, then IPv4 literals (fixed order)."""
+    out = F.regexp_replace(col, _PII_URL, "<URL>")
+    out = F.regexp_replace(out, _PII_EMAIL, "<EMAIL>")
+    return F.regexp_replace(out, _PII_IP, "<IP>")
+
+
+@register(
+    "doc_pii_scrub",
+    _PII_ORACLE,
+    doc="PII/URL scrub: count + redact emails, URLs, IPv4 literals "
+    "(RE2/Java-regex common subset; order-pinned replacement)",
+)
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_PII_URL)).alias("n_urls"),
+        F.regexp_count(t, F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(_PII_IP)).alias("n_ips"),
+        pii_scrub(t).alias("redacted"),
+    )

@@ -690,3 +690,88 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supp.join(
         F.broadcast(heavy_supps), supp.s_suppkey == F.col("l_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name", "s_acctbal")
+
+
+# -- q8: national market share (8-way join, conditional-agg ratio by year) ---
+
+_Q8_ORACLE = """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+FROM lineitem l
+JOIN part p     ON p.p_partkey  = l.l_partkey
+JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey  = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey  = n1.n_regionkey
+JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+WHERE r.r_name = 'AMERICA'
+  AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+@register(
+    "tpch_q8",
+    _Q8_ORACLE,
+    doc="TPC-H Q8 shape: national market share - 8-way star join, "
+    "conditional-aggregation ratio by order year",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share of NATION_3 suppliers in AMERICA-region customer
+    revenue for ECONOMY parts, by order year.
+
+    Scale plan: the fact table (lineitem) never shuffles for the dims -
+    part is filtered then broadcast, supplier+nation and
+    customer+nation+region are broadcast dimension bundles, so the only
+    exchange is the final tiny groupBy(o_year).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1998-01-01 00:00:00")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    # customer-side dim bundle: customers in the AMERICA region
+    c_dim = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            nation.select("n_nationkey", "n_regionkey"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(region.select("r_regionkey"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    # supplier-side dim bundle: supplier -> its nation name
+    s_dim = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(c_dim), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(s_dim), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(nation_rev) / F.sum(rev), 4).alias("mkt_share"))
+    )

@@ -76,3 +76,41 @@ def test_owner_predicates(spark):
     )
     assert df.filter(owned_by("0xa")).count() == 2
     assert df.filter(owned_by_any(["0xa", "0xb"])).count() == 3
+
+
+def test_pii_scrub_synthetic(spark):
+    """Redaction behavior on text that DOES contain PII (the fixture
+    corpus is PII-free, so the registered doc_pii_scrub query only
+    proves cross-engine parity of the no-match path; this pins the
+    match path on both engines)."""
+    import duckdb
+
+    from huracan_spark.queries.text import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_URL,
+        pii_scrub,
+    )
+
+    samples = [
+        ("contact a.b+c@ex-ample.co.uk today", "contact <EMAIL> today"),
+        ("see https://x.io/p?q=1#f and http://y.z/", "see <URL> and <URL>"),
+        ("host 192.168.0.1 died", "host <IP> died"),
+        # email inside a URL: URL redacted first, email never double-counted
+        ("go https://a.com/mail?to=x@y.com now", "go <URL> now"),
+        ("no pii here", "no pii here"),
+        ("1234.5678 is not an ip", "1234.5678 is not an ip"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in samples], ["text"])
+    got = [r[0] for r in df.select(pii_scrub(F.col("text"))).collect()]
+    assert got == [want for _, want in samples]
+
+    # DuckDB applies the same patterns identically (RE2 vs Java regex)
+    for s, want in samples:
+        lit = s.replace("'", "''")
+        duck = duckdb.sql(
+            f"SELECT regexp_replace(regexp_replace(regexp_replace('{lit}', "
+            f"'{_PII_URL}', '<URL>', 'g'), '{_PII_EMAIL}', '<EMAIL>', 'g'), "
+            f"'{_PII_IP}', '<IP>', 'g')"
+        ).fetchone()[0]
+        assert duck == want, (s, duck, want)
