@@ -651,3 +651,50 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+# -- ANN recall evaluation: IVF vs exact ------------------------------------
+#
+# The operator that makes an ANN index trustworthy at scale: measure
+# recall@k of the probe-limited IVF path against the brute-force
+# baseline, per probe vector.  At 100 TB you run this on a sampled
+# probe set to pick NPROBE/K trade-offs before committing the full
+# search; both inputs are the already-registered queries, so the plan
+# is their union plus one tiny (N_QUERIES x TOP_K)-row join.
+
+_RECALL_ORACLE = f"""
+WITH exact AS ({_KNN_ORACLE}),
+approx AS ({_IVF_SEARCH_ORACLE})
+SELECT e.query_id,
+       count(*) AS k,
+       sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS recall_at_k
+FROM exact e
+LEFT JOIN approx a USING (query_id, neighbor_id)
+GROUP BY 1
+"""
+
+
+@register(
+    "ann_recall_eval",
+    _RECALL_ORACLE,
+    doc=f"recall@{TOP_K} of the IVF probe-limited search vs the exact "
+    "brute-force top-k, per probe vector — the index-quality gauge",
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_knn(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_ivf_search(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*"), 6
+            ).alias("recall_at_k"),
+        )
+    )

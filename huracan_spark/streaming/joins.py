@@ -1,0 +1,79 @@
+"""Watermarked stream-stream joins (interval / event-correlation).
+
+The reference has no two-stream correlation at all — its only merge is
+the poll+livescan dedup union (SURVEY §2.4 M1/M2).  This module is the
+widened streaming surface: correlate two live event streams on a key
+within an event-time interval, the canonical "attribute each purchase
+to the click that preceded it" shape.
+
+Why this scales: Spark buffers each side's rows in keyed state ONLY
+until the other side's watermark passes the interval bound, then
+evicts — state is O(key cardinality x interval), never O(stream
+length).  Both sides shuffle once on the join key; with the RocksDB
+state store the buffers spill off-heap.  An unbounded (no-watermark /
+no-time-bound) stream-stream join would grow state forever and is
+refused here by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["interval_join_streams"]
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    lower: str = "INTERVAL 0 SECONDS",
+    upper: str = "INTERVAL 10 MINUTES",
+    left_watermark: str = "5 minutes",
+    right_watermark: str = "5 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Join two watermarked streams on ``key`` where the right event's
+    time lies in ``[left.ts + lower, left.ts + upper]``.
+
+    Output columns: key, l_ts, r_ts, plus every non-key/non-ts column
+    of each side prefixed ``l_`` / ``r_``.  ``how`` may be ``inner`` or
+    ``left_outer`` (outer emits the unmatched left row once the right
+    watermark passes the upper bound — Spark's supported outer interval
+    join; other modes are refused rather than silently degenerating,
+    same policy as operators/range_join.py).
+    """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"interval_join_streams supports inner/left_outer, got {how!r}: "
+            "an unbounded outer side would need infinite state"
+        )
+    l = left.withWatermark(ts, left_watermark).select(
+        F.col(key).alias("_lk"),
+        F.col(ts).alias("l_ts"),
+        *[
+            F.col(c).alias(f"l_{c}")
+            for c in left.columns
+            if c not in (key, ts)
+        ],
+    )
+    r = right.withWatermark(ts, right_watermark).select(
+        F.col(key).alias("_rk"),
+        F.col(ts).alias("r_ts"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c not in (key, ts)
+        ],
+    )
+    cond = (
+        (F.col("_lk") == F.col("_rk"))
+        & (F.col("r_ts") >= F.expr(f"l_ts + {lower}"))
+        & (F.col("r_ts") <= F.expr(f"l_ts + {upper}"))
+    )
+    return (
+        l.join(r, cond, how)
+        .withColumn(key, F.col("_lk"))
+        .drop("_lk", "_rk")
+    )

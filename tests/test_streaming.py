@@ -420,3 +420,104 @@ def test_stateful_dedup_cascade_spans_arrow_chunks(spark, tmp_path):
         for r in spark.sql("SELECT object_id, version FROM dedup_chunks").collect()
     }
     assert got == {("a", 9), ("a", 7), ("a", 5), ("a", 3), ("a", 1), ("b", 2)}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two live streams correlated on user_id within [0, 10 min]:
+    inner matches emit as they pair up; left_outer emits the unmatched
+    click once BOTH watermarks pass its upper bound; unsupported modes
+    are refused (no silent degeneration)."""
+    from datetime import datetime
+
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from huracan_spark.streaming.joins import interval_join_streams
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+    lfeed, rfeed = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    out = str(tmp_path / "jout")
+
+    def _rows(*specs):
+        return spark.createDataFrame(
+            [(datetime(2024, 1, 1, 10, m, s), u, v) for m, s, u, v in specs], schema
+        )
+
+    def _feed(path, df):
+        df.coalesce(1).write.mode("append").parquet(path)
+
+    # clicks: u1@10:00, u1@10:05, u2@10:02 ; purchases: u1@10:03, u2@10:30
+    _feed(lfeed, _rows((0, 0, 1, 1.0), (5, 0, 1, 2.0), (2, 0, 2, 3.0)))
+    _feed(rfeed, _rows((3, 0, 1, 9.0), (30, 0, 2, 8.0)))
+
+    def _run(how, ck, sink_dir):
+        def _sink(bdf, _bid):
+            bdf.persist()  # CLAUDE.md: multi-action foreachBatch must persist
+            if bdf.count():
+                bdf.write.mode("append").parquet(sink_dir)
+            bdf.unpersist()
+
+        l = spark.readStream.schema(schema).parquet(lfeed)
+        r = spark.readStream.schema(schema).parquet(rfeed)
+        q = (
+            interval_join_streams(l, r, how=how)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run("inner", str(tmp_path / "ck_inner"), out)
+    got = {
+        (r.user_id, r.l_ts.minute, r.r_ts.minute)
+        for r in spark.read.parquet(out).collect()
+    }
+    # only u1's 10:00 click pairs with the 10:03 purchase (10:05 click is
+    # after it; u2's purchase is 28 min late -> outside the interval)
+    assert got == {(1, 0, 3)}
+
+    # batch twin: identical predicate on the static frames must agree
+    lb = _rows((0, 0, 1, 1.0), (5, 0, 1, 2.0), (2, 0, 2, 3.0)).alias("l")
+    rb = _rows((3, 0, 1, 9.0), (30, 0, 2, 8.0)).alias("r")
+    batch = lb.join(
+        rb,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    assert {
+        (r["l.user_id"] if "l.user_id" in r else r.user_id)
+        for r in batch.select(F.col("l.user_id").alias("user_id")).collect()
+    } == {1}
+    assert batch.count() == 1
+
+    # left_outer: feed far-future rows on BOTH sides (watermark = min of
+    # the two inputs) so every earlier click's upper bound passes, then
+    # the unmatched clicks emit exactly once with null right columns
+    oout = str(tmp_path / "jout_outer")
+    _run("left_outer", str(tmp_path / "ck_outer"), oout)
+    _feed(lfeed, _rows((59, 0, 9, 0.0)))
+    _feed(rfeed, _rows((59, 0, 9, 0.0)))
+    _run("left_outer", str(tmp_path / "ck_outer"), oout)
+    outer = spark.read.parquet(oout)
+    unmatched = {
+        (r.user_id, r.l_ts.minute)
+        for r in outer.filter(F.col("r_ts").isNull()).collect()
+    }
+    assert {(1, 5), (2, 2)} <= unmatched
+    assert (1, 0) not in unmatched  # the matched click never doubles as outer
+
+    with _pytest.raises(ValueError):
+        interval_join_streams(
+            spark.readStream.schema(schema).parquet(lfeed),
+            spark.readStream.schema(schema).parquet(rfeed),
+            how="full_outer",
+        )
