@@ -142,3 +142,35 @@ def test_ivf_search_no_corpus_window(spark, sf_dir):
     assert "CartesianProduct" not in p
     # exactly the probe-side windows survive: cell choice + final top-k
     assert p.count("RunningWindowFunction") <= 2 or p.count("Window") <= 2
+
+
+def test_q8_dims_broadcast_fact_never_shuffles_for_dims(spark, sf_dir):
+    """Q8's 8-way star join: every dim side must be a BroadcastHashJoin;
+    the only sort-merge allowed is the fact-fact lineitem-orders join."""
+    p = _plan(spark, sf_dir, "tpch_q8")
+    assert p.count("BroadcastHashJoin") >= 3  # part, customer-bundle, supplier-bundle
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_doc_repetition_single_scan_no_join(spark, sf_dir):
+    """Repetition signals: one documents scan, explode + two linear
+    aggregations — per-doc scalars ride the grouping keys, so there is
+    no join back and no second scan."""
+    p = _plan(spark, sf_dir, "doc_repetition")
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+    assert "Generate" in p  # the explode is the linear path, not a self-join
+
+
+def test_pii_scrub_single_scan_pushdown(spark, sf_dir):
+    p = _plan(spark, sf_dir, "doc_pii_scrub")
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+
+
+def test_ann_recall_no_cartesian_corpus(spark, sf_dir):
+    """Recall eval composes knn + ivf_search: the only cross product
+    allowed is probe-broadcast x corpus (knn) — never corpus x corpus."""
+    p = _plan(spark, sf_dir, "ann_recall_eval")
+    assert "CartesianProduct" not in p
