@@ -1,0 +1,416 @@
+"""Training-data-preparation queries over ``documents`` / ``events``.
+
+The operations a large-scale LLM training-data pipeline runs after
+dedup/quality (queries/dedup.py, queries/text.py): chunking documents
+into fixed token windows, vocabulary building, deterministic
+train/val/test splits, benchmark-contamination checks, unigram
+language-model scoring, multi-granularity time rollups, incremental
+(cross-snapshot) dedup, and per-group deterministic sampling.
+
+Scale notes (100 TB):
+- Every query is a declarative DataFrame plan — no UDFs, no collect.
+- The contamination check semi-joins against the benchmark shingle
+  set, which is small by definition (benchmarks are KBs, corpora are
+  TBs) -> broadcast; the corpus side never shuffles doc-to-doc.
+- The unigram LM restricts its vocabulary to a fixed top-K by design
+  (OOV floor probability), so the scoring join is bounded-broadcast
+  regardless of corpus size — the classic way to avoid a shuffle on
+  a Zipf-skewed token key.
+- Chunking / sampling / splits are embarrassingly parallel: pure
+  per-row expressions or per-group windows over the grouping key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from huracan_spark.functions.textfns import hash60, hash60_sql, tokens, tokens_sql
+from huracan_spark.queries.registry import register
+from huracan_spark.sources.tables import load_table
+
+CHUNK_TOKENS = 64
+VOCAB_TOPK = 200
+LM_VOCAB_K = 1000
+SAMPLE_PER_GROUP = 20
+CONTAM_NGRAM = 5
+BENCH_MOD = 50  # doc_id % BENCH_MOD == 0 -> benchmark member
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# -- fixed-size token chunking ----------------------------------------------
+
+_CHUNK_ORACLE = f"""
+WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
+SELECT doc_id, i AS chunk_id,
+       least({CHUNK_TOKENS}, len(toks) - i * {CHUNK_TOKENS}) AS n_tokens,
+       array_to_string(toks[(i * {CHUNK_TOKENS} + 1):((i + 1) * {CHUNK_TOKENS})], ' ')
+         AS chunk_text
+FROM t, unnest(generate_series(0,
+       CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT) - 1)) u(i)
+"""
+
+
+@register(
+    "doc_chunking",
+    _CHUNK_ORACLE,
+    doc=f"split each document into {CHUNK_TOKENS}-token training chunks "
+    "(sequence+explode; per-row, shuffle-free)",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn("_toks", tokens("text"))
+    n = F.size("_toks")
+    # split(trim(x)) always yields >=1 element, so the sequence upper
+    # bound is >=0 — no empty-sequence guard needed (CLAUDE.md gotcha:
+    # Spark sequence(1,0,step) throws where DuckDB returns empty).
+    n_chunks = F.ceil(n / F.lit(float(CHUNK_TOKENS))).cast("long")
+    start = F.col("chunk_id") * CHUNK_TOKENS + 1
+    return (
+        d.select(
+            "doc_id",
+            "_toks",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.least(
+                F.lit(CHUNK_TOKENS).cast("long"),
+                F.size("_toks") - F.col("chunk_id") * CHUNK_TOKENS,
+            ).alias("n_tokens"),
+            F.array_join(F.slice("_toks", start, CHUNK_TOKENS), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+# -- vocabulary building ----------------------------------------------------
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({tokens_sql('text')}) AS token FROM documents
+), counts AS (
+  SELECT token, count(*) AS cnt FROM tok WHERE token <> '' GROUP BY token
+)
+SELECT token, cnt, rank FROM (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token) AS rank
+  FROM counts
+) WHERE rank <= {VOCAB_TOPK}
+"""
+
+
+@register(
+    "vocab_topk",
+    _VOCAB_ORACLE,
+    doc=f"vocabulary build: top-{VOCAB_TOPK} tokens by frequency "
+    "(map-side partial count, deterministic (cnt, token) tie-break)",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # orderBy().limit(K) compiles to TakeOrderedAndProject — a
+    # DISTRIBUTED top-K (per-partition heaps, driver merge of K rows) —
+    # so the global row_number window only ever sees K rows.  A bare
+    # row_number over the full counts table would funnel the whole
+    # vocabulary through one partition.
+    return _ranked_topk(counts)
+
+
+def _ranked_topk(counts: DataFrame, k: int = VOCAB_TOPK) -> DataFrame:
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token", "cnt", "rank"
+    )
+
+
+# -- deterministic train/val/test split -------------------------------------
+
+_SPLIT_CASE = f"""CASE
+  WHEN {hash60_sql("doc_id::VARCHAR", "split")} % 100 < 80 THEN 'train'
+  WHEN {hash60_sql("doc_id::VARCHAR", "split")} % 100 < 90 THEN 'val'
+  ELSE 'test' END"""
+
+_SPLIT_ORACLE = f"""
+SELECT source, {_SPLIT_CASE} AS split, count(*) AS n_docs,
+       sum(n_chars) AS n_chars
+FROM documents GROUP BY source, split
+"""
+
+
+@register(
+    "hash_split",
+    _SPLIT_ORACLE,
+    doc="deterministic 80/10/10 train/val/test assignment by content-stable "
+    "hash of doc_id — reproducible across engines/runs, no RNG state",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    h = hash60(F.col("doc_id").cast("string"), "split") % 100
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    )
+
+
+# -- benchmark contamination check ------------------------------------------
+
+_CONTAM_SHINGLES = f"""
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len({tokens_sql('text')}) - {CONTAM_NGRAM - 1}),
+                          i -> array_to_string({tokens_sql('text')}[i:i + {CONTAM_NGRAM - 1}], ' '))
+         )) AS shingle
+  FROM documents
+  WHERE len({tokens_sql('text')}) >= {CONTAM_NGRAM}
+"""
+
+_CONTAM_ORACLE = f"""
+WITH sh AS ({_CONTAM_SHINGLES}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+matched AS (
+  SELECT doc_id, count(*) AS n_matched
+  FROM corpus SEMI JOIN bench USING (shingle) GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id)
+SELECT t.doc_id, t.n_shingles, coalesce(m.n_matched, 0) AS n_matched,
+       round(CAST(coalesce(m.n_matched, 0) AS DOUBLE) / t.n_shingles, 6)
+         AS containment
+FROM totals t LEFT JOIN matched m ON t.doc_id = m.doc_id
+"""
+
+
+def _contam_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle): distinct word CONTAM_NGRAM-grams per doc."""
+    grams = F.expr(
+        f"transform(sequence(0, size(_toks) - {CONTAM_NGRAM}),"
+        f" i -> concat_ws(' ', slice(_toks, i + 1, {CONTAM_NGRAM})))"
+    )
+    return (
+        d.withColumn("_toks", tokens("text"))
+        .filter(F.size("_toks") >= CONTAM_NGRAM)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+@register(
+    "contamination_check",
+    _CONTAM_ORACLE,
+    doc=f"benchmark contamination: fraction of each corpus doc's word "
+    f"{CONTAM_NGRAM}-grams that appear in the benchmark set (here: every "
+    f"{BENCH_MOD}th doc). Benchmark shingles are broadcast — benchmarks "
+    "are KBs while corpora are TBs, so the corpus never shuffles",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _contam_shingles(_docs(spark, sf_dir)).cache()
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("shingle").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    matched = (
+        corpus.join(F.broadcast(bench), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    m = F.coalesce(F.col("n_matched"), F.lit(0))
+    return (
+        totals.join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            m.alias("n_matched"),
+            F.round(m / F.col("n_shingles"), 6).alias("containment"),
+        )
+    )
+
+
+# -- unigram LM scoring -----------------------------------------------------
+
+_LM_TOK = f"""
+  SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents
+"""
+
+_LM_ORACLE = f"""
+WITH tok AS ({_LM_TOK}),
+counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+vocab AS (
+  SELECT token, cnt FROM (
+    SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS r
+    FROM counts
+  ) WHERE r <= {LM_VOCAB_K}
+),
+total AS (SELECT count(*) AS n FROM tok)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(avg(log10(CAST(coalesce(v.cnt, 0) + 0.5 AS DOUBLE) / total.n)), 4)
+         AS avg_logprob
+FROM tok t LEFT JOIN vocab v ON t.token = v.token CROSS JOIN total
+GROUP BY t.doc_id, total.n
+"""
+
+
+@register(
+    "unigram_logprob",
+    _LM_ORACLE,
+    doc=f"unigram LM quality score: mean log10 probability per doc against "
+    f"a top-{LM_VOCAB_K} vocabulary with +0.5 OOV smoothing. The vocab is "
+    "bounded by construction, so the scoring join broadcasts instead of "
+    "shuffling on the Zipf-skewed token key",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokens("text")).alias("token"))
+        .cache()
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    # distributed top-K (TakeOrderedAndProject), not a global window —
+    # see q_vocab_topk
+    vocab = counts.orderBy(F.col("cnt").desc(), "token").limit(LM_VOCAB_K)
+    total = tok.agg(F.count("*").alias("n"))
+    lp = F.log10((F.coalesce(F.col("cnt"), F.lit(0)) + 0.5) / F.col("n"))
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(lp), 4).alias("avg_logprob"),
+        )
+    )
+
+
+# -- multi-granularity time rollup ------------------------------------------
+
+_ROLLUP_ORACLE = """
+WITH b AS (
+  SELECT event_type, date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h,
+         value
+  FROM events
+)
+SELECT event_type,
+       CASE WHEN GROUPING(h) = 1 THEN 'day' ELSE 'hour' END AS granularity,
+       CASE WHEN GROUPING(h) = 1 THEN epoch_ms(d) ELSE epoch_ms(h) END
+         AS bucket_ms,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM b
+GROUP BY GROUPING SETS ((event_type, d), (event_type, d, h))
+"""
+
+
+@register(
+    "time_bucket_rollup",
+    _ROLLUP_ORACLE,
+    doc="hypertable-style continuous aggregate: hour+day rollups in ONE "
+    "scan via GROUPING SETS (map-side partial agg covers both grains)",
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    view = "rollup_input"
+    ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+        "value",
+    ).createOrReplaceTempView(view)
+    # epoch via timestampdiff from the NTZ epoch: timezone-independent
+    # (unix_millis(cast(... as timestamp)) would shift on non-UTC sessions)
+    return ev.sparkSession.sql(
+        f"""
+        SELECT event_type,
+               CASE WHEN GROUPING(h) = 1 THEN 'day' ELSE 'hour' END
+                 AS granularity,
+               CASE WHEN GROUPING(h) = 1
+                    THEN timestampdiff(MILLISECOND,
+                           TIMESTAMP_NTZ '1970-01-01 00:00:00', d)
+                    ELSE timestampdiff(MILLISECOND,
+                           TIMESTAMP_NTZ '1970-01-01 00:00:00', h) END
+                 AS bucket_ms,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM {view}
+        GROUP BY GROUPING SETS ((event_type, d), (event_type, d, h))
+        """
+    )
+
+
+# -- incremental (cross-snapshot) dedup -------------------------------------
+
+_INCR_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+existing AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 <> 0),
+incoming AS (SELECT * FROM fp WHERE doc_id % 10 = 0)
+SELECT doc_id, fingerprint
+FROM incoming ANTI JOIN existing USING (fingerprint)
+"""
+
+
+@register(
+    "incremental_dedup",
+    _INCR_ORACLE,
+    doc="cross-snapshot dedup: new batch anti-joined against the existing "
+    "corpus's fingerprint set — the shuffle is on the 128-bit fingerprint "
+    "(uniform), never on content",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.functions.textfns import fingerprint
+
+    fp = _docs(spark, sf_dir).select(
+        "doc_id", fingerprint("text").alias("fingerprint")
+    )
+    existing = fp.filter(F.col("doc_id") % 10 != 0).select("fingerprint").distinct()
+    incoming = fp.filter(F.col("doc_id") % 10 == 0)
+    return incoming.join(existing, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
+# -- deterministic per-group sampling ---------------------------------------
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, source, rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {hash60_sql("doc_id::VARCHAR", "sample")},
+                                     doc_id) AS rank
+  FROM documents
+) WHERE rank <= {SAMPLE_PER_GROUP}
+"""
+
+
+@register(
+    "stratified_sample",
+    _SAMPLE_ORACLE,
+    doc=f"deterministic stratified sample: {SAMPLE_PER_GROUP} docs per "
+    "source by content-stable hash order — reproducible, no RNG, one "
+    "partition-local window per stratum",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        hash60(F.col("doc_id").cast("string"), "sample"), "doc_id"
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SAMPLE_PER_GROUP)
+        .select("doc_id", "source", "rank")
+    )

@@ -40,37 +40,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.parquet stores ts as TIMESTAMP(NANOS); a session that was
         # not built by session.py::get_spark (e.g. an externally owned
         # vanilla SparkSession) would fail the read with
-        # PARQUET_TYPE_ILLEGAL.  The conf is runtime-settable and only
-        # consulted at read/schema time (verified: restoring it before the
-        # action does not break execution), so flip it for the read and
-        # restore the caller's prior value — no lasting side effect on
-        # sessions the library doesn't own.
+        # PARQUET_TYPE_ILLEGAL.  The conf is runtime-settable, so flip it
+        # for the read and restore the caller's prior value — no lasting
+        # side effect on sessions the library doesn't own.  Spark 4.1
+        # resolves the parquet relation LAZILY: the schema is fixed at the
+        # first analysis, not at `spark.read.parquet` — so both the
+        # schema probe AND the ts conversion must happen inside the conf
+        # window, otherwise the restore races the resolution and ts comes
+        # back as TIMESTAMP_NTZ on sessions whose prior value was unset.
         prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
             df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            ts_type = dict(df.dtypes).get("ts")  # forces analysis NOW
+            if ts_type == "bigint":
+                # ts arrives as long nanoseconds; truncate to microseconds
+                # — exactly what DuckDB does reading the same parquet, so
+                # oracle comparisons line up.
+                # integer division: ns values (~1.7e18) overflow double's
+                # mantissa, so `/ 1000` would silently round by ~256ns.
+                # timestampadd onto a TIMESTAMP_NTZ epoch is
+                # timezone-INDEPENDENT: timestamp_micros(..).cast('ntz')
+                # would render the instant in spark.sql.session.timeZone,
+                # shifting values on non-UTC caller sessions relative to
+                # the DuckDB oracle (which reads the nanos as naive).
+                df = df.withColumn(
+                    "ts",
+                    F.expr(
+                        "timestampadd(MICROSECOND, ts div 1000,"
+                        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                    ),
+                )
+            else:
+                # engine already decoded the nanos to a timestamp type;
+                # normalize to µs-precision ntz (cast truncates)
+                df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
         finally:
             if prior is None:
                 spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
             else:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
-        # ts arrives as long nanoseconds; truncate to microseconds —
-        # exactly what DuckDB does when it reads the same parquet, so
-        # oracle comparisons line up.
-        # integer division: ns values (~1.7e18) overflow double's mantissa,
-        # so `/ 1000` would silently round by up to ~256ns.
-        # timestampadd onto a TIMESTAMP_NTZ epoch is timezone-INDEPENDENT:
-        # timestamp_micros(..).cast('timestamp_ntz') would render the
-        # instant in spark.sql.session.timeZone, shifting values on any
-        # non-UTC caller session relative to the DuckDB oracle (which
-        # reads the nanos as naive).
-        df = df.withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts div 1000,"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
-        )
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
