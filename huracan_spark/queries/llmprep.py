@@ -145,7 +145,7 @@ _SPLIT_CASE = f"""CASE
 
 _SPLIT_ORACLE = f"""
 SELECT source, {_SPLIT_CASE} AS split, count(*) AS n_docs,
-       sum(n_chars) AS n_chars
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
 FROM documents GROUP BY source, split
 """
 
@@ -214,29 +214,41 @@ def _contam_shingles(d: DataFrame) -> DataFrame:
     _CONTAM_ORACLE,
     doc=f"benchmark contamination: fraction of each corpus doc's word "
     f"{CONTAM_NGRAM}-grams that appear in the benchmark set (here: every "
-    f"{BENCH_MOD}th doc). Benchmark shingles are broadcast — benchmarks "
-    "are KBs while corpora are TBs, so the corpus never shuffles",
+    f"{BENCH_MOD}th doc — a fixture-only definition; real benchmark sets "
+    "are KBs). Join strategy left to AQE: broadcast while the bench set "
+    "fits, shuffled (skew-splittable) above the threshold",
 )
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _contam_shingles(_docs(spark, sf_dir)).cache()
+    # ONE left join + ONE aggregation: n_shingles and n_matched fall out
+    # of the same pass (the bench side is distinct on the join key, so
+    # the join preserves corpus cardinality).  No cache — the exploded
+    # shingle table is corpus-sized and caching it is exactly what a
+    # 100 TB run cannot do; the two scans (bench leg, corpus leg) are
+    # cheaper than materializing the explosion.
+    #
+    # Join strategy is left to AQE deliberately: a real benchmark set
+    # (MMLU/GSM8K/…) is KBs and broadcasts, but THIS fixture's bench set
+    # is every BENCH_MOD-th doc — 1/BENCH_MOD of the corpus — so a
+    # forced broadcast would grow linearly with the corpus and OOM at
+    # scale.  AQE picks broadcast-hash while the built set fits
+    # autoBroadcastJoinThreshold and falls back to a (skew-splittable)
+    # shuffled join above it.
+    sh = _contam_shingles(_docs(spark, sf_dir))
     bench = (
-        sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("shingle").distinct()
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     corpus = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
-    matched = (
-        corpus.join(F.broadcast(bench), "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_matched"))
-    )
-    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    m = F.coalesce(F.col("n_matched"), F.lit(0))
+    m = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
     return (
-        totals.join(matched, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
+        corpus.join(bench, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
             m.alias("n_matched"),
-            F.round(m / F.col("n_shingles"), 6).alias("containment"),
+            F.round(m / F.count("*"), 6).alias("containment"),
         )
     )
 
@@ -274,16 +286,19 @@ GROUP BY t.doc_id, total.n
     "shuffling on the Zipf-skewed token key",
 )
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(tokens("text")).alias("token"))
-        .cache()
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens("text")).alias("token")
     )
-    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    # Persist COUNTS (distinct-token-sized), never the exploded token
+    # stream (corpus-sized — uncacheable at the 100 TB design point).
+    # vocab and total both derive from counts, so this one bounded cache
+    # saves a full re-tokenization scan; the scoring join below is the
+    # only other pass over tok.
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt")).persist()
     # distributed top-K (TakeOrderedAndProject), not a global window —
     # see q_vocab_topk
     vocab = counts.orderBy(F.col("cnt").desc(), "token").limit(LM_VOCAB_K)
-    total = tok.agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("cnt").alias("n"))
     lp = F.log10((F.coalesce(F.col("cnt"), F.lit(0)) + 0.5) / F.col("n"))
     return (
         tok.join(F.broadcast(vocab), "token", "left")
@@ -321,31 +336,38 @@ GROUP BY GROUPING SETS ((event_type, d), (event_type, d, h))
     "scan via GROUPING SETS (map-side partial agg covers both grains)",
 )
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    view = "rollup_input"
-    ev.select(
+    # Inline-resolved plan via DataFrame.groupingSets — no temp view.
+    # (The previous temp-view formulation resolved lazily against a
+    # session-global name: a second call with a different sf_dir before
+    # the first DataFrame was acted on silently rebound its source.)
+    b = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.date_trunc("day", "ts").alias("d"),
         F.date_trunc("hour", "ts").alias("h"),
         "value",
-    ).createOrReplaceTempView(view)
+    )
+    grouped = b.groupingSets(
+        [["event_type", "d"], ["event_type", "d", "h"]], "event_type", "d", "h"
+    ).agg(
+        F.grouping("h").alias("_gh"),
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
     # epoch via timestampdiff from the NTZ epoch: timezone-independent
     # (unix_millis(cast(... as timestamp)) would shift on non-UTC sessions)
-    return ev.sparkSession.sql(
-        f"""
-        SELECT event_type,
-               CASE WHEN GROUPING(h) = 1 THEN 'day' ELSE 'hour' END
-                 AS granularity,
-               CASE WHEN GROUPING(h) = 1
-                    THEN timestampdiff(MILLISECOND,
-                           TIMESTAMP_NTZ '1970-01-01 00:00:00', d)
-                    ELSE timestampdiff(MILLISECOND,
-                           TIMESTAMP_NTZ '1970-01-01 00:00:00', h) END
-                 AS bucket_ms,
-               count(*) AS n, round(sum(value), 2) AS sum_value
-        FROM {view}
-        GROUP BY GROUPING SETS ((event_type, d), (event_type, d, h))
-        """
+    def _epoch_ms(col: str):
+        return F.expr(
+            f"timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+
+    return grouped.select(
+        "event_type",
+        F.when(F.col("_gh") == 1, "day").otherwise("hour").alias("granularity"),
+        F.when(F.col("_gh") == 1, _epoch_ms("d"))
+        .otherwise(_epoch_ms("h"))
+        .alias("bucket_ms"),
+        "n",
+        "sum_value",
     )
 
 

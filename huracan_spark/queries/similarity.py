@@ -101,6 +101,13 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: corpus side + probe side both derive from n (see
     # q_embedding_near_dups for the scale note)
     n = _normalized(_emb(spark, sf_dir)).persist()
+    return _knn_from(n)
+
+
+def _knn_from(n: DataFrame) -> DataFrame:
+    """Brute-force top-k over an already-normalized (persisted) corpus —
+    shared by q_knn and q_ann_recall_eval so the recall eval caches the
+    corpus once, not once per leg."""
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("nemb").alias("q_emb")
     )
@@ -600,6 +607,12 @@ SELECT query_id, neighbor_id, cosine FROM (
 )
 def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _normalized(_emb(spark, sf_dir)).select("vec_id", "nemb").persist()
+    return _ivf_search_from(n)
+
+
+def _ivf_search_from(n: DataFrame) -> DataFrame:
+    """IVF probe-limited search over an already-normalized (persisted)
+    corpus projection — shared with q_ann_recall_eval."""
     cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").cast("long").alias("centroid_id"),
         F.col("nemb").alias("cemb"),
@@ -667,7 +680,8 @@ WITH exact AS ({_KNN_ORACLE}),
 approx AS ({_IVF_SEARCH_ORACLE})
 SELECT e.query_id,
        count(*) AS k,
-       sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
        round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
                   AS DOUBLE) / count(*), 6) AS recall_at_k
 FROM exact e
@@ -683,8 +697,12 @@ GROUP BY 1
     "brute-force top-k, per probe vector — the index-quality gauge",
 )
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = q_knn(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = q_ivf_search(spark, sf_dir).select(
+    # ONE persisted normalized corpus feeds both legs (r3 verdict: the
+    # two q_* entry points each persisted their own copy — the corpus
+    # was normalized and cached twice for one query)
+    n = _normalized(_emb(spark, sf_dir)).persist()
+    exact = _knn_from(n).select("query_id", "neighbor_id")
+    approx = _ivf_search_from(n.select("vec_id", "nemb")).select(
         "query_id", "neighbor_id", F.lit(1).alias("_hit")
     )
     return (

@@ -71,10 +71,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                         " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                     ),
                 )
-            else:
-                # engine already decoded the nanos to a timestamp type;
-                # normalize to µs-precision ntz (cast truncates)
+            elif ts_type == "timestamp_ntz":
+                # engine already decoded the nanos as naive; µs cast only
                 df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            elif ts_type == "timestamp":
+                # LTZ decode (an instant): a bare ntz cast would render
+                # wall-clock in spark.sql.session.timeZone and silently
+                # diverge from DuckDB's naive read on non-UTC sessions.
+                # Go through epoch µs instead (session-tz-independent by
+                # definition) and rebase onto the NTZ epoch — renders the
+                # UTC wall clock on every session, matching DuckDB's
+                # naive read of the UTC-written file.
+                df = df.withColumn(
+                    "ts",
+                    F.expr(
+                        "timestampadd(MICROSECOND, unix_micros(ts),"
+                        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                    ),
+                )
+            else:
+                raise TypeError(
+                    f"events.ts decoded as unexpected type {ts_type!r}; "
+                    "expected bigint (nanosAsLong), timestamp_ntz, or "
+                    "timestamp"
+                )
         finally:
             if prior is None:
                 spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")

@@ -24,15 +24,18 @@ def _norm_cell(v: Any) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # canonicalize -0.0 and integral floats
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # Do NOT canonicalize integral floats to ints: the driver's
+        # value-hash distinguishes float64 6194.0 from int64 6194 (the
+        # HUGEINT bug class — r2 session_windows, r3 hash_split).  An
+        # integral float must stay visibly a float so local == driver.
+        if v == 0.0:
+            v = 0.0  # fold -0.0
         return repr(round(v, 9))
     if isinstance(v, bool):
         return str(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if isinstance(v, (list, tuple, dict, set)):
+    if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":
         # The driver canonicalizes via pandas sort_values, which raises
         # "unhashable type" on container cells.  Mirror that strictness so
         # the local harness catches what the driver catches: queries must
@@ -62,18 +65,38 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def compare_query(spark, con, name: str, fn, oracle: str | None, sf_dir: str):
     """Returns (ok: bool, detail: str)."""
     sdf = fn(spark, sf_dir)
-    spark_cols = list(sdf.columns)
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    # BOTH sides go through pandas, exactly like the driver.  This is
+    # load-bearing for the dtype semantics:
+    #   - a nullable int column becomes float64 on BOTH sides (NaN
+    #     promotion) and so still matches;
+    #   - DuckDB HUGEINT (any uncast integer sum) becomes float64 on
+    #     the ORACLE side only, while a NULL-free Spark long stays
+    #     int64 — mismatch, same as the driver (r3 hash_split).
+    # fetchall()/collect() would hand back exact Python ints on both
+    # sides and mask the whole bug class.
+    spdf = sdf.toPandas()
+    spark_cols = list(spdf.columns)
+    spark_rows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
     if oracle is None:
         # rows-only checks still go through the driver's pandas canon —
         # exercise the same strictness (no container cells).
         _norm_rows(spark_cols, spark_rows)
         return True, f"rows-only: {len(spark_rows)} rows"
-    res = con.execute(oracle)
-    ora_cols = [d[0] for d in res.description]
-    ora_rows = res.fetchall()
+    pdf = con.execute(oracle).df()
+    ora_cols = list(pdf.columns)
+    ora_rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
     if sorted(spark_cols) != sorted(ora_cols):
         return False, f"schema mismatch: spark={sorted(spark_cols)} oracle={sorted(ora_cols)}"
+    for c in ora_cols:
+        odt, sdt = str(pdf[c].dtype), str(spdf[c].dtype)
+        if (odt.startswith("float") and sdt.startswith("int")) or (
+            odt.startswith("int") and sdt.startswith("float")
+        ):
+            return False, (
+                f"dtype mismatch: column {c} is {odt} in the oracle but "
+                f"{sdt} in Spark — CAST the narrower side (uncast integer "
+                "sums in DuckDB surface as HUGEINT->float64)"
+            )
     if len(spark_rows) != len(ora_rows):
         return False, f"rowcount mismatch: spark={len(spark_rows)} oracle={len(ora_rows)}"
     a = _norm_rows(spark_cols, spark_rows)
