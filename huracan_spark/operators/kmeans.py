@@ -67,7 +67,12 @@ def lloyd_step(
             F.posexplode("nemb").alias("pos", "v"),
         )
         .groupBy("centroid_id", "pos")
-        .agg(F.avg("v").alias("m"), F.count("*").alias("n"))
+        # round(9): pins the only fold-order-sensitive intermediate so a
+        # SQL oracle can replay the step bit-identically (the unrounded
+        # avg differs across engines in final ulps; 1e-9 is far below
+        # any geometric signal at unit norm).  Downstream cosines round
+        # at 6, so the pin is invisible to results.
+        .agg(F.round(F.avg("v"), 9).alias("m"), F.count("*").alias("n"))
     )
     means = comps.groupBy("centroid_id").agg(
         F.transform(

@@ -127,7 +127,13 @@ class SilverTable:
                     modified=counts.mod or 0,
                     unchanged=counts.unch or 0,
                 )
-        gen = f"gen-{int(time.time() * 1000)}"
+        ts = int(time.time() * 1000)
+        gen, seq = f"gen-{ts}", 0
+        # same-millisecond merges must not clobber an existing
+        # generation (overwrite mode would silently replace it)
+        while os.path.exists(os.path.join(self.path, gen)):
+            seq += 1
+            gen = f"gen-{ts}-{seq:03d}"
         out = os.path.join(self.path, gen)
         # repartition by _id so the next merge's state side is already
         # clustered on the merge key

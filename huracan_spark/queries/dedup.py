@@ -643,13 +643,6 @@ WHERE {{lang}} <> 'unknown'
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from huracan_spark.functions.textfns import (
-        predicted_lang,
-        punct_ratio,
-        stopword_ratio,
-        token_count,
-    )
-
     d = _docs(spark, sf_dir)
     clusters = _minhash_cluster_labels(spark, sf_dir).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
@@ -671,6 +664,24 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = d.join(clustered, "doc_id", "left_anti").select("doc_id").unionByName(
         reps
     )
+    return quality_gates(d.join(survivors, "doc_id")).select(
+        "doc_id", "source", "n_chars", "predicted_lang", "quality_score"
+    )
+
+
+def quality_gates(d: DataFrame) -> DataFrame:
+    """Language-ID + quality gating over a `text` column: adds
+    `predicted_lang` and `quality_score`, drops rows failing either
+    gate.  Pure column expressions (batch- and stream-safe) — shared by
+    q_corpus_clean and streaming/corpus_clean.py so the online and
+    offline pipelines apply IDENTICAL semantics."""
+    from huracan_spark.functions.textfns import (
+        predicted_lang,
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
     quality = F.round(
         F.least(F.lit(1.0), token_count("text") / 50.0) * 0.4
         + stopword_ratio("text") * 0.4
@@ -678,14 +689,8 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        d.join(survivors, "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            "n_chars",
-            predicted_lang("text").alias("predicted_lang"),
-            quality.alias("quality_score"),
-        )
+        d.withColumn("predicted_lang", predicted_lang("text"))
+        .withColumn("quality_score", quality)
         .filter(
             (F.col("predicted_lang") != "unknown")
             & (F.col("quality_score") >= QUALITY_MIN)

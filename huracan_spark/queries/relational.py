@@ -201,3 +201,54 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("c_ts_asof").cast("timestamp")).alias("click_ts_ms"),
         F.col("c_value_asof").alias("click_value"),
     )
+
+
+# -- as-of join: outer semantics pinned -------------------------------------
+#
+# Same operator, but the right side only starts mid-range, so every
+# early purchase has NO prior qualifying click: the driver hash now
+# pins the left-outer null-emission contract of operators/asof.py
+# (all left rows survive; carried columns are null before the first
+# right row), not just the matched path that asof_join_purchases
+# exercises.
+
+_ASOF_CUTOFF = "2024-01-15 00:00:00"
+
+_ASOF_OUTER_ORACLE = f"""
+SELECT p.event_id, p.user_id,
+       epoch_ms(p.ts) AS purchase_ts_ms,
+       epoch_ms(c.ts) AS click_ts_ms,
+       c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events
+                WHERE event_type = 'click'
+                  AND ts >= TIMESTAMP '{_ASOF_CUTOFF}') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+@register(
+    "asof_join_outer_nulls",
+    _ASOF_OUTER_ORACLE,
+    doc="as-of join with guaranteed unmatched left rows (right side starts "
+    "mid-range): pins the left-outer null-carry semantics in the driver hash",
+)
+def q_asof_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & (F.col("ts") >= _ASOF_CUTOFF)
+    ).select("user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value"))
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="c_ts",
+        right_cols=["c_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("purchase_ts_ms"),
+        F.unix_millis(F.col("c_ts_asof").cast("timestamp")).alias("click_ts_ms"),
+        F.col("c_value_asof").alias("click_value"),
+    )

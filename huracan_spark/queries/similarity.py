@@ -560,11 +560,11 @@ def q_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NPROBE = 2
 
-_IVF_SEARCH_ORACLE = f"""
-WITH n AS ({_NORMALIZED_SQL}),
-cents AS (SELECT vec_id AS centroid_id, nemb AS cemb FROM n
-          WHERE vec_id < {N_CENTROIDS}),
-corpus_cells AS (
+# search body over CTEs `n` (normalized corpus) and `cents`
+# (centroid_id, cemb) — shared verbatim by the deterministic-init and
+# the trained-centroid search oracles, so the two contracts differ
+# ONLY in how cents is derived.
+_IVF_SEARCH_BODY = f"""corpus_cells AS (
   SELECT vec_id, nemb, centroid_id FROM (
     SELECT v.vec_id, v.nemb, c.centroid_id,
            row_number() OVER (PARTITION BY v.vec_id
@@ -597,6 +597,13 @@ SELECT query_id, neighbor_id, cosine FROM (
 ) WHERE rn <= {TOP_K}
 """
 
+_IVF_SEARCH_ORACLE = f"""
+WITH n AS ({_NORMALIZED_SQL}),
+cents AS (SELECT vec_id AS centroid_id, nemb AS cemb FROM n
+          WHERE vec_id < {N_CENTROIDS}),
+{_IVF_SEARCH_BODY}
+"""
+
 
 @register(
     "ivf_search",
@@ -617,6 +624,13 @@ def _ivf_search_from(n: DataFrame) -> DataFrame:
         F.col("vec_id").cast("long").alias("centroid_id"),
         F.col("nemb").alias("cemb"),
     )
+    return _ivf_search_with(n, cents)
+
+
+def _ivf_search_with(n: DataFrame, cents: DataFrame) -> DataFrame:
+    """Probe-limited search against an arbitrary (centroid_id, cemb)
+    table — the deterministic-init and trained-centroid entry points
+    share this plan; cents is always broadcast-sized (K rows)."""
     cos_c = F.round(_dot(F.col("nemb"), F.col("cemb")), 6)
     scored_cells = n.crossJoin(F.broadcast(cents)).select(
         "vec_id", "nemb", "centroid_id", cos_c.alias("_ccos")
@@ -703,6 +717,134 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _normalized(_emb(spark, sf_dir)).persist()
     exact = _knn_from(n).select("query_id", "neighbor_id")
     approx = _ivf_search_from(n.select("vec_id", "nemb")).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*"), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+# -- trained-centroid IVF search (kmeans_train promoted into the path) ------
+#
+# operators/kmeans.py::kmeans_train is the offline coarse quantizer;
+# this registers the search AGAINST trained centroids as a fully
+# hash-checked contract.  Iterative training is usually "not
+# SQL-expressible", but for a FIXED iteration count it is: the oracle
+# unrolls exactly TRAIN_ITERS spherical Lloyd steps as generated CTEs
+# that replay operators/kmeans.py::lloyd_step bit-for-bit (assignment
+# cosine rounded at 6, mean components pinned at round(9), sequential
+# renormalization fold, empty cells keep the previous centroid).  The
+# driver therefore checks the TRAINER's numerics, not just the search.
+
+TRAIN_ITERS = 2
+
+
+def _lloyd_sql(prev: str, out: str) -> str:
+    """One spherical Lloyd step as DuckDB CTEs:
+    {prev}(centroid_id, cemb) -> {out}(centroid_id, cemb).
+    Requires CTEs `n` (normalized corpus) and `dims` (1..DIM)."""
+    return f"""{out}_scored AS (
+  SELECT v.vec_id, v.nemb, c.centroid_id,
+         round({_dot_sql('v.nemb', 'c.cemb')}, 6) AS cosine
+  FROM n v CROSS JOIN {prev} c
+),
+{out}_assigned AS (
+  SELECT vec_id, nemb, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine DESC, centroid_id) AS rn
+    FROM {out}_scored
+  ) WHERE rn = 1
+),
+{out}_mean AS (
+  SELECT a.centroid_id, d.dim, round(avg(a.nemb[d.dim]), 9) AS m
+  FROM {out}_assigned a CROSS JOIN dims d
+  GROUP BY a.centroid_id, d.dim
+),
+{out}_vec AS (
+  SELECT centroid_id, list(m ORDER BY dim) AS mean
+  FROM {out}_mean GROUP BY centroid_id
+),
+{out} AS (
+  SELECT p.centroid_id,
+         CASE WHEN v.centroid_id IS NULL THEN p.cemb
+              ELSE list_transform(v.mean,
+                     x -> x / sqrt({_dot_sql('v.mean', 'v.mean')}))
+         END AS cemb
+  FROM {prev} p LEFT JOIN {out}_vec v ON v.centroid_id = p.centroid_id
+)"""
+
+
+_TRAINED_CENTS_CTES = f"""dims AS (SELECT unnest(generate_series(1, {DIM})) AS dim),
+cents0 AS (SELECT vec_id AS centroid_id, nemb AS cemb FROM n
+           WHERE vec_id < {N_CENTROIDS}),
+{_lloyd_sql('cents0', 'cents1')},
+{_lloyd_sql('cents1', 'cents2')},
+cents AS (SELECT centroid_id, cemb FROM cents2)"""
+
+_IVF_SEARCH_TRAINED_ORACLE = f"""
+WITH n AS ({_NORMALIZED_SQL}),
+{_TRAINED_CENTS_CTES},
+{_IVF_SEARCH_BODY}
+"""
+
+
+def _trained_cents(n: DataFrame) -> DataFrame:
+    from huracan_spark.operators.kmeans import kmeans_train
+
+    # tol=0.0 forces exactly TRAIN_ITERS Lloyd steps (drift < 0.0 is
+    # never true), matching the oracle's fixed unroll depth.
+    return kmeans_train(n, N_CENTROIDS, max_iter=TRAIN_ITERS, tol=0.0).select(
+        "centroid_id", "cemb"
+    )
+
+
+@register(
+    "ivf_search_trained",
+    _IVF_SEARCH_TRAINED_ORACLE,
+    doc=f"IVF probe-limited top-{TOP_K} against {TRAIN_ITERS}-step-trained "
+    f"spherical k-means centroids (operators/kmeans.py); the oracle unrolls "
+    "the same Lloyd steps as CTEs so the trainer's numerics are hash-checked",
+)
+def q_ivf_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _normalized(_emb(spark, sf_dir)).select("vec_id", "nemb").persist()
+    return _ivf_search_with(n, _trained_cents(n))
+
+
+_RECALL_TRAINED_ORACLE = f"""
+WITH exact AS ({_KNN_ORACLE}),
+approx AS ({_IVF_SEARCH_TRAINED_ORACLE})
+SELECT e.query_id,
+       count(*) AS k,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS recall_at_k
+FROM exact e
+LEFT JOIN approx a USING (query_id, neighbor_id)
+GROUP BY 1
+"""
+
+
+@register(
+    "ann_recall_trained",
+    _RECALL_TRAINED_ORACLE,
+    doc=f"recall@{TOP_K} of the TRAINED-centroid IVF search vs brute force — "
+    "read alongside ann_recall_eval to measure what training buys over the "
+    "deterministic init",
+)
+def q_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _normalized(_emb(spark, sf_dir)).persist()
+    exact = _knn_from(n).select("query_id", "neighbor_id")
+    nv = n.select("vec_id", "nemb")
+    approx = _ivf_search_with(nv, _trained_cents(nv)).select(
         "query_id", "neighbor_id", F.lit(1).alias("_hit")
     )
     return (

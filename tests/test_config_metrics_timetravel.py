@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from huracan_spark.config import EngineConfig, load_config
@@ -80,3 +82,48 @@ def test_silver_time_travel_and_vacuum(spark, tmp_path):
     removed = silver.vacuum(keep=1)
     assert gen1 in removed
     assert silver.read().first().version_ == 2  # current untouched
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("merge"), st.integers(0, 3)),  # key-set seed
+            st.tuples(st.just("vacuum"), st.integers(0, 3)),  # keep
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_silver_vacuum_never_strands_current_pointer(ops, tmp_path_factory):
+    """Property (K-storage management): under any merge/vacuum
+    interleaving — including keep=0 and same-millisecond merges — the
+    _CURRENT pointer always resolves to a readable generation, vacuum
+    never removes the pointer target, and the newest surviving state is
+    the last merge's."""
+    from huracan_spark.session import get_spark
+
+    spark = get_spark("huracan-tests", shuffle_partitions=8)
+    tmp = tmp_path_factory.mktemp("silver_prop")
+    silver = SilverTable(spark, str(tmp / "s"), n_buckets=2)
+    last_version = None
+    for i, (op, arg) in enumerate(ops):
+        if op == "merge":
+            batch = spark.createDataFrame(
+                [(f"k{arg}", i + 1, False)],
+                "_id string, version_ long, deleted boolean",
+            )
+            silver.merge(batch)
+            last_version = i + 1
+        else:
+            removed = silver.vacuum(keep=arg)
+            assert silver.current_generation() not in removed
+        cur = silver.current_generation()
+        if last_version is None:
+            assert cur is None or silver.read() is not None
+            continue
+        # pointer target must exist on disk and be readable
+        assert cur in silver.generations()
+        state = silver.read()
+        assert state is not None
+        assert state.agg(F.max("version_")).first()[0] == last_version
