@@ -41,6 +41,11 @@ def main() -> None:
         # prune projection-only work like hash/fingerprint columns)
         df.write.mode("overwrite").format("noop").save()
         per_query[name] = round(time.perf_counter() - t0, 4)
+        # drop per-query DataFrame persists so caches from earlier
+        # queries can't pressure later measurements (localCheckpointed
+        # shared state — e.g. the dedup cluster-labels table — is RDD
+        # blocks, not catalog cache, and survives this on purpose)
+        spark.catalog.clearCache()
     total = round(time.perf_counter() - t_total0, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
