@@ -696,3 +696,55 @@ def quality_gates(d: DataFrame) -> DataFrame:
             & (F.col("quality_score") >= QUALITY_MIN)
         )
     )
+
+
+# -- per-row MinHash band signatures (streaming-safe) ------------------------
+#
+# The batch path computes signatures with explode + groupBy because it
+# feeds the pair self-join; a STREAM can't afford a stateful agg just
+# to build signatures — and doesn't need one, since every shingle of a
+# doc lives in the doc's own row.  This computes the SAME h0..h15 /
+# band sigs as _minhash_sig_exprs_spark as pure array folds (min over
+# a transform), so streaming near-dedup buckets are bit-identical to
+# the batch LSH buckets.  Used by streaming/near_dedup.py.
+
+
+def _bigram_array(text: Column | str) -> Column:
+    t = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 2),
+        lambda i: F.concat(
+            F.element_at(t, i + 1), F.lit(" "), F.element_at(t, i + 2)
+        ),
+    )
+    # sequence(0, -1) throws where a doc has <2 tokens — guard first
+    return F.when(F.size(t) >= 2, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_band_sigs(text: Column | str) -> Column:
+    """array<struct<band:int, sig:string>> — same band signatures the
+    batch LSH computes, as one shuffle-free column expression."""
+    base = F.transform(
+        _bigram_array(text),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
+    )
+    def _affine(a: int, b: int):
+        # factory closure: pyspark passes exactly the lambda's arity as
+        # HOF arguments, so default-arg capture (lambda x, a=a, b=b)
+        # would be called with 3 args and fail analysis
+        return lambda x: (x * a + b) % _MINHASH_P
+
+    hs = []
+    for i in range(N_MINHASH):
+        a, b = _affine_consts(i)
+        hs.append(F.array_min(F.transform(base, _affine(a, b))))
+    bands = []
+    for b in range(N_BANDS):
+        cols = [hs[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+        sig = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        bands.append(
+            F.struct(F.lit(b).cast("int").alias("band"), sig.alias("sig"))
+        )
+    return F.array(*bands)

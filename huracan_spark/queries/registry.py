@@ -63,6 +63,8 @@ def _load_all_modules() -> None:
         llmprep,
         media,
         objects,
+        pq,
+        ranking,
         relational,
         similarity,
         text,

@@ -1,0 +1,123 @@
+"""Document-feed readers for non-parquet wire formats.
+
+Real corpus drops arrive as JSONL (Common-Crawl-style dumps, API
+exports) or CSV at least as often as parquet; these readers normalize
+any of them to the ``documents`` table contract so every downstream
+operator (dedup, quality, BM25, …) is format-agnostic.  Reference
+analog: the JSON-RPC page decoding of `main/src/client.rs:120-155` —
+wire format parsed once at the edge into one canonical schema.
+
+Scale rules encoded here:
+- the schema is DECLARED, never inferred: schema inference reads the
+  whole input twice and silently drifts between drops — at 100 TB it
+  is both a perf and a correctness bug.  (``spark.read.json`` without
+  a schema is the single most common Spark anti-pattern on big JSONL.)
+- malformed rows are not silently dropped: PERMISSIVE mode routes
+  them to ``_corrupt_record`` so the pipeline can count/DLQ them
+  (the K7 retry-queue pattern), and strict mode (FAILFAST) is one
+  flag away when a drop must be all-or-nothing.
+- both readers emit the same column set as the parquet table, so
+  ``unionByName`` across formats is always legal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["DOCUMENTS_FEED_SCHEMA", "read_documents_jsonl", "read_documents_csv"]
+
+# the documents-table contract (TESTDATA.md) + corrupt-record channel
+DOCUMENTS_FEED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("lang", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("text", StringType()),
+        StructField("_corrupt_record", StringType()),
+    ]
+)
+
+_CANON_COLS = ["doc_id", "source", "lang", "n_chars", "text"]
+
+
+def _finish(raw: DataFrame, keep_corrupt: bool) -> DataFrame:
+    # The clean branch filters on the DATA contract (doc_id/text NOT
+    # NULL), not on _corrupt_record: any plan that prunes down to a
+    # corrupt-record-only scan (e.g. clean.count()) is rejected by
+    # Spark outright (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the
+    # official cache()-then-query workaround is a non-starter for a
+    # corpus-sized read.  A partially-parsed row (good doc_id/text,
+    # one bad field) is kept here with that field null AND still
+    # surfaces in the DLQ channel for audit — documented overlap.
+    ok = raw.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select(*_CANON_COLS)
+    if not keep_corrupt:
+        return ok
+    # the DLQ projection must also reference a data column: Spark
+    # disallows queries whose only referenced column is the internal
+    # corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        "doc_id", "_corrupt_record"
+    )
+    # caller gets (clean, dlq) — the K7 split at the format edge
+    return ok, bad  # type: ignore[return-value]
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    *,
+    strict: bool = False,
+    with_dlq: bool = False,
+):
+    """Read a JSONL document feed with the declared schema.
+
+    strict=True -> FAILFAST (any malformed line aborts the read);
+    with_dlq=True -> returns (clean_df, corrupt_df) instead of one df.
+    """
+    raw = (
+        spark.read.schema(DOCUMENTS_FEED_SCHEMA)
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    if strict:
+        return raw.select(*_CANON_COLS)
+    # PERMISSIVE gotcha: _corrupt_record is only materialized if the
+    # plan also references a data column — selecting it alone is
+    # unsupported; this cache-free two-branch split is the documented
+    # pattern (Spark SQL guide, JSON data source options)
+    return _finish(raw, with_dlq)
+
+
+def read_documents_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    strict: bool = False,
+    with_dlq: bool = False,
+    header: bool = True,
+):
+    """Read a CSV document feed with the declared schema (no inference;
+    multiline quoted text supported)."""
+    raw = (
+        spark.read.schema(DOCUMENTS_FEED_SCHEMA)
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", str(header).lower())
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    if strict:
+        return raw.select(*_CANON_COLS)
+    return _finish(raw, with_dlq)

@@ -1,0 +1,78 @@
+"""Format-edge readers (sources/formats.py): JSONL/CSV feeds normalize
+to the documents contract; malformed rows route to the DLQ channel."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from huracan_spark.sources.formats import (
+    read_documents_csv,
+    read_documents_jsonl,
+)
+from huracan_spark.sources.tables import load_table
+
+
+def _fixture_rows(spark, sf_dir, n=50):
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < n)
+        .select("doc_id", "source", "lang", "n_chars", "text")
+        .collect()
+    )
+
+
+def test_jsonl_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    rows = _fixture_rows(spark, sf_dir)
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r.asDict()) + "\n")
+    got = read_documents_jsonl(spark, str(p))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, rows))
+
+
+def test_csv_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    rows = _fixture_rows(spark, sf_dir)
+    src = spark.createDataFrame(rows)
+    p = str(tmp_path / "docs_csv")
+    src.coalesce(1).write.option("header", "true").option("escape", '"').csv(p)
+    got = read_documents_csv(spark, p)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, rows))
+
+
+def test_jsonl_dlq_split_and_strict_mode(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    good = {"doc_id": 1, "source": "web", "lang": "en",
+            "n_chars": 5, "text": "hello"}
+    with open(p, "w") as f:
+        f.write(json.dumps(good) + "\n")
+        f.write('{"doc_id": "not-a-number", "text": "bad types"}\n')
+        f.write("{this is not json at all\n")
+    clean, dlq = read_documents_jsonl(spark, str(p), with_dlq=True)
+    assert [r.doc_id for r in clean.collect()] == [1]
+    # both malformed lines preserved verbatim for replay (K7 pattern)
+    bad = sorted(r._corrupt_record for r in dlq.collect())
+    assert len(bad) == 2 and bad[1].startswith("{this is not")
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        read_documents_jsonl(spark, str(p), strict=True).collect()
+
+
+def test_formats_union_by_name_with_parquet(spark, sf_dir, tmp_path):
+    """The readers' whole point: one canonical schema across formats."""
+    rows = _fixture_rows(spark, sf_dir, n=10)
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r.asDict()) + "\n")
+    jl = read_documents_jsonl(spark, str(p))
+    pq = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+        .select(*jl.columns)
+    )
+    u = jl.unionByName(pq)
+    assert u.count() == 10 + pq.count()
+    assert dict(u.dtypes) == dict(jl.dtypes)

@@ -174,3 +174,25 @@ def test_ann_recall_no_cartesian_corpus(spark, sf_dir):
     allowed is probe-broadcast x corpus (knn) — never corpus x corpus."""
     p = _plan(spark, sf_dir, "ann_recall_eval")
     assert "CartesianProduct" not in p
+
+
+def test_pq_encode_partial_agg_no_window(spark, sf_dir):
+    """PQ encoding: codebook broadcast, argmin via partial-agg min_by —
+    the corpus must never pass through a window or cartesian."""
+    p = _plan(spark, sf_dir, "pq_encode")
+    assert "BroadcastHashJoin" in p
+    assert "partial_min_by" in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pq_adc_lut_broadcast(spark, sf_dir):
+    """ADC search: the (query x subspace x codeword) LUT joins the
+    corpus codes as a broadcast — the only window is over the final
+    per-query candidate rows, and the distance sum partial-aggregates."""
+    p = _plan(spark, sf_dir, "pq_adc_topk")
+    assert "BroadcastHashJoin" in p
+    assert "partial_sum" in p or "partial_finalmerge_sum" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
