@@ -436,3 +436,59 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= SAMPLE_PER_GROUP)
         .select("doc_id", "source", "rank")
     )
+
+
+# -- sequence packing (concatenate-and-chunk) -------------------------------
+#
+# Pretraining doesn't feed one doc per sequence: the tokenized corpus
+# is CONCATENATED in a deterministic order and sliced into fixed
+# SEQ_LEN windows (GPT-style packing).  The distributed primitive
+# underneath is a global prefix sum of token counts — which naive
+# Spark writes as an unpartitioned window (single-partition funnel);
+# operators/prefix_sum.py::global_cumsum is the two-phase scale-safe
+# form, and this query driver-checks it against DuckDB's native
+# cumulative window.
+
+SEQ_LEN = 256
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, len({tokens_sql('text')}) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       cum - n_tokens AS start_offset,
+       (cum - n_tokens) // {SEQ_LEN} AS first_seq,
+       (cum - 1) // {SEQ_LEN} AS last_seq
+FROM c
+"""
+
+
+@register(
+    "sequence_packing",
+    _PACK_ORACLE,
+    doc=f"GPT-style sequence packing: global token prefix-sum (two-phase "
+    f"distributed scan, no single-partition window) maps every doc to its "
+    f"[first_seq, last_seq] range of {SEQ_LEN}-token training sequences",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.operators.prefix_sum import global_cumsum
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    c = global_cumsum(t, "n_tokens", "doc_id", out_col="cum")
+    start = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.expr(f"(cum - n_tokens) div {SEQ_LEN}").alias("first_seq"),
+        F.expr(f"(cum - 1) div {SEQ_LEN}").alias("last_seq"),
+    )

@@ -40,3 +40,77 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim_a").cast("long").alias("dim_a"),
         F.col("dim_b").cast("long").alias("dim_b"),
     )
+
+
+# -- frame sampling (1:N fan-out inside the Arrow batch) --------------------
+
+_FRAMES_ORACLE = """
+WITH v AS (
+  SELECT doc_id AS media_id, md5(text) AS h
+  FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT media_id, h,
+         unnest(generate_series(0, ('0x' || substr(h, 9, 4))::INT % 300 - 1, 10))
+           AS frame_idx
+  FROM v
+  WHERE ('0x' || substr(h, 9, 4))::INT % 300 > 0
+)
+SELECT media_id, frame_idx,
+       md5(h || ':frame:' || frame_idx) AS frame_digest
+FROM f
+"""
+
+
+@register(
+    "media_frame_sample",
+    _FRAMES_ORACLE,
+    doc="multimodal: every-10th-frame sampling of videos — the "
+    "flatMap-shaped mapInPandas stage (fan-out inside the Arrow batch, "
+    "no shuffle); stub frame count/digests are closed-form, so the "
+    "Python path is value-hash-checked end to end",
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(synthesize_media(docs), every_n=10)
+
+
+# -- resize audit (1:1 payload rewrite) -------------------------------------
+
+_DST_A, _DST_B = 640, 360
+
+_RESIZE_ORACLE = f"""
+SELECT doc_id AS media_id,
+       ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+       CAST(('0x' || substr(md5(text), 1, 4))::INT % 1920 AS INT) AS src_dim_a,
+       CAST(('0x' || substr(md5(text), 5, 4))::INT % 1080 AS INT) AS src_dim_b,
+       {_DST_A} AS dst_dim_a, {_DST_B} AS dst_dim_b,
+       CAST(16 * greatest(1, ({_DST_A} * {_DST_B}) // 10000) AS BIGINT)
+         AS n_bytes
+FROM documents
+"""
+
+
+@register(
+    "media_resize_audit",
+    _RESIZE_ORACLE,
+    doc=f"multimodal: resize-to-{_DST_A}x{_DST_B} stage audit — emits the "
+    "metadata row of the mapInPandas payload rewrite (surrogate payload "
+    "size is closed-form, so the 1:1 Arrow stage is driver-checked)",
+)
+def q_media_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.multimodal import resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_media(synthesize_media(docs), _DST_A, _DST_B)
+    return resized.select(
+        "media_id",
+        "kind",
+        "src_dim_a",
+        "src_dim_b",
+        F.col("dst_dim_a").cast("int").alias("dst_dim_a"),
+        F.col("dst_dim_b").cast("int").alias("dst_dim_b"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )

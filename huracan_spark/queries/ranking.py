@@ -169,3 +169,108 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("symbol_word_ratio") <= MAX_SYMBOL_WORD_RATIO)
     )
     return g.withColumn("passes_gopher", passes)
+
+
+# -- PMI collocations -------------------------------------------------------
+#
+# Pointwise mutual information over token bigrams: the standard
+# collocation detector (phrase mining for tokenizer/vocab decisions —
+# "new york" should be one unit).  Scale shape: unigram and bigram
+# count tables are token-type-sized aggregations of one corpus scan
+# each; the PMI join keys on single tokens against the (bounded,
+# broadcastable) unigram table — no corpus-sized shuffle on text.
+
+PMI_MIN_COUNT = 30  # ignore rare bigrams (PMI is noise below this)
+PMI_TOP = 100
+
+_PMI_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+),
+uni AS (
+  SELECT u.token, count(*) AS cnt
+  FROM (SELECT unnest(t) AS token FROM tok) u GROUP BY u.token
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM uni),
+bi AS (
+  SELECT w1, w2, count(*) AS cnt FROM (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM tok, unnest(generate_series(1, len(t) - 1)) u(i)
+    WHERE len(t) >= 2
+  ) GROUP BY w1, w2
+),
+btot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nb FROM bi),
+pmi AS (
+  SELECT b.w1, b.w2, b.cnt,
+         round(ln((CAST(b.cnt AS DOUBLE) / bt.nb)
+               / ((CAST(u1.cnt AS DOUBLE) / t.n)
+                  * (CAST(u2.cnt AS DOUBLE) / t.n))), 6) AS pmi
+  FROM bi b
+  JOIN uni u1 ON u1.token = b.w1
+  JOIN uni u2 ON u2.token = b.w2
+  CROSS JOIN tot t CROSS JOIN btot bt
+  WHERE b.cnt >= {PMI_MIN_COUNT}
+)
+SELECT w1, w2, cnt, pmi FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rn FROM pmi
+) WHERE rn <= {PMI_TOP}
+"""
+
+
+@register(
+    "bigram_pmi",
+    _PMI_ORACLE,
+    doc=f"top-{PMI_TOP} bigram collocations by PMI (count >= "
+    f"{PMI_MIN_COUNT}): token-type-sized stats, no corpus shuffle",
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tok = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("t"))
+    uni = (
+        tok.select(F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .persist()  # token-type-sized (bounded), read by tot + 2 joins
+    )
+    tot = uni.agg(F.sum("cnt").alias("n"))
+    pairs = tok.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+        ).alias("p")
+    )
+    bi = (
+        pairs.select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= PMI_MIN_COUNT)
+    )
+    btot_src = (
+        tok.filter(F.size("t") >= 2)
+        .select((F.size("t") - 1).alias("k"))
+        .agg(F.sum("k").alias("nb"))
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("cnt").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("cnt").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("cnt").cast("double") / F.col("nb"))
+            / (
+                (F.col("c1").cast("double") / F.col("n"))
+                * (F.col("c2").cast("double") / F.col("n"))
+            )
+        ),
+        6,
+    )
+    scored = (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot_src))
+        .select("w1", "w2", "cnt", pmi.alias("pmi"))
+    )
+    top = scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(PMI_TOP)
+    w = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return top.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= PMI_TOP
+    ).select("w1", "w2", "cnt", "pmi")

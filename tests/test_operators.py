@@ -300,3 +300,39 @@ def test_bucketed_range_join_rejects_right_outer(spark):
     for how in ("right", "full", "outer"):
         with _pytest.raises(ValueError):
             bucketed_range_join(points, ranges, "x", "lo", "hi", 4, how=how)
+
+
+def test_global_cumsum_matches_single_partition_window(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from huracan_spark.operators.prefix_sum import global_cumsum
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+    got = {
+        (r.k, r.cumsum)
+        for r in global_cumsum(df, "v", "k", out_col="cumsum").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        (r.k, r.cumsum)
+        for r in df.withColumn("cumsum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_plan_has_no_unpartitioned_window(spark):
+    from huracan_spark.operators.prefix_sum import global_cumsum
+
+    df = spark.range(100).selectExpr("id AS k", "id % 5 AS v")
+    plan = (
+        global_cumsum(df, "v", "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # every window spec must be partitioned (by the physical partition
+    # id) — an empty partition spec is the single-partition funnel
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        assert frag.split(",")[0].strip().startswith("_pid"), frag[:80]
