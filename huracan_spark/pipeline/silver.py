@@ -1,17 +1,30 @@
 """Silver current-state table: persistent, versioned-MERGE maintained.
 
 The Mongo ``{env}_{net}_objects`` collection analog (mongo.rs:19-21).
-Without Delta in this environment, MERGE is union+re-reduce over
-parquet generations with an atomic pointer swap — the semantics
-(K1 conditional upsert, K2 tombstones, idempotent replay) are
-identical to the Delta ``MERGE INTO`` documented in
-operators/compaction.py, and the storage layout swaps in trivially.
+Without Delta in this environment, MERGE is implemented directly over
+parquet — but INCREMENTALLY, the way Delta/Iceberg do it, not as a
+full-state rewrite:
 
-Scale notes: state is hash-partitioned (bucketed) by ``_id`` on disk
-so successive merges co-partition without a full reshuffle of the
-state side; the incoming batch is the only side that shuffles.  At
-100 TB the generation rewrite becomes Delta/Iceberg MERGE with file
-skipping — the operator contract stays the same.
+- state is hash-bucketed by ``_id`` into per-bucket parquet
+  directories (``gen-*/_bucket=K``);
+- every generation carries a ``manifest.json`` mapping bucket id ->
+  data directory, where untouched buckets point INTO OLDER
+  generations (flattened references — no recursion on read);
+- MERGE computes the batch's touched buckets (<= n_buckets distinct
+  hash values), reads and re-reduces ONLY those, writes only those,
+  and copies the remaining manifest entries verbatim.  A batch that
+  touches 1% of the keyspace rewrites ~1% of the state — the
+  file-skipping behavior of the reference's in-place conditional bulk
+  update (`main/src/etl.rs:1244-1267`) and of a real ``MERGE INTO``;
+- the ``_CURRENT`` pointer swap stays atomic (os.replace);
+- VACUUM is reference-aware: a generation is removable only when no
+  retained generation's manifest (transitively) references its data —
+  retained generations, including time-travel targets, always stay
+  readable (property-tested).
+
+K1 conditional upsert, K2 tombstones, and idempotent replay semantics
+are unchanged from the Delta ``MERGE INTO`` contract documented in
+operators/compaction.py.
 """
 
 from __future__ import annotations
@@ -52,6 +65,8 @@ class SilverTable:
         self.n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
 
+    # -- pointers / manifests -------------------------------------------
+
     @property
     def _pointer(self) -> str:
         return os.path.join(self.path, "_CURRENT")
@@ -71,62 +86,132 @@ class SilverTable:
             if d.startswith("gen-") and os.path.isdir(os.path.join(self.path, d))
         )
 
+    def manifest(self, generation: str) -> dict[str, str]:
+        """bucket id (str) -> data dir relative to the table root."""
+        with open(os.path.join(self.path, generation, "manifest.json")) as f:
+            return json.load(f)["buckets"]
+
+    def _bucket_col(self):
+        return F.pmod(F.xxhash64(F.col("_id")), F.lit(self.n_buckets)).cast("int")
+
+    # -- reads ----------------------------------------------------------
+
     def read(self, generation: str | None = None) -> DataFrame | None:
         gen = generation or self.current_generation()
         if gen is None:
             return None
-        return self.spark.read.parquet(os.path.join(self.path, gen))
+        return self._read_buckets(self.manifest(gen).values())
+
+    def _read_buckets(self, rel_paths) -> DataFrame:
+        paths = [os.path.join(self.path, p) for p in rel_paths]
+        if not paths:
+            raise ValueError("empty silver manifest has no schema to read")
+        return self.spark.read.parquet(*paths)
+
+    def read_key_bucket(self, _id: str, generation: str | None = None) -> DataFrame | None:
+        """Point-lookup fast path: read ONLY the bucket that can contain
+        ``_id`` — at 100 TB this is one file group, not a table scan."""
+        gen = generation or self.current_generation()
+        if gen is None:
+            return None
+        bucket = (
+            self.spark.range(1)
+            .select(self._bucket_col_for(F.lit(_id)).alias("b"))
+            .first()
+            .b
+        )
+        rel = self.manifest(gen).get(str(bucket))
+        if rel is None:
+            return None
+        return self._read_buckets([rel]).filter(F.col("_id") == _id)
+
+    def _bucket_col_for(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
+
+    # -- vacuum ---------------------------------------------------------
 
     def vacuum(self, keep: int = 3) -> list[str]:
-        """Drop all but the newest ``keep`` generations (never the
-        current one).  Returns removed generation names."""
+        """Drop old generations, but NEVER data still referenced by a
+        retained generation: the retained set is (newest ``keep``
+        generations + current), closed transitively over manifest
+        references, so every retained generation remains readable.
+        Returns removed generation names."""
         import shutil
 
         current = self.current_generation()
         gens = self.generations()
-        removable = [g for g in gens[:-keep] if g != current] if keep else [
-            g for g in gens if g != current
-        ]
+        kept = set(gens[-keep:]) if keep else set()
+        if current:
+            kept.add(current)
+        # transitive closure over flattened manifest references
+        work = list(kept)
+        while work:
+            g = work.pop()
+            for rel in self.manifest(g).values():
+                ref_gen = rel.split(os.sep, 1)[0]
+                if ref_gen not in kept:
+                    kept.add(ref_gen)
+                    work.append(ref_gen)
+        removable = [g for g in gens if g not in kept]
         for g in removable:
             shutil.rmtree(os.path.join(self.path, g))
         return removable
+
+    # -- merge ----------------------------------------------------------
 
     def merge(self, batch: DataFrame, collect_metrics: bool = False) -> MergeMetrics | None:
         """Versioned MERGE of a batch of silver-shaped rows (K1/K2).
 
         The batch may contain multiple versions per _id and duplicate
         rows — ``merge_into`` pre-reduces, exactly as K1 requires
-        unique source keys (SURVEY §7.2)."""
-        current = self.read()
+        unique source keys (SURVEY §7.2).  Only buckets containing
+        batch keys are read and rewritten."""
+        batch = batch.withColumn("_bucket", self._bucket_col())
+        current_gen = self.current_generation()
+        prev_manifest = self.manifest(current_gen) if current_gen else {}
+
+        touched = sorted(
+            r._bucket for r in batch.select("_bucket").distinct().collect()
+        )
+        touched_rel = [
+            prev_manifest[str(b)] for b in touched if str(b) in prev_manifest
+        ]
         metrics = None
-        if current is None:
-            new_state = merge_into(
-                batch.limit(0), batch, key="_id", version="version_"
+        if touched_rel:
+            state = self._read_buckets(touched_rel).withColumn(
+                "_bucket", self._bucket_col()
             )
+            merged = merge_into(state, batch, key="_id", version="version_")
             if collect_metrics:
-                n = new_state.count()
-                metrics = MergeMetrics(inserted=n, modified=0, unchanged=0)
-        else:
-            new_state = merge_into(current, batch, key="_id", version="version_")
-            if collect_metrics:
-                # audit via a version comparison join (Delta op-metrics analog)
-                old = current.select("_id", F.col("version_").alias("_old_v"))
+                old = state.select("_id", F.col("version_").alias("_old_v"))
                 bat = batch.groupBy("_id").agg(F.max("version_").alias("_new_v"))
-                j = bat.join(old, "_id", "left")
-                counts = j.agg(
-                    F.sum(F.when(F.col("_old_v").isNull(), 1).otherwise(0)).alias("ins"),
-                    F.sum(
-                        F.when(F.col("_new_v") > F.col("_old_v"), 1).otherwise(0)
-                    ).alias("mod"),
-                    F.sum(
-                        F.when(F.col("_new_v") <= F.col("_old_v"), 1).otherwise(0)
-                    ).alias("unch"),
-                ).first()
+                counts = (
+                    bat.join(old, "_id", "left")
+                    .agg(
+                        F.sum(
+                            F.when(F.col("_old_v").isNull(), 1).otherwise(0)
+                        ).alias("ins"),
+                        F.sum(
+                            F.when(F.col("_new_v") > F.col("_old_v"), 1).otherwise(0)
+                        ).alias("mod"),
+                        F.sum(
+                            F.when(F.col("_new_v") <= F.col("_old_v"), 1).otherwise(0)
+                        ).alias("unch"),
+                    )
+                    .first()
+                )
                 metrics = MergeMetrics(
                     inserted=counts.ins or 0,
                     modified=counts.mod or 0,
                     unchanged=counts.unch or 0,
                 )
+        else:
+            merged = merge_into(batch.limit(0), batch, key="_id", version="version_")
+            if collect_metrics:
+                metrics = MergeMetrics(
+                    inserted=merged.count(), modified=0, unchanged=0
+                )
+
         ts = int(time.time() * 1000)
         gen, seq = f"gen-{ts}", 0
         # same-millisecond merges must not clobber an existing
@@ -135,9 +220,26 @@ class SilverTable:
             seq += 1
             gen = f"gen-{ts}-{seq:03d}"
         out = os.path.join(self.path, gen)
-        # repartition by _id so the next merge's state side is already
-        # clustered on the merge key
-        new_state.repartition(self.n_buckets, "_id").write.mode("overwrite").parquet(out)
+        # one shuffle on the bucket id clusters the write so partitionBy
+        # emits a contiguous file group per bucket; untouched buckets
+        # never move
+        (
+            merged.repartition(max(len(touched), 1), "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        written = {
+            d.split("=", 1)[1]: os.path.join(gen, d)
+            for d in os.listdir(out)
+            if d.startswith("_bucket=")
+        }
+        buckets = {
+            b: rel for b, rel in prev_manifest.items() if int(b) not in set(touched)
+        }
+        buckets.update(written)
+        with open(os.path.join(out, "manifest.json"), "w") as f:
+            json.dump({"buckets": buckets, "n_buckets": self.n_buckets}, f)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"generation": gen}, f)

@@ -127,3 +127,83 @@ def test_silver_vacuum_never_strands_current_pointer(ops, tmp_path_factory):
         state = silver.read()
         assert state is not None
         assert state.agg(F.max("version_")).first()[0] == last_version
+
+
+def test_silver_incremental_merge_reuses_untouched_buckets(spark, tmp_path):
+    """A merge touching one key must rewrite ONLY that key's bucket:
+    every other manifest entry still points at the older generation's
+    data (Delta-style file skipping within plain parquet)."""
+    silver = SilverTable(spark, str(tmp_path / "s"), n_buckets=8)
+    seed = spark.createDataFrame(
+        [(f"k{i}", 1, False) for i in range(64)],
+        "_id string, version_ long, deleted boolean",
+    )
+    silver.merge(seed)
+    gen1 = silver.current_generation()
+    m1 = silver.manifest(gen1)
+    assert len(m1) > 1  # 64 keys over 8 buckets -> several buckets
+
+    silver.merge(
+        spark.createDataFrame(
+            [("k0", 2, False)], "_id string, version_ long, deleted boolean"
+        )
+    )
+    gen2 = silver.current_generation()
+    m2 = silver.manifest(gen2)
+    rewritten = [b for b, rel in m2.items() if rel.startswith(gen2)]
+    reused = [b for b, rel in m2.items() if rel.startswith(gen1)]
+    assert len(rewritten) == 1  # only k0's bucket
+    assert set(m2) == set(m1) and reused
+    # state is still complete and correct through the mixed manifest
+    state = {r._id: r.version_ for r in silver.read().collect()}
+    assert len(state) == 64 and state["k0"] == 2 and state["k1"] == 1
+
+
+def test_silver_vacuum_keeps_referenced_generations(spark, tmp_path):
+    """Reference-aware vacuum: a generation whose buckets are still
+    referenced by the current manifest survives keep=1, and every
+    retained generation remains readable."""
+    silver = SilverTable(spark, str(tmp_path / "s"), n_buckets=8)
+    silver.merge(
+        spark.createDataFrame(
+            [(f"k{i}", 1, False) for i in range(64)],
+            "_id string, version_ long, deleted boolean",
+        )
+    )
+    gen1 = silver.current_generation()
+    silver.merge(
+        spark.createDataFrame(
+            [("k0", 2, False)], "_id string, version_ long, deleted boolean"
+        )
+    )
+    removed = silver.vacuum(keep=1)
+    assert gen1 not in removed  # still referenced by current manifest
+    for g in silver.generations():
+        assert silver.read(generation=g).count() == 64
+    # after the whole keyspace is rewritten, gen1 becomes garbage
+    silver.merge(
+        spark.createDataFrame(
+            [(f"k{i}", 3, False) for i in range(64)],
+            "_id string, version_ long, deleted boolean",
+        )
+    )
+    removed = silver.vacuum(keep=1)
+    assert gen1 in removed
+    assert silver.read().count() == 64
+
+
+def test_silver_point_lookup_reads_single_bucket(spark, tmp_path):
+    silver = SilverTable(spark, str(tmp_path / "s"), n_buckets=8)
+    silver.merge(
+        spark.createDataFrame(
+            [(f"k{i}", i, False) for i in range(64)],
+            "_id string, version_ long, deleted boolean",
+        )
+    )
+    row = silver.read_key_bucket("k7").collect()
+    assert len(row) == 1 and row[0].version_ == 7
+    # the lookup plan scans one bucket directory, not the whole table
+    plan = (
+        silver.read_key_bucket("k7")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("_bucket=") <= 1
