@@ -10,8 +10,10 @@ non-SQL-reproducible ops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from huracan_spark.functions.textfns import hash60_sql
 
 from huracan_spark.queries.registry import register
 from huracan_spark.sources.tables import load_table
@@ -238,5 +240,122 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("value", 0.5, 10_000).alias("p50"),
             F.percentile_approx("value", 0.95, 10_000).alias("p95"),
             F.percentile_approx("value", 0.99, 10_000).alias("p99"),
+        )
+    )
+
+
+# -- KMV distinct sketch (the hash-checkable approx-distinct twin) ----------
+#
+# approx_distinct_users is rows-only because HLL internals are
+# engine-specific.  The K-minimum-values sketch (Bar-Yossef et al.
+# 2002) has no such problem: its state is just the K smallest values
+# of a shared hash — fully deterministic, mergeable (union = min-K of
+# concatenated sketches), and exactly reproducible in SQL, so the
+# driver can value-hash an APPROXIMATE cardinality estimator.
+# Estimator: exact when fewer than K distinct hashes exist, else
+# (K-1) * 2^60 / kth_min.
+#
+# Scale shape: the distinct pre-aggregation is a partial-agg'd group
+# by (event_type, hash); the per-group min-K window then runs over
+# distinct hashes only.  At extreme cardinality you'd pre-filter with
+# a coarse threshold (hash < c*K*2^60/approx_count) before the exact
+# window — the filter provably cannot change a min-K result that
+# keeps >= K survivors.
+
+KMV_K = 64
+
+_KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         {hash60_sql("user_id::VARCHAR", "kmv")} AS hv
+  FROM events
+),
+ranked AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_distinct
+  FROM h
+)
+SELECT event_type,
+       CAST(max(rn) AS BIGINT) AS sketch_size,
+       max(hv) AS kth_min,
+       CASE WHEN max(n_distinct) < {KMV_K}
+            THEN CAST(max(n_distinct) AS DOUBLE)
+            ELSE round(({KMV_K} - 1) * pow(2, 60) / max(hv), 2) END
+         AS est_distinct
+FROM ranked WHERE rn <= {KMV_K}
+GROUP BY event_type
+"""
+
+
+@register(
+    "kmv_distinct_users",
+    _KMV_ORACLE,
+    doc=f"K-minimum-values distinct sketch (K={KMV_K}) per event type — "
+    "a mergeable cardinality estimator whose state is exactly "
+    "reproducible cross-engine (unlike HLL), so approximate counting "
+    "is value-hash-checked",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.functions.textfns import hash60
+
+    h = (
+        _events(spark, sf_dir)
+        .select(
+            "event_type",
+            hash60(F.col("user_id").cast("string"), "kmv").alias("hv"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    wc = Window.partitionBy("event_type")
+    ranked = h.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_distinct", F.count("*").over(wc)
+    )
+    est = F.when(
+        F.max("n_distinct") < KMV_K, F.max("n_distinct").cast("double")
+    ).otherwise(F.round((KMV_K - 1) * F.pow(F.lit(2), 60) / F.max("hv"), 2))
+    return (
+        ranked.filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.max("rn").cast("long").alias("sketch_size"),
+            F.max("hv").alias("kth_min"),
+            est.alias("est_distinct"),
+        )
+    )
+
+
+# -- skew-salted join (driver-checked transparency proof) -------------------
+
+_SALTED_JOIN_ORACLE = """
+SELECT c.c_nationkey AS nationkey, count(*) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
+@register(
+    "salted_join_events_by_nation",
+    _SALTED_JOIN_ORACLE,
+    doc="skew-safe salted equi-join (operators/salting.py::salted_join): "
+    "dimension replicated per salt, fact salted deterministically — "
+    "result identical to the plain join, hot fact keys spread over 16 "
+    "partitions",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.operators.salting import salted_join
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("c_custkey"), "event_id", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = salted_join(ev, cust, key="c_custkey", mix_cols=["event_id"])
+    return (
+        joined.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
