@@ -196,3 +196,31 @@ def test_pq_adc_lut_broadcast(spark, sf_dir):
     assert "partial_sum" in p or "partial_finalmerge_sum" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bm25_stats_joins_broadcast(spark, sf_dir):
+    """BM25: df/avgdl statistics must broadcast — the corpus-sized tf
+    table never shuffles on the (Zipf-skewed) token key."""
+    p = _plan(spark, sf_dir, "bm25_scores")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_bigram_pmi_unigram_joins_broadcast(spark, sf_dir):
+    p = _plan(spark, sf_dir, "bigram_pmi")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_kmv_window_is_partitioned(spark, sf_dir):
+    """KMV sketch: every window runs per event_type (no global funnel)
+    and the distinct pre-agg partially aggregates map-side."""
+    p = _plan(spark, sf_dir, "kmv_distinct_users")
+    for frag in p.split("windowspecdefinition(")[1:]:
+        assert frag.split(",")[0].strip().startswith("event_type"), frag[:80]
+
+
+def test_salted_join_no_broadcast_nested_loop(spark, sf_dir):
+    p = _plan(spark, sf_dir, "salted_join_events_by_nation")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p

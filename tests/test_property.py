@@ -79,3 +79,56 @@ def test_descending_ranges_matches_bruteforce(ids):
     df = spark.createDataFrame([(i,) for i in ids], ["checkpoint_id"])
     got = [(r.range_end, r.range_start) for r in descending_ranges(df).collect()]
     assert got == _ranges_brute(ids)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=120),
+    n_parts=st.integers(min_value=1, max_value=9),
+)
+def test_global_cumsum_matches_bruteforce(vals, n_parts):
+    """Distributed prefix sum == sequential prefix sum, for any values
+    (incl. negatives) and any initial partitioning."""
+    from huracan_spark.operators.prefix_sum import global_cumsum
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v long"
+    ).repartition(n_parts)
+    got = {
+        r.k: r.c for r in global_cumsum(df, "v", "k", out_col="c").collect()
+    }
+    run, want = 0, {}
+    for i, v in enumerate(vals):
+        run += v
+        want[i] = run
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    fact=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=40,
+    ),
+    n_salts=st.integers(min_value=1, max_value=8),
+)
+def test_salted_join_transparent_vs_plain_join(fact, n_salts):
+    """salted_join == plain inner equi-join for any fact skew and any
+    salt count (including heavy duplication of one key)."""
+    from huracan_spark.operators.salting import salted_join
+
+    spark = _spark()
+    f = spark.createDataFrame(
+        [(k, m) for k, m in fact], "k long, mix long"
+    )
+    d = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(6)], "k long, label string"
+    )
+    got = sorted(
+        (r.k, r.mix, r.label)
+        for r in salted_join(f, d, key="k", n_salts=n_salts, mix_cols=["mix"]).collect()
+    )
+    want = sorted((r.k, r.mix, r.label) for r in f.join(d, "k").collect())
+    assert got == want
