@@ -157,6 +157,45 @@ class SilverTable:
             shutil.rmtree(os.path.join(self.path, g))
         return removable
 
+    # -- compaction (OPTIMIZE analog) -----------------------------------
+
+    def compact(self) -> str | None:
+        """Rewrite the current state into one fully self-contained
+        generation (every bucket materialized locally, no cross-
+        generation references).  The Delta OPTIMIZE analog: after many
+        incremental merges the current manifest references many old
+        generations, which reference-aware vacuum must then retain;
+        compacting makes them garbage so ``vacuum`` can reclaim them.
+        Returns the new generation name (None on an empty table)."""
+        current_gen = self.current_generation()
+        if current_gen is None:
+            return None
+        state = self.read().withColumn("_bucket", self._bucket_col())
+        ts = int(time.time() * 1000)
+        gen, seq = f"gen-{ts}", 0
+        while os.path.exists(os.path.join(self.path, gen)):
+            seq += 1
+            gen = f"gen-{ts}-{seq:03d}"
+        out = os.path.join(self.path, gen)
+        (
+            state.repartition(self.n_buckets, "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        buckets = {
+            d.split("=", 1)[1]: os.path.join(gen, d)
+            for d in os.listdir(out)
+            if d.startswith("_bucket=")
+        }
+        with open(os.path.join(out, "manifest.json"), "w") as f:
+            json.dump({"buckets": buckets, "n_buckets": self.n_buckets}, f)
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"generation": gen}, f)
+        os.replace(tmp, self._pointer)
+        return gen
+
     # -- merge ----------------------------------------------------------
 
     def merge(self, batch: DataFrame, collect_metrics: bool = False) -> MergeMetrics | None:

@@ -25,7 +25,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from huracan_spark.functions.textfns import hash60, hash60_sql, tokens, tokens_sql
+from huracan_spark.functions.textfns import (
+    hash60,
+    hash60_sql,
+    punct_ratio_sql,
+    stopword_ratio_sql,
+    tokens,
+    tokens_sql,
+)
 from huracan_spark.queries.registry import register
 from huracan_spark.sources.tables import load_table
 
@@ -491,4 +498,103 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.alias("start_offset"),
         F.expr(f"(cum - n_tokens) div {SEQ_LEN}").alias("first_seq"),
         F.expr(f"(cum - 1) div {SEQ_LEN}").alias("last_seq"),
+    )
+
+
+# -- data-mixture report ----------------------------------------------------
+#
+# The table a pretraining run is actually configured from: per-source
+# doc/token mass and corpus share (mixture weights are tuned against
+# exactly this).  One scan, two linear aggregations.
+
+_MIX_ORACLE = f"""
+WITH t AS (
+  SELECT source, CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM t GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / tot.total, 6) AS token_share
+FROM s CROSS JOIN tot
+"""
+
+
+@register(
+    "source_mix_report",
+    _MIX_ORACLE,
+    doc="pretraining data-mixture report: per-source doc/token mass and "
+    "token share — the table mixture weights are tuned against",
+)
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _docs(spark, sf_dir).select(
+        "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    s = t.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    tot = s.agg(F.sum("n_tokens").alias("total"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("total"), 6).alias(
+            "token_share"
+        ),
+    )
+
+
+# -- deterministic weighted sampling ----------------------------------------
+#
+# Quality-proportional downsampling without RNG state: doc kept iff
+# hash60(doc_id) / 2^60 < weight, where weight is the quality score —
+# reproducible across engines, runs, and retries (the same property
+# hash_split relies on), and trivially parallel.
+
+_WSAMPLE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         round( least(1.0, len({tokens_sql('text')}) / 50.0) * 0.4
+              + {stopword_ratio_sql('text')} * 0.4
+              + (1.0 - {punct_ratio_sql('text')}) * 0.2, 6) AS weight,
+         CAST({hash60_sql("doc_id::VARCHAR", "wsample")} AS DOUBLE)
+           / pow(2, 60) AS u
+  FROM documents
+)
+SELECT doc_id, source, weight FROM w WHERE u < weight
+"""
+
+
+@register(
+    "weighted_sample",
+    _WSAMPLE_ORACLE,
+    doc="deterministic quality-weighted sampling: keep probability = "
+    "quality score, uniform variate = content-stable hash — no RNG "
+    "state, identical across engines/runs/retries",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.functions.textfns import (
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
+    weight = F.round(
+        F.least(F.lit(1.0), token_count("text") / 50.0) * 0.4
+        + stopword_ratio("text") * 0.4
+        + (1.0 - punct_ratio("text")) * 0.2,
+        6,
+    )
+    u = hash60(F.col("doc_id").cast("string"), "wsample").cast("double") / F.pow(
+        F.lit(2), 60
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", weight.alias("weight"), u.alias("_u"))
+        .filter(F.col("_u") < F.col("weight"))
+        .drop("_u")
     )

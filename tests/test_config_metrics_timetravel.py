@@ -207,3 +207,29 @@ def test_silver_point_lookup_reads_single_bucket(spark, tmp_path):
         silver.read_key_bucket("k7")._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("_bucket=") <= 1
+
+
+def test_silver_compact_makes_old_generations_vacuumable(spark, tmp_path):
+    """OPTIMIZE analog: after compact(), the state is self-contained,
+    so reference-aware vacuum can reclaim every older generation."""
+    silver = SilverTable(spark, str(tmp_path / "s"), n_buckets=8)
+    silver.merge(
+        spark.createDataFrame(
+            [(f"k{i}", 1, False) for i in range(64)],
+            "_id string, version_ long, deleted boolean",
+        )
+    )
+    gen1 = silver.current_generation()
+    silver.merge(
+        spark.createDataFrame(
+            [("k0", 2, False)], "_id string, version_ long, deleted boolean"
+        )
+    )
+    # gen1 still referenced -> not vacuumable
+    assert gen1 not in silver.vacuum(keep=1)
+    gen_c = silver.compact()
+    assert all(rel.startswith(gen_c) for rel in silver.manifest(gen_c).values())
+    removed = silver.vacuum(keep=1)
+    assert gen1 in removed
+    state = {r._id: r.version_ for r in silver.read().collect()}
+    assert len(state) == 64 and state["k0"] == 2 and state["k63"] == 1
