@@ -137,17 +137,23 @@ def kmeans_train(
         # K rows: checkpointing is free and truncates the otherwise
         # round-nested logical plan (analysis time blows up without it)
         new_cents = new_cents.localCheckpoint(eager=True)
-        drift = (
-            new_cents.join(
-                cents.select("centroid_id", F.col("cemb").alias("prev")),
-                "centroid_id",
+        if tol > 0:
+            drift = (
+                new_cents.join(
+                    cents.select("centroid_id", F.col("cemb").alias("prev")),
+                    "centroid_id",
+                )
+                .agg(F.max(1.0 - dot).alias("d"))
+                .collect()[0][0]
             )
-            .agg(F.max(1.0 - dot).alias("d"))
-            .collect()[0][0]
-        )
+        else:
+            # tol<=0 = fixed-iteration mode (the oracle-unrolled
+            # ivf_search_trained contract): drift can never end the
+            # loop, so skip its join+collect job per round
+            drift = None
         cents.unpersist()
         cents = new_cents
-        if drift < tol:
+        if drift is not None and drift < tol:
             break
     vectors.unpersist()
     return cents

@@ -359,3 +359,48 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+# -- sampled quantiles (the hash-checkable approx-quantile twin) ------------
+#
+# approx_value_quantiles stays rows-only (GK/KLL sketch internals are
+# engine-specific).  This is the deterministic estimator: exact
+# interpolated quantiles over a FIXED-RATE hash sample — the variate
+# is hash60(event_id), so the sample (and therefore the estimate) is
+# bit-identical across engines, runs, and retries.  At 100 TB the
+# sample is |input| * rate rows; the quantile itself runs per group on
+# the sampled subset only.
+
+SAMPLE_RATE_PCT = 20  # keep ~20% of rows
+
+_SAMPLED_Q_ORACLE = f"""
+WITH s AS (
+  SELECT event_type, value FROM events
+  WHERE {hash60_sql("event_id::VARCHAR", "qsample")} % 100 < {SAMPLE_RATE_PCT}
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       round(quantile_cont(value, 0.5), 4) AS p50_est,
+       round(quantile_cont(value, 0.95), 4) AS p95_est
+FROM s GROUP BY event_type
+"""
+
+
+@register(
+    "sampled_value_quantiles",
+    _SAMPLED_Q_ORACLE,
+    doc=f"deterministic sampled quantiles: exact interpolated p50/p95 over "
+    f"a {SAMPLE_RATE_PCT}% content-stable hash sample — reproducible "
+    "cross-engine, unlike the rows-only GK/KLL sketch twin",
+)
+def q_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.functions.textfns import hash60
+
+    s = _events(spark, sf_dir).filter(
+        hash60(F.col("event_id").cast("string"), "qsample") % 100 < SAMPLE_RATE_PCT
+    )
+    return s.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_est"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_est"),
+    )
