@@ -147,3 +147,37 @@ def test_stream_near_dedup_fixture_invariants(spark, sf_dir, tmp_path):
     # dropped docs: each collides with some other doc in >=1 bucket
     for i in dropped:
         assert any(len(bucket_docs[c]) > 1 for c in all_claims[i]), i
+
+
+def test_stream_near_dedup_restart_keeps_bucket_state(spark, tmp_path):
+    """Bucket-ownership state must survive a checkpoint restart: a
+    near-dup arriving in a NEW streaming query run (same checkpoint)
+    is still dropped against the first run's claims."""
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old stone "
+        "bridge while rain falls softly on the quiet village roofs"
+    )
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame([(1, base, _ts(1))], _SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    stream = spark.readStream.schema(_SCHEMA).parquet(feed)
+    q = run_near_dedup_stream(stream, out, ckpt)
+    q.awaitTermination(120)
+    assert [r.doc_id for r in spark.read.parquet(out).collect()] == [1]
+
+    # second run, same checkpoint: near-dup of doc 1 + one new doc
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(2, base + " again", _ts(10)), (3, "entirely different words about telescopes and galaxies tonight", _ts(11))],
+        _SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(feed)
+    stream2 = spark.readStream.schema(_SCHEMA).parquet(feed)
+    q2 = run_near_dedup_stream(stream2, out, ckpt)
+    q2.awaitTermination(120)
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 3]  # doc 2's buckets were claimed in run 1
