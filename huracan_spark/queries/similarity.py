@@ -858,3 +858,80 @@ def q_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# -- cross-modal cohesion report --------------------------------------------
+#
+# The documents<->embeddings join is the multimodal alignment step of
+# a training pipeline (text row + its vector live in different
+# tables); this reports, per document source, how tight the source's
+# embedding cluster is: mean cosine of each member to its source
+# centroid.  Low cohesion = mislabeled/mixed sources — the data-audit
+# query you run before trusting source-level mixture weights.
+#
+# Scale shape: the join is a plain equi-join on the id; centroids are
+# per-source K x dim aggregates (partial map-side, like the k-means
+# mean step); members then join the broadcast centroid table.
+
+_COHESION_ORACLE = f"""
+WITH n AS ({_NORMALIZED_SQL}),
+j AS (
+  SELECT d.source, n.vec_id, n.nemb
+  FROM documents d JOIN n ON n.vec_id = d.doc_id
+),
+comp AS (
+  SELECT source, dim.d AS pos, round(avg(nemb[dim.d]), 9) AS m
+  FROM j CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS d) dim
+  GROUP BY source, dim.d
+),
+cent AS (
+  SELECT source, list(m ORDER BY pos) AS mean FROM comp GROUP BY source
+),
+ncent AS (
+  SELECT source,
+         list_transform(mean, x -> x / sqrt({_dot_sql('mean', 'mean')}))
+           AS cemb
+  FROM cent
+)
+SELECT j.source,
+       count(*) AS n_members,
+       round(avg(round({_dot_sql('j.nemb', 'c.cemb')}, 6)), 6) AS cohesion
+FROM j JOIN ncent c ON c.source = j.source
+GROUP BY j.source
+"""
+
+
+@register(
+    "source_embedding_cohesion",
+    _COHESION_ORACLE,
+    doc="cross-modal audit: per document source, mean cosine of member "
+    "embeddings to the source centroid — the documents<->embeddings "
+    "alignment join plus a k-means-style centroid aggregate",
+)
+def q_source_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    n = _normalized(_emb(spark, sf_dir)).select("vec_id", "nemb")
+    j = docs.join(n, docs.doc_id == n.vec_id).select("source", "nemb").persist()
+    comp = (
+        j.select("source", F.posexplode("nemb").alias("pos", "v"))
+        .groupBy("source", "pos")
+        .agg(F.round(F.avg("v"), 9).alias("m"))
+    )
+    cent = comp.groupBy("source").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("mean")
+    )
+    nrm = F.sqrt(_dot(F.col("mean"), F.col("mean")))
+    ncent = cent.select(
+        "source", F.transform("mean", lambda x: x / nrm).alias("cemb")
+    )
+    return (
+        j.join(F.broadcast(ncent), "source")
+        .select("source", F.round(_dot(F.col("nemb"), F.col("cemb")), 6).alias("_c"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("_c"), 6).alias("cohesion"),
+        )
+    )
