@@ -39,6 +39,7 @@ def bucketed_range_join(
     bucket_width: int,
     how: str = "inner",
     broadcast_ranges: bool = False,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Join each point row to every range row with lo <= point < hi.
 
@@ -79,4 +80,13 @@ def bucketed_range_join(
         & (F.col(point_col) >= F.col(lo_col))
         & (F.col(point_col) < F.col(hi_col))
     )
-    return p.join(r, cond, how).drop("__pbucket", "__rbucket")
+    # extra equi-keys (e.g. user_id for a per-user funnel) join as part
+    # of the hash key: without them, every row sharing a TIME bucket
+    # would meet every other — quadratic per bucket across keys.  The
+    # shared column is renamed on the ranges side so the output keeps
+    # one copy.
+    for k in extra_keys:
+        r = r.withColumnRenamed(k, f"__r_{k}")
+        cond = cond & (F.col(k) == F.col(f"__r_{k}"))
+    out = p.join(r, cond, how).drop("__pbucket", "__rbucket")
+    return out.drop(*[f"__r_{k}" for k in extra_keys])

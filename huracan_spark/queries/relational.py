@@ -252,3 +252,90 @@ def q_asof_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("c_ts_asof").cast("timestamp")).alias("click_ts_ms"),
         F.col("c_value_asof").alias("click_value"),
     )
+
+
+# -- conversion funnel (range join reuse) -----------------------------------
+#
+# Classic funnel analytics: a click CONVERTS if the same user purchases
+# within the attribution window.  The naive formulation is a
+# time-range non-equi join (BroadcastNestedLoopJoin — dies at scale);
+# this reuses operators/range_join.py with (user_id, time-bucket) as
+# the compound equi-key, so purchases only ever meet the SAME user's
+# clicks in overlapping hour buckets.
+
+FUNNEL_WINDOW_MS = 3_600_000  # 1 h attribution
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+_FUNNEL_ORACLE = f"""
+WITH c AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+         epoch_ms(date_trunc('day', ts)) AS day_ms
+  FROM events WHERE event_type = 'click'
+),
+p AS (SELECT user_id, epoch_ms(ts) AS pms FROM events
+      WHERE event_type = 'purchase'),
+conv AS (
+  SELECT DISTINCT c.event_id, c.day_ms
+  FROM c JOIN p ON p.user_id = c.user_id
+   AND p.pms >= c.ms AND p.pms < c.ms + {FUNNEL_WINDOW_MS}
+),
+cd AS (SELECT day_ms, count(*) AS n_clicks FROM c GROUP BY 1),
+vd AS (SELECT day_ms, count(*) AS n_converted FROM conv GROUP BY 1)
+SELECT cd.day_ms, cd.n_clicks,
+       coalesce(vd.n_converted, 0) AS n_converted,
+       round(CAST(coalesce(vd.n_converted, 0) AS DOUBLE) / cd.n_clicks, 6)
+         AS conversion_rate
+FROM cd LEFT JOIN vd USING (day_ms)
+"""
+
+
+@register(
+    "click_purchase_funnel",
+    _FUNNEL_ORACLE,
+    doc="per-day click->purchase conversion within a 1 h window — the "
+    "time-range join runs as a bucketed (user, hour-bucket) equi-join "
+    "(operators/range_join.py), never a nested loop",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.operators.range_join import bucketed_range_join
+
+    ev = _events(spark, sf_dir)
+    ms = F.expr(f"timestampdiff(MILLISECOND, {_EPOCH_NTZ}, ts)")
+    day_ms = F.expr(
+        f"timestampdiff(MILLISECOND, {_EPOCH_NTZ}, date_trunc('day', ts))"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        ms.alias("lo"),
+        (ms + FUNNEL_WINDOW_MS).alias("hi"),
+        day_ms.alias("day_ms"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", ms.alias("pms")
+    )
+    conv = (
+        bucketed_range_join(
+            purchases,
+            clicks,
+            point_col="pms",
+            lo_col="lo",
+            hi_col="hi",
+            bucket_width=FUNNEL_WINDOW_MS,
+            extra_keys=("user_id",),
+        )
+        .select("event_id", "day_ms")
+        .distinct()
+    )
+    cd = clicks.groupBy("day_ms").agg(F.count("*").alias("n_clicks"))
+    vd = conv.groupBy("day_ms").agg(F.count("*").alias("n_converted"))
+    n_conv = F.coalesce(F.col("n_converted"), F.lit(0))
+    return cd.join(vd, "day_ms", "left").select(
+        "day_ms",
+        "n_clicks",
+        n_conv.alias("n_converted"),
+        F.round(n_conv.cast("double") / F.col("n_clicks"), 6).alias(
+            "conversion_rate"
+        ),
+    )

@@ -224,3 +224,11 @@ def test_salted_join_no_broadcast_nested_loop(spark, sf_dir):
     p = _plan(spark, sf_dir, "salted_join_events_by_nation")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_funnel_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The attribution-window join must ride the (user, bucket)
+    compound equi-key — never a time-range nested loop."""
+    p = _plan(spark, sf_dir, "click_purchase_funnel")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
