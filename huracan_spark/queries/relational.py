@@ -339,3 +339,78 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_rate"
         ),
     )
+
+
+# -- cohort retention --------------------------------------------------------
+#
+# The other canonical product-analytics query: users cohorted by
+# signup week; retention = share of the cohort with ANY activity in
+# each later week.  Shape: one small cohort table (distinct users) +
+# one activity-week table (distinct (user, week)), joined on user —
+# both deduplicated BEFORE the join so the fan-out is
+# |users| x |active weeks per user|, never event x event.
+
+_RETENTION_ORACLE = """
+WITH s AS (
+  SELECT user_id, min(epoch_ms(date_trunc('week', ts))) AS cohort_ms
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT user_id, epoch_ms(date_trunc('week', ts)) AS week_ms
+  FROM events
+),
+sizes AS (SELECT cohort_ms, count(*) AS n_cohort FROM s GROUP BY 1),
+hits AS (
+  SELECT s.cohort_ms,
+         CAST((a.week_ms - s.cohort_ms) / 604800000 AS BIGINT) AS week_offset,
+         count(DISTINCT a.user_id) AS n_active
+  FROM s JOIN a ON a.user_id = s.user_id AND a.week_ms >= s.cohort_ms
+  GROUP BY 1, 2
+)
+SELECT h.cohort_ms, h.week_offset, z.n_cohort, h.n_active,
+       round(CAST(h.n_active AS DOUBLE) / z.n_cohort, 6) AS retention
+FROM hits h JOIN sizes z ON z.cohort_ms = h.cohort_ms
+"""
+
+
+@register(
+    "cohort_retention",
+    _RETENTION_ORACLE,
+    doc="weekly cohort retention: signup-week cohorts x activity-week "
+    "offsets; both join sides pre-deduplicated so the join is "
+    "users x active-weeks, never event x event",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    week_ms = F.expr(
+        "timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " date_trunc('week', ts))"
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", week_ms.alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cohort_ms"))
+    )
+    a = ev.select("user_id", week_ms.alias("week_ms")).distinct()
+    sizes = s.groupBy("cohort_ms").agg(F.count("*").alias("n_cohort"))
+    hits = (
+        s.join(a, "user_id")
+        .filter(F.col("week_ms") >= F.col("cohort_ms"))
+        .groupBy(
+            "cohort_ms",
+            ((F.col("week_ms") - F.col("cohort_ms")) / 604800000)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return hits.join(F.broadcast(sizes), "cohort_ms").select(
+        "cohort_ms",
+        "week_offset",
+        "n_cohort",
+        "n_active",
+        F.round(F.col("n_active").cast("double") / F.col("n_cohort"), 6).alias(
+            "retention"
+        ),
+    )
