@@ -772,3 +772,134 @@ def minhash_band_sigs(text: Column | str) -> Column:
             F.struct(F.lit(b).cast("int").alias("band"), sig.alias("sig"))
         )
     return F.array(*bands)
+
+
+# -- MinHash estimator accuracy ---------------------------------------------
+#
+# The query that makes the sketch trustworthy: for every LSH candidate
+# pair, compare the MinHash ESTIMATE of Jaccard (fraction of agreeing
+# signature components) against the EXACT shingle-set Jaccard.  At
+# 100 TB this runs on the candidate pairs only — a set the LSH banding
+# already bounded — so the exact verification is candidate-bounded,
+# never corpus-quadratic: the intersection count is an equi-join on
+# (doc_id, shingle) restricted to pair members, and per-doc set sizes
+# are one partial-agg count.  Run it on a sampled pair set to pick
+# N_MINHASH / band geometry before committing an index build.
+
+
+def _est_sum_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
+    )
+
+
+_MH_ACC_ORACLE = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+{_minhash_sql_cols()}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, {_band_sig_sql(b)} AS sig FROM sigs"
+      for b in range(N_BANDS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         round(({_est_sum_sql()}) / {N_MINHASH}.0, 6) AS est_jaccard,
+         round(CAST(coalesce(i.i, 0) AS DOUBLE)
+               / (na.n + nb.n - coalesce(i.i, 0)), 6) AS exact_jaccard
+  FROM cand c
+  JOIN sigs a ON a.doc_id = c.doc_a
+  JOIN sigs b ON b.doc_id = c.doc_b
+  JOIN sizes na ON na.doc_id = c.doc_a
+  JOIN sizes nb ON nb.doc_id = c.doc_b
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+       round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+FROM scored
+"""
+
+
+@register(
+    "minhash_jaccard_accuracy",
+    _MH_ACC_ORACLE,
+    doc=f"MinHash({N_MINHASH}) estimator accuracy: per LSH-candidate pair, "
+    "signature-agreement estimate vs exact shingle Jaccard. Exact leg is "
+    "candidate-bounded (equi-join on (doc, shingle) restricted to pair "
+    "members) — never corpus-quadratic",
+)
+def q_minhash_jaccard_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _materialized(
+        spark, sf_dir, "minhash_pairs", lambda: _minhash_lsh_plan(spark, sf_dir)
+    )
+    # shingles re-derived, not cached: corpus-sized (see unigram LM
+    # scale note); sigs/sizes are doc-sized partial aggs over one scan
+    sh = _shingles(_docs(spark, sf_dir))
+    sigs = sh.groupBy("doc_id").agg(*_minhash_sig_exprs_spark())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    est = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    scored = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, F.col("b.doc_id") == F.col("doc_b"))
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est / F.lit(float(N_MINHASH)), 6).alias("est_jaccard"),
+            F.round(
+                F.coalesce(F.col("i"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "exact_jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6).alias(
+            "abs_err"
+        ),
+    )

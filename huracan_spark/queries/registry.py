@@ -61,6 +61,7 @@ def _load_all_modules() -> None:
         dedup,
         extended,
         llmprep,
+        lmdata,
         media,
         objects,
         pq,

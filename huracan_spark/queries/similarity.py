@@ -935,3 +935,160 @@ def q_source_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("_c"), 6).alias("cohesion"),
         )
     )
+
+
+# -- SemDeDup: cluster-bounded semantic deduplication ------------------------
+#
+# Semantic dedup per Abbas et al. 2023 ("SemDeDup"): coarse-cluster the
+# embedding space, then find near-duplicate pairs ONLY within clusters
+# and keep one representative per duplicate relation.  The cluster
+# assignment is the same broadcast nearest-of-K-centroids join as the
+# IVF index build (corpus never shuffles for the assignment); the
+# quadratic pair scan is bounded by the largest CLUSTER, not the
+# corpus — at 100 TB the knob is K (cluster count grows with corpus so
+# per-cluster blocks stay shuffle-partition-sized, same argument as
+# the LSH banding). Keep policy: a vector is dropped iff a LOWER-id
+# vector in its cluster is within SEMDEDUP_COS — deterministic, one
+# anti-join, no iterative closure needed (contrast dedup_clusters,
+# which pays connected components for the transitive variant).
+
+SEMDEDUP_COS = 0.35
+
+_SEMDEDUP_ASSIGNED_SQL = f"""
+cents AS (SELECT vec_id AS centroid_id, nemb AS cemb FROM n
+          WHERE vec_id < {N_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, nemb, centroid_id FROM (
+    SELECT v.vec_id, v.nemb, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round({_dot_sql('v.nemb', 'c.cemb')}, 6) DESC,
+                                       c.centroid_id) AS rn
+    FROM n v CROSS JOIN cents c
+  ) WHERE rn = 1
+)"""
+
+_SEMDEDUP_PAIRS_SQL = f"""
+pairs AS (
+  SELECT a.centroid_id AS cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_dot_sql('a.nemb', 'b.nemb')}, 6) AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+)"""
+
+_SEMDEDUP_PAIRS_ORACLE = f"""
+WITH n AS ({_NORMALIZED_SQL}),
+{_SEMDEDUP_ASSIGNED_SQL},
+{_SEMDEDUP_PAIRS_SQL}
+SELECT cluster_id, vec_a, vec_b, cosine
+FROM pairs WHERE cosine >= {SEMDEDUP_COS}
+"""
+
+
+def _semdedup_assigned(n: DataFrame) -> DataFrame:
+    """(vec_id, nemb, centroid_id): nearest-centroid assignment via
+    map-side max_by argmax — same shape as the IVF trained search,
+    nothing corpus-sized crosses an exchange."""
+    cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("nemb").alias("cemb")
+    )
+    scored = n.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "nemb",
+        "centroid_id",
+        F.round(_dot(F.col("nemb"), F.col("cemb")), 6).alias("_ccos"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id",
+            F.struct(F.col("_ccos"), (-F.col("centroid_id")).cast("long")),
+        ).alias("centroid_id"),
+        F.first("nemb").alias("nemb"),
+    )
+
+
+def _semdedup_pairs(n: DataFrame) -> DataFrame:
+    # persist: the within-cluster self-join reads the assignment on
+    # both sides; the assignment is corpus-sized but narrow (id, vec,
+    # cell) — at 100 TB this is the materialized IVF index, which a
+    # real deployment stores anyway.
+    assigned = _semdedup_assigned(n).persist()
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = F.round(_dot(F.col("a.nemb"), F.col("b.nemb")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.centroid_id").alias("cluster_id"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_COS)
+    )
+
+
+@register(
+    "semdedup_pairs",
+    _SEMDEDUP_PAIRS_ORACLE,
+    doc=f"SemDeDup candidate pairs: within-centroid-cluster cosine >= "
+    f"{SEMDEDUP_COS}. Equi-join on cluster id only — the quadratic is "
+    "bounded per cluster, never corpus-wide; assignment is the broadcast "
+    "IVF build",
+)
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _semdedup_pairs(_normalized(_emb(spark, sf_dir)))
+
+
+_SEMDEDUP_KEEP_ORACLE = f"""
+WITH n AS ({_NORMALIZED_SQL}),
+{_SEMDEDUP_ASSIGNED_SQL},
+{_SEMDEDUP_PAIRS_SQL},
+dropped AS (
+  SELECT DISTINCT vec_b AS vec_id FROM pairs WHERE cosine >= {SEMDEDUP_COS}
+)
+SELECT a.centroid_id AS cluster_id,
+       count(*) AS n_total,
+       count(d.vec_id) AS n_dropped,
+       count(*) - count(d.vec_id) AS n_kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+GROUP BY 1
+"""
+
+
+@register(
+    "semdedup_keep",
+    _SEMDEDUP_KEEP_ORACLE,
+    doc="SemDeDup keep policy: drop a vector iff a lower-id vector in its "
+    "cluster is within the threshold; report per-cluster kept/dropped "
+    "counts. One anti-join over the pair table — no transitive closure",
+)
+def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _normalized(_emb(spark, sf_dir))
+    assigned = _semdedup_assigned(n).persist()
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = F.round(_dot(F.col("a.nemb"), F.col("b.nemb")), 6)
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= SEMDEDUP_COS)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .groupBy(F.col("centroid_id").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count("_drop").alias("n_dropped"),
+            (F.count("*") - F.count("_drop")).alias("n_kept"),
+        )
+    )

@@ -31,7 +31,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["DOCUMENTS_FEED_SCHEMA", "read_documents_jsonl", "read_documents_csv"]
+__all__ = [
+    "DOCUMENTS_FEED_SCHEMA",
+    "read_documents_jsonl",
+    "read_documents_csv",
+    "read_documents_orc",
+    "write_documents_orc",
+]
 
 # the documents-table contract (TESTDATA.md) + corrupt-record channel
 DOCUMENTS_FEED_SCHEMA = StructType(
@@ -121,3 +127,40 @@ def read_documents_csv(
     if strict:
         return raw.select(*_CANON_COLS)
     return _finish(raw, with_dlq)
+
+
+def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ORC document feed (the other columnar interchange format
+    big pipelines standardize on — Hive/Trino-side drops arrive as ORC
+    as often as parquet).
+
+    ORC is self-describing, so unlike JSONL/CSV there is no corrupt-
+    record channel: a damaged stripe fails the read (the K7 split
+    happens upstream at the row-format edge).  The declared-schema rule
+    still applies — the read is schema-PINNED, not schema-adopted:
+    columns are selected and cast to the documents contract so a feed
+    written with wider types (e.g. INT doc_id from a Hive writer)
+    cannot silently change downstream dtypes, and contract-violating
+    extra columns are pruned at the scan (ORC column projection).
+    """
+    raw = spark.read.orc(path)
+    missing = [c for c in _CANON_COLS if c not in raw.columns]
+    if missing:
+        raise ValueError(f"ORC feed at {path} missing contract columns {missing}")
+    casts = {
+        "doc_id": "long",
+        "source": "string",
+        "lang": "string",
+        "n_chars": "long",
+        "text": "string",
+    }
+    return raw.select(*[F.col(c).cast(t).alias(c) for c, t in casts.items()])
+
+
+def write_documents_orc(df: DataFrame, path: str, *, compression: str = "zstd") -> None:
+    """Write a documents-contract DataFrame as ORC (zstd by default —
+    the ratio/speed sweet spot for text corpora on both ORC and
+    parquet writers)."""
+    df.select(*_CANON_COLS).write.mode("overwrite").option(
+        "compression", compression
+    ).orc(path)

@@ -76,3 +76,42 @@ def test_formats_union_by_name_with_parquet(spark, sf_dir, tmp_path):
     u = jl.unionByName(pq)
     assert u.count() == 10 + pq.count()
     assert dict(u.dtypes) == dict(jl.dtypes)
+
+
+def test_orc_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    from huracan_spark.sources.formats import (
+        read_documents_orc,
+        write_documents_orc,
+    )
+
+    rows = _fixture_rows(spark, sf_dir)
+    src = spark.createDataFrame(rows)
+    p = str(tmp_path / "docs_orc")
+    write_documents_orc(src, p)
+    got = read_documents_orc(spark, p)
+    assert got.columns == ["doc_id", "source", "lang", "n_chars", "text"]
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, rows))
+
+
+def test_orc_read_pins_schema_and_rejects_broken_feed(spark, sf_dir, tmp_path):
+    from huracan_spark.sources.formats import read_documents_orc
+
+    rows = _fixture_rows(spark, sf_dir)
+    # a feed written with a wider/int type and an extra column must be
+    # cast and pruned back to the contract, not adopted
+    widened = (
+        spark.createDataFrame(rows)
+        .withColumn("doc_id", F.col("doc_id").cast("int"))
+        .withColumn("extra", F.lit("x"))
+    )
+    p = str(tmp_path / "docs_orc_wide")
+    widened.write.mode("overwrite").orc(p)
+    got = read_documents_orc(spark, p)
+    assert dict(got.dtypes)["doc_id"] == "bigint"
+    assert "extra" not in got.columns
+    # a feed missing a contract column is refused loudly
+    bad = spark.createDataFrame(rows).drop("text")
+    pb = str(tmp_path / "docs_orc_bad")
+    bad.write.mode("overwrite").orc(pb)
+    with pytest.raises(ValueError, match="missing contract columns"):
+        read_documents_orc(spark, pb)

@@ -1,0 +1,146 @@
+"""Behavior + plan tests for the lmdata queries (BPE merge counting,
+OOV rate, perplexity filter) and SemDeDup (cluster-bounded semantic
+dedup). Value-level cross-engine parity is the oracle harness's job;
+these pin the semantic invariants and the 100 TB plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from huracan_spark.queries.lmdata import (
+    MIN_AVG_LOGPROB,
+    TOP_MERGES,
+    q_bpe_merge_step,
+    q_oov_rate,
+    q_perplexity_filter,
+)
+from huracan_spark.queries.registry import REGISTRY, spark_queries
+from huracan_spark.queries.similarity import (
+    N_CENTROIDS,
+    SEMDEDUP_COS,
+    q_semdedup_keep,
+    q_semdedup_pairs,
+)
+from huracan_spark.sources.tables import load_table
+
+spark_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return (
+        REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+# -- lmdata behavior ---------------------------------------------------------
+
+
+def test_bpe_merges_are_char_pairs_ranked(spark, sf_dir):
+    rows = q_bpe_merge_step(spark, sf_dir).collect()
+    assert 0 < len(rows) <= TOP_MERGES
+    assert all(len(r.pair) == 2 and r.pair.isalpha() for r in rows)
+    counts = [r.n_occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_oov_rate_bounded_and_consistent(spark, sf_dir):
+    rows = q_oov_rate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert abs(r.oov_rate - r.n_oov / r.n_tokens) < 1e-6
+    # the fixture vocab cut leaves real OOV mass — the query measures
+    # something, not a constant zero
+    assert any(r.n_oov > 0 for r in rows)
+
+
+def test_perplexity_filter_flags_strict_subset(spark, sf_dir):
+    flagged = q_perplexity_filter(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = flagged.collect()
+    assert 0 < len(rows) < n_docs  # gate separates, not pass-all/drop-all
+    assert all(r.avg_logprob < MIN_AVG_LOGPROB for r in rows)
+
+
+# -- SemDeDup behavior -------------------------------------------------------
+
+
+def test_semdedup_pairs_within_cluster_ordered(spark, sf_dir):
+    rows = q_semdedup_pairs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.vec_a < r.vec_b
+        assert 0 <= r.cluster_id < N_CENTROIDS
+        assert r.cosine >= SEMDEDUP_COS
+
+
+def test_semdedup_keep_partitions_the_corpus(spark, sf_dir):
+    rows = q_semdedup_keep(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_total for r in rows) == n_vecs
+    for r in rows:
+        assert r.n_kept + r.n_dropped == r.n_total
+        assert r.n_kept >= 1  # the lowest-id member of a cluster always survives
+
+
+def test_semdedup_keep_agrees_with_pairs(spark, sf_dir):
+    """Cross-check the two queries: dropped count per cluster == number
+    of distinct vec_b's among qualifying pairs in that cluster."""
+    pairs = q_semdedup_pairs(spark, sf_dir)
+    dropped = (
+        pairs.groupBy("cluster_id")
+        .agg(F.countDistinct("vec_b").alias("n"))
+        .collect()
+    )
+    by_cluster = {r.cluster_id: r.n for r in dropped}
+    for r in q_semdedup_keep(spark, sf_dir).collect():
+        assert r.n_dropped == by_cluster.get(r.cluster_id, 0)
+
+
+# -- plan regressions (100 TB guarantees) ------------------------------------
+
+
+def test_semdedup_pair_join_is_equi_never_cartesian(spark, sf_dir):
+    """The within-cluster quadratic must plan as an equi-join on the
+    cluster id (hash/sort-merge); the only nested-loop allowed is the
+    K-row centroid broadcast of the assignment step."""
+    # cache state changes the plan TEXT (InMemoryTableScan embeds the
+    # cached subtree's description, double-counting its joins) — pin a
+    # cold plan so the nested-loop census is deterministic
+    spark.catalog.clearCache()
+    p = _plan(spark, sf_dir, "semdedup_pairs")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    # every nested-loop in the plan is a BuildRight broadcast of the
+    # 8-row centroid table, never corpus x corpus
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_bpe_merge_topk_is_take_ordered_partial_agg(spark, sf_dir):
+    """Pair counting: single scan, map-side partial count below the
+    exchange, distributed top-K (TakeOrderedAndProject, no global sort
+    or window)."""
+    p = _plan(spark, sf_dir, "bpe_merge_step")
+    assert p.count("Scan parquet") == 1
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p
+    assert "Window" not in p
+    assert "Join" not in p
+
+
+def test_oov_vocab_join_is_broadcast(spark, sf_dir):
+    """The token->vocab membership join must broadcast the K-row vocab —
+    the corpus-sized token stream never shuffles on the skewed token."""
+    p = _plan(spark, sf_dir, "oov_rate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_perplexity_filter_broadcast_vocab_no_cartesian(spark, sf_dir):
+    p = _plan(spark, sf_dir, "perplexity_filter")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    # the only nested-loop is the 1-row corpus-total broadcast
+    assert p.count("BroadcastNestedLoopJoin") <= 1
