@@ -1,0 +1,111 @@
+"""Distributed PageRank (power iteration) over an edge DataFrame.
+
+The third iterative operator beside connected components
+(``operators/connected_components.py``) and spherical k-means
+(``operators/kmeans.py``): rank = (1-d)/N + d * sum(rank(src)/outdeg(src))
+over incoming edges, repeated for a fixed iteration count.
+
+Scale shape per round (the 100 TB contract):
+- one equi-join ranks-to-edges on ``src`` (both sides hash-partitioned
+  on the node id; with edges pre-partitioned the join reuses the same
+  exchange every round),
+- one partial-agg ``sum`` by ``dst`` — contributions combine map-side,
+  so only one partial sum per (partition, node) crosses the shuffle,
+- no driver-side graph state: nodes, edges, and ranks stay DataFrames
+  end-to-end; the driver holds only the loop counter.
+- lineage is truncated with ``localCheckpoint`` every round (iterative
+  plans otherwise grow linearly and re-optimize from scratch — the
+  same hazard documented in connected_components).
+
+Dangling nodes (outdeg 0) follow the standard redistribution-free
+convention: their mass leaks, matching the common "simplified
+PageRank" the fixed-iteration SQL oracle can replay exactly.
+
+A fixed iteration count (not convergence detection) keeps the operator
+SQL-expressible for the driver's oracle: each round unrolls to one CTE
+(see queries/graph.py). Convergence-looped variants reuse the same
+`pagerank_round` with the label-sum fixpoint trick from connected
+components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+DAMPING = 0.85
+
+
+def pagerank_round(
+    ranks: DataFrame,
+    edges: DataFrame,
+    n_nodes: DataFrame,
+    damping: float,
+    round_at: int | None = None,
+) -> DataFrame:
+    """One power-iteration step.
+
+    ranks: (node, rank); edges: (src, dst, out_deg) — out_deg is the
+    SOURCE's out-degree, precomputed once; n_nodes: 1-row (n).
+    Returns the next (node, rank).
+
+    round_at: if set, the new rank is rounded to that many decimals.
+    Cross-engine contract: a double sum over thousands of in-edge
+    contributions folds in partition order, so two engines differ in
+    final ulps; rounding EACH round (well above ulp noise, well below
+    signal) keeps fixed-iteration replays bit-identical — same
+    convention as the cosine round(6) in queries/similarity.py.
+    """
+    contrib = (
+        edges.join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("_in"))
+    )
+    # nodes with no in-edges still get the teleport term: start from
+    # the full node set (ranks), not from contrib
+    rank = (1.0 - damping) / F.col("n") + damping * F.coalesce(
+        F.col("_in"), F.lit(0.0)
+    )
+    if round_at is not None:
+        rank = F.round(rank, round_at)
+    return (
+        ranks.select("node")
+        .join(contrib, "node", "left")
+        .crossJoin(F.broadcast(n_nodes))
+        .select("node", rank.alias("rank"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iterations: int,
+    damping: float = DAMPING,
+    checkpoint_every: int = 1,
+    round_at: int | None = None,
+) -> DataFrame:
+    """Run `iterations` power-iteration rounds over (src, dst) edges.
+
+    Returns (node, rank) for every node appearing as src or dst.
+    Deterministic: pure arithmetic, no RNG, no convergence race.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.agg(F.count("*").alias("n"))
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    e = edges.join(out_deg, "src").persist()
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for i in range(iterations):
+        ranks = pagerank_round(ranks, e, n_nodes, damping, round_at=round_at)
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            # truncate lineage so round-N plans stay O(1), not O(N)
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

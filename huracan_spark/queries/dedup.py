@@ -903,3 +903,77 @@ def q_minhash_jaccard_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_err"
         ),
     )
+
+
+# -- substring-block boilerplate detection ----------------------------------
+#
+# Exact SUBSTRING-level duplication (suffix-array-style dedup reduced
+# to its distributable core): slide a K-char window at stride S over
+# every doc, hash each window, and report blocks that recur across
+# documents — the shared headers/footers/license blocks that token-
+# level near-dup misses because the surrounding text differs.  Linear
+# in chars/S; the group key is the window hash, so partial aggregation
+# collapses repeats map-side and only distinct blocks shuffle.  At
+# 100 TB the knobs are K (block granularity) and S (cost/recall);
+# stride misalignment is the standard trade — a shared block is
+# detected as long as it spans >= K+S chars (some window then lands
+# fully inside it on both docs only if aligned; production systems
+# run S=1 on a sampled partition to calibrate).
+
+SUB_BLOCK_K = 24
+SUB_BLOCK_STRIDE = 8
+
+_SUBBLOCK_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {SUB_BLOCK_K - 1},
+                                {SUB_BLOCK_STRIDE})) AS i
+  FROM documents WHERE length(text) >= {SUB_BLOCK_K}
+),
+blocks AS (
+  SELECT doc_id, md5(substring(text, CAST(i AS INT), {SUB_BLOCK_K})) AS block_hash
+  FROM pos
+)
+SELECT block_hash,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences
+FROM blocks
+GROUP BY block_hash
+HAVING count(DISTINCT doc_id) > 1
+"""
+
+
+@register(
+    "substring_dup_blocks",
+    _SUBBLOCK_ORACLE,
+    doc=f"exact substring-block dedup: {SUB_BLOCK_K}-char windows at "
+    f"stride {SUB_BLOCK_STRIDE}, hashed; blocks recurring across docs "
+    "(shared boilerplate). Linear scan, partial-agg on block hash",
+)
+def q_substring_dup_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.length("text") >= SUB_BLOCK_K)
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.length("text") - (SUB_BLOCK_K - 1),
+                F.lit(SUB_BLOCK_STRIDE),
+            )
+        ).alias("i"),
+    )
+    blocks = pos.select(
+        "doc_id",
+        F.md5(F.col("text").substr(F.col("i"), F.lit(SUB_BLOCK_K))).alias(
+            "block_hash"
+        ),
+    )
+    return (
+        blocks.groupBy("block_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -404,3 +404,119 @@ def q_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_est"),
         F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_est"),
     )
+
+
+# -- equi-width value histogram ---------------------------------------------
+#
+# The profiling primitive behind every "distribution drift" dashboard:
+# fixed-width bins make the histogram MERGEABLE across shards and
+# incremental batches (bin ids are content-derived, so partial
+# histograms union by key) — unlike quantile sketches, no merge error.
+# One scan, partial-agg counts; bin cardinality is bounded by
+# range/width, so the shuffle is tiny regardless of corpus size.
+
+HIST_BIN_WIDTH = 50.0
+
+_HIST_ORACLE = f"""
+SELECT event_type,
+       CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+       count(*) AS n,
+       round(CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) * {HIST_BIN_WIDTH}, 2)
+         AS bin_lo
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "value_histogram",
+    _HIST_ORACLE,
+    doc=f"equi-width histogram (width {HIST_BIN_WIDTH}) of value per "
+    "event_type — mergeable across shards (content-derived bin ids), "
+    "single scan, bounded bin cardinality",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bin_ = F.floor(F.col("value") / HIST_BIN_WIDTH).cast("long")
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type", bin_.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            "n",
+            F.round(F.col("bin") * HIST_BIN_WIDTH, 2).alias("bin_lo"),
+        )
+    )
+
+
+# -- per-group OLS trend ----------------------------------------------------
+#
+# Closed-form least-squares fit of value against event time per
+# event_type — the "is this metric drifting" primitive.  Everything is
+# moment sums (n, Σx, Σy, Σxy, Σx², Σy²), so the whole fit is ONE
+# partial-aggregated scan: no window, no per-group iteration, no UDF —
+# the shape that survives any scale.  x is days since a fixed literal
+# anchor (not a per-group min, which would need a second pass) to keep
+# the moment magnitudes small enough that the final round(6) sits far
+# above double fold-order noise.
+
+TREND_ANCHOR_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in µs
+_US_PER_DAY = 86_400_000_000.0
+
+_TREND_ORACLE = f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum((epoch_us(ts) - {TREND_ANCHOR_US}) / {_US_PER_DAY}) AS sx,
+         sum(value) AS sy,
+         sum(((epoch_us(ts) - {TREND_ANCHOR_US}) / {_US_PER_DAY}) * value) AS sxy,
+         sum(pow((epoch_us(ts) - {TREND_ANCHOR_US}) / {_US_PER_DAY}, 2)) AS sxx,
+         sum(pow(value, 2)) AS syy
+  FROM events GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_per_day,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       round(pow(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m
+"""
+
+
+@register(
+    "value_trend_per_type",
+    _TREND_ORACLE,
+    doc="per-event_type OLS trend (slope/day, intercept, r²) from moment "
+    "sums — one partial-agg scan, no window/UDF/iteration",
+)
+def q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # epoch via timestampdiff from the NTZ epoch: timezone-independent
+    # (see q_time_rollup — unix_micros(cast) shifts on non-UTC sessions)
+    epoch_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    x = (epoch_us - TREND_ANCHOR_US) / _US_PER_DAY
+    y = F.col("value")
+    m = _events(spark, sf_dir).groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(F.pow(x, 2)).alias("sxx"),
+        F.sum(F.pow(y, 2)).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"])
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

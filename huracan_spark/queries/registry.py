@@ -60,6 +60,7 @@ def _load_all_modules() -> None:
         analytics,
         dedup,
         extended,
+        graph,
         llmprep,
         lmdata,
         media,

@@ -363,3 +363,68 @@ def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(t, F.lit(_PII_IP)).alias("n_ips"),
         pii_scrub(t).alias("redacted"),
     )
+
+
+# -- character-entropy quality signal ---------------------------------------
+#
+# Shannon entropy of the per-document character distribution — the
+# classic gibberish/boilerplate detector (low entropy = repeated
+# boilerplate, high = random noise; natural text sits in a band).
+# Linear: explode chars -> two hash aggs keyed by doc_id; per-doc
+# term count is bounded by the alphabet, so the entropy fold is a
+# <=~100-term sum of exact-int-derived doubles — round(6) is far
+# above fold-order ulp noise.
+
+_ENTROPY_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+  FROM documents WHERE length(text) >= 1
+),
+cc AS (
+  SELECT doc_id, substring(text, CAST(i AS INT), 1) AS ch, count(*) AS c
+  FROM pos GROUP BY 1, 2
+),
+tot AS (
+  SELECT doc_id, CAST(sum(c) AS DOUBLE) AS l, count(*) AS n_distinct
+  FROM cc GROUP BY 1
+)
+SELECT cc.doc_id,
+       CAST(t.n_distinct AS BIGINT) AS n_distinct_chars,
+       round(-sum((cc.c / t.l) * log2(cc.c / t.l)), 6) AS char_entropy
+FROM cc JOIN tot t ON cc.doc_id = t.doc_id
+GROUP BY cc.doc_id, t.n_distinct
+"""
+
+
+@register(
+    "doc_char_entropy",
+    _ENTROPY_ORACLE,
+    doc="per-doc Shannon entropy of the character distribution "
+    "(gibberish/boilerplate detector). Explode + two linear hash aggs "
+    "keyed by doc_id — no join back to the corpus, no window",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.length("text") >= 1)
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+    )
+    cc = (
+        pos.select(
+            "doc_id", F.col("text").substr(F.col("i"), F.lit(1)).alias("ch")
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cc.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("l"),
+        F.count("*").alias("n_distinct_chars"),
+    )
+    p = F.col("c") / F.col("l")
+    return (
+        cc.join(tot, "doc_id")
+        .groupBy("doc_id", "n_distinct_chars")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("char_entropy"))
+        .select("doc_id", "n_distinct_chars", "char_entropy")
+    )

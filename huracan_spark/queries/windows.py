@@ -200,3 +200,57 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# -- ranking-family windows: ntile / percent_rank / cume_dist ---------------
+#
+# The remaining ranking window family the reference can't express.
+# Ties are killed by the (value, event_id) compound order key — ntile
+# bucket boundaries and percent_rank are tie-sensitive, so a unique
+# suffix is a cross-engine CORRECTNESS requirement, not a nicety.
+# The window partitions by event_type (bounded cardinality), so the
+# shuffle is the per-type repartition a 100 TB run wants anyway; no
+# single-partition global window.
+
+_NTILE_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ntile(4) OVER w AS quartile,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+)
+SELECT event_type, quartile,
+       count(*) AS n,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value,
+       round(avg(pr), 6) AS avg_pct_rank,
+       round(max(cd), 6) AS max_cume_dist
+FROM ranked
+GROUP BY event_type, quartile
+"""
+
+
+@register(
+    "ntile_quartile_stats",
+    _NTILE_ORACLE,
+    doc="ranking windows: ntile(4)/percent_rank/cume_dist per event_type "
+    "with tie-proof compound order key; per-quartile value stats",
+)
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = _events(spark, sf_dir).select(
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("event_type", "quartile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.avg("pr"), 6).alias("avg_pct_rank"),
+        F.round(F.max("cd"), 6).alias("max_cume_dist"),
+    )
