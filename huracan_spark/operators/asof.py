@@ -10,7 +10,11 @@ broadcast-nested-loop).
 
 Semantics: for each left row, the right row with the greatest
 ``right_time <= left_time`` within the same key ("backward" as-of,
-matching pandas.merge_asof and DuckDB ASOF JOIN defaults).
+matching pandas.merge_asof and DuckDB ASOF JOIN defaults), or with
+``direction="forward"`` the smallest ``right_time >= left_time``
+(pandas merge_asof direction='forward'; DuckDB ``ON r.t >= l.t``).
+Forward reuses the identical single-window plan with the time order
+reversed — no second code path, same scale shape.
 """
 
 from __future__ import annotations
@@ -30,12 +34,17 @@ def asof_join(
     right_time: str,
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join of ``right`` onto ``left``.
+    """As-of join of ``right`` onto ``left``.
 
     Returns every left row plus ``{right_time}{suffix}`` and each of
-    ``right_cols`` as ``{col}{suffix}`` (null when no prior right row).
+    ``right_cols`` as ``{col}{suffix}`` (null when no qualifying right
+    row).  direction: "backward" (default, latest right_time <=
+    left_time) or "forward" (earliest right_time >= left_time).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = right_cols or []
     lpay = [c for c in left.columns if c != on]
     carried = F.struct(
@@ -66,9 +75,14 @@ def asof_join(
     # wins, independent of partitioning/run order); without it,
     # F.last over tied rows is pick-any.  Requires right_cols to be
     # orderable types (atomics/structs/arrays — not maps).
+    # forward = the same running-carry with TIME REVERSED: walking
+    # descending time, "last right seen" is the smallest right_time
+    # >= left_time; right still sorts before left at equal time, so
+    # both directions are inclusive.
+    time_order = F.col("_time").asc() if direction == "backward" else F.col("_time").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy("_time", "_is_left", "_rrow")
+        .orderBy(time_order, F.col("_is_left").asc(), F.col("_rrow").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = l_tag.unionByName(r_tag).withColumn(

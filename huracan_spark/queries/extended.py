@@ -520,3 +520,121 @@ def q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# -- partition integrity checksums ------------------------------------------
+#
+# The migration/replication audit primitive: an ORDER-INDEPENDENT,
+# MERGEABLE fingerprint per partition key.  bit_xor of a row-content
+# hash commutes and associates, so partial checksums combine across
+# shards/batches with no coordination, and two tables (e.g. source
+# parquet vs migrated silver, or two cluster copies) compare with a
+# K-row diff instead of a row-by-row join.  Row content is serialized
+# through INTEGERS ONLY (ids, epoch µs, value scaled to cents) —
+# float-to-string formatting differs between engines/locales and
+# would poison the hash.
+
+_CHECKSUM_PAYLOAD_SQL = (
+    "CAST(event_id AS VARCHAR) || ':' || "
+    "CAST(epoch_us(ts) AS VARCHAR) || ':' || "
+    "CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)"
+)
+
+_CHECKSUM_ORACLE = f"""
+SELECT event_type,
+       count(*) AS n_rows,
+       bit_xor({hash60_sql(_CHECKSUM_PAYLOAD_SQL, "rowck")}) AS checksum
+FROM events
+GROUP BY 1
+"""
+
+
+@register(
+    "audit_checksums",
+    _CHECKSUM_ORACLE,
+    doc="order-independent per-partition integrity checksum (bit_xor of "
+    "row-content hash60 over integer-serialized fields) — mergeable "
+    "across shards, single scan, partial-agg",
+)
+def q_audit_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.functions.textfns import hash60
+
+    epoch_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    payload = F.concat_ws(
+        ":",
+        F.col("event_id").cast("string"),
+        epoch_us.cast("string"),
+        F.round(F.col("value") * 100).cast("long").cast("string"),
+    )
+    return (
+        _events(spark, sf_dir)
+        .select("event_type", hash60(payload, "rowck").alias("ck"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(ck)").alias("checksum"),
+        )
+    )
+
+
+# -- daily-volume z-score anomaly flags -------------------------------------
+#
+# Volume-drift detection: flag (event_type, day) buckets whose event
+# count deviates from that type's daily mean by >= Z_FLAG sample
+# standard deviations.  Counts are integers, so every moment sum is
+# EXACT in doubles (< 2^53) — the z-score is bit-deterministic across
+# engines before the final round.  Two bounded aggregations (days x
+# types), stats joined back via broadcast; no window over the corpus.
+
+Z_FLAG = 2.0
+
+_ZSCORE_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         avg(n) AS mu,
+         stddev_samp(n) AS sigma
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(strftime(d.d, '%Y-%m-%d') AS VARCHAR) AS day,
+       d.n,
+       round((d.n - s.mu) / s.sigma, 6) AS zscore,
+       CASE WHEN abs((d.n - s.mu) / s.sigma) >= {Z_FLAG}
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM daily d JOIN stats s ON d.event_type = s.event_type
+"""
+
+
+@register(
+    "daily_volume_zscores",
+    _ZSCORE_ORACLE,
+    doc=f"per-(type, day) volume z-scores with |z| >= {Z_FLAG} anomaly "
+    "flags — two bounded aggs + broadcast stats join, no corpus window",
+)
+def q_daily_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(z, 6).alias("zscore"),
+            F.when(F.abs(z) >= Z_FLAG, 1).otherwise(0).alias("is_anomaly"),
+        )
+    )

@@ -414,3 +414,57 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+# -- as-of join, FORWARD direction ------------------------------------------
+#
+# The attribution mirror image: the next click AT OR AFTER each
+# purchase (post-purchase engagement).  Same single-window operator
+# plan with time reversed (operators/asof.py direction="forward");
+# DuckDB's ASOF infers the direction from the >= inequality, so the
+# oracle pins forward semantics including the no-next-click nulls at
+# the range tail.
+
+_ASOF_FWD_ORACLE = """
+SELECT p.event_id, p.user_id,
+       epoch_ms(p.ts) AS purchase_ts_ms,
+       epoch_ms(c.ts) AS next_click_ts_ms,
+       c.value AS next_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts >= p.ts
+"""
+
+
+@register(
+    "asof_join_forward",
+    _ASOF_FWD_ORACLE,
+    doc="forward as-of join: earliest click at-or-after each purchase "
+    "(same union+window plan, time reversed — no range cross-join)",
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="c_ts",
+        right_cols=["c_value"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("purchase_ts_ms"),
+        F.unix_millis(F.col("c_ts_asof").cast("timestamp")).alias(
+            "next_click_ts_ms"
+        ),
+        F.col("c_value_asof").alias("next_click_value"),
+    )

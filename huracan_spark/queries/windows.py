@@ -254,3 +254,83 @@ def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("pr"), 6).alias("avg_pct_rank"),
         F.round(F.max("cd"), 6).alias("max_cume_dist"),
     )
+
+
+# -- RANGE interval frame (value-bounded, not row-bounded) -------------------
+#
+# The remaining frame type: RANGE frames bound the window by ORDER-KEY
+# VALUE (here: all of the user's events in the trailing 24 h), not by
+# row count — the "trailing window metric" shape rate limiters and
+# rolling SLO dashboards need.  RANGE frames are tie-DETERMINISTIC by
+# construction (every row with an in-bound key is in the frame), so
+# unlike the ranking windows no unique suffix key is needed.  The
+# order key is the NTZ-epoch in µs — numeric, so both engines bound
+# the frame with plain arithmetic.
+
+_TRAIL_US = 86_400_000_000  # 24 h
+
+# The frame aggregate runs over INTEGER CENTS, not doubles: a running
+# double sum folds in engine-specific order and can land exactly on a
+# round() boundary (observed at sf0.01).  Integer window sums are
+# exact in both engines, so the derived average is bit-identical;
+# the 4-decimal TRUNCATION (floor) replaces round() because the
+# quotient grid (1/100n) lands exactly on round-half boundaries where
+# the engines' decimal-vs-binary rounding disagrees — floor of an
+# identical IEEE double is unambiguous.
+_RANGE_FRAME_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE user_id < 200
+)
+SELECT user_id, event_id,
+       n_24h,
+       floor(CAST(sum_cents AS DOUBLE) * 100 / n_24h) / 10000 AS avg_24h
+FROM (
+  SELECT user_id, event_id,
+         count(*) OVER w AS n_24h,
+         CAST(sum(cents) OVER w AS BIGINT) AS sum_cents
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+               RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW)
+)
+"""
+
+
+@register(
+    "trailing_24h_window",
+    _RANGE_FRAME_ORACLE,
+    doc="RANGE interval frame: per-user trailing-24h count/avg bounded by "
+    "order-key value (tie-deterministic by construction); partitioned "
+    "window, user filter pushed to the scan",
+)
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    epoch_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 200).select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        epoch_us.alias("t_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-_TRAIL_US, 0)
+    )
+    framed = ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_24h"),
+        F.sum("cents").over(w).alias("sum_cents"),
+    )
+    return framed.select(
+        "user_id",
+        "event_id",
+        "n_24h",
+        (
+            F.floor(F.col("sum_cents").cast("double") * 100 / F.col("n_24h"))
+            / 10000
+        ).alias("avg_24h"),
+    )

@@ -5,6 +5,7 @@ pin invariants and plan shapes."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from huracan_spark.queries.dedup import (
     SUB_BLOCK_K,
@@ -105,3 +106,136 @@ def test_substring_blocks_plan_linear(spark, sf_dir):
     assert p.count("Scan parquet") == 1
     assert "Join" not in p
     assert "Generate" in p  # the window explode is the linear path
+
+
+# -- forward as-of -----------------------------------------------------------
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    from huracan_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 1, 10), ("u", 2, 25), ("u", 3, 99)], ["k", "lid", "t"]
+    )
+    right = spark.createDataFrame(
+        [("u", 10, 1.0), ("u", 20, 2.0), ("u", 30, 3.0)], ["k", "rt", "v"]
+    )
+    got = {
+        r.lid: r
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            right_cols=["v"], direction="forward",
+        ).collect()
+    }
+    assert got[1].rt_asof == 10 and got[1].v_asof == 1.0  # inclusive >=
+    assert got[2].rt_asof == 30 and got[2].v_asof == 3.0  # earliest after
+    assert got[3].rt_asof is None and got[3].v_asof is None  # none after
+
+
+def test_asof_direction_validation(spark):
+    from huracan_spark.operators.asof import asof_join
+
+    df = spark.range(1).select(F.lit("k").alias("k"), F.lit(1).alias("t"))
+    try:
+        asof_join(df, df, on="k", left_time="t", right_time="t",
+                  direction="nearest")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+# -- audit checksums ---------------------------------------------------------
+
+
+def test_checksum_order_and_partitioning_invariant(spark, sf_dir):
+    from huracan_spark.queries.extended import q_audit_checksums
+
+    base = sorted(map(tuple, q_audit_checksums(spark, sf_dir).collect()))
+    # same rows, different physical layout -> identical checksums
+    import huracan_spark.queries.extended as E
+
+    orig = E._events
+    try:
+        E._events = lambda s, d: orig(s, d).repartition(7).sortWithinPartitions(
+            F.col("value").desc()
+        )
+        shuffled = sorted(map(tuple, q_audit_checksums(spark, sf_dir).collect()))
+    finally:
+        E._events = orig
+    assert base == shuffled
+
+
+def test_checksum_detects_single_row_mutation(spark, sf_dir):
+    import huracan_spark.queries.extended as E
+    from huracan_spark.queries.extended import q_audit_checksums
+
+    base = dict(
+        (r.event_type, r.checksum)
+        for r in q_audit_checksums(spark, sf_dir).collect()
+    )
+    orig = E._events
+    try:
+        E._events = lambda s, d: orig(s, d).withColumn(
+            "value",
+            F.when(F.col("event_id") == 42, F.col("value") + 0.01).otherwise(
+                F.col("value")
+            ),
+        )
+        mutated = dict(
+            (r.event_type, r.checksum)
+            for r in q_audit_checksums(spark, sf_dir).collect()
+        )
+    finally:
+        E._events = orig
+    assert sum(1 for t in base if base[t] != mutated[t]) == 1
+
+
+# -- daily z-scores ----------------------------------------------------------
+
+
+def test_zscore_flags_match_threshold(spark, sf_dir):
+    from huracan_spark.queries.extended import Z_FLAG, q_daily_zscores
+
+    rows = q_daily_zscores(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.is_anomaly == (1 if abs(r.zscore) >= Z_FLAG else 0)
+    # z-scores within a type must average ~0 by construction
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.zscore)
+    for zs in by_type.values():
+        assert abs(sum(zs) / len(zs)) < 1e-3
+
+
+def test_checksum_mergeable_across_batches(spark, sf_dir):
+    """The scale contract: per-shard partial checksums combine (xor /
+    sum) into exactly the full-table checksum — no re-scan needed."""
+    import huracan_spark.queries.extended as E
+    from huracan_spark.queries.extended import q_audit_checksums
+
+    full = {
+        r.event_type: (r.n_rows, r.checksum)
+        for r in q_audit_checksums(spark, sf_dir).collect()
+    }
+    orig = E._events
+    parts = []
+    try:
+        for rem in (0, 1):
+            E._events = lambda s, d, rem=rem: orig(s, d).filter(
+                F.col("event_id") % 2 == rem
+            )
+            parts.append(
+                {
+                    r.event_type: (r.n_rows, r.checksum)
+                    for r in q_audit_checksums(spark, sf_dir).collect()
+                }
+            )
+    finally:
+        E._events = orig
+    merged = {}
+    for p in parts:
+        for t, (n, ck) in p.items():
+            mn, mck = merged.get(t, (0, 0))
+            merged[t] = (mn + n, mck ^ ck)
+    assert merged == full
