@@ -1,0 +1,258 @@
+"""Data-curation scoring operators: DSIR importance, bigram LM, novelty.
+
+Three published-technique curation signals an LLM data pipeline runs
+between cleaning and sampling (beyond-reference extension per the
+build brief):
+
+- ``dsir_importance`` — Data Selection with Importance Resampling
+  (Xie et al. 2023): per-document importance weight
+  ``mean(log p_target(feature) / p_corpus(feature))`` over hashed
+  token features.  The feature space is a fixed 256 buckets, so both
+  distribution tables are bounded broadcasts; the corpus token stream
+  is touched once and never shuffles on the token key.
+- ``bigram_logprob`` — bigram-LM document scoring with add-0.5
+  smoothing (the next step up from the unigram gate in
+  ``queries/lmdata.py``).  The bigram/context count tables are bounded
+  by the token type space (Zipf-capped in practice), broadcast onto
+  the per-document bigram stream.
+- ``ngram_novelty`` — fraction of a document's distinct word 3-grams
+  that occur in no other document (the uniqueness/creativity signal;
+  the complement of the boilerplate fraction in
+  ``queries/dedup.py::substring_dup_blocks``).  One explode + df
+  aggregate + equi-join back on the gram key.
+
+All pure column expressions with oracle twins from the same constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from huracan_spark.functions.textfns import hash60, hash60_sql, tokens, tokens_sql
+from huracan_spark.queries.registry import register
+from huracan_spark.sources.tables import load_table
+
+DSIR_BUCKETS = 256  # hashed feature space (fixed => bounded stats tables)
+DSIR_TARGET_LANG = "en"  # target distribution: English subcorpus
+
+BIGRAM_SMOOTH = 0.5  # add-k smoothing for the bigram LM
+
+NOVELTY_N = 3  # word n-gram order for the novelty signal
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# -- DSIR importance weights -------------------------------------------------
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         {hash60_sql('t.token', 'dsir')} % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, lang, unnest({tokens_sql('text')}) AS token
+    FROM documents
+  ) t
+),
+stats AS (
+  SELECT b,
+         count(*) AS n_all,
+         count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS n_tgt
+  FROM tok GROUP BY b
+),
+totals AS (
+  SELECT CAST(sum(n_all) AS BIGINT) AS tot_all,
+         CAST(sum(n_tgt) AS BIGINT) AS tot_tgt
+  FROM stats
+)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(avg(log10(
+         ((coalesce(s.n_tgt, 0) + 1.0) / (totals.tot_tgt + {DSIR_BUCKETS}))
+         / ((coalesce(s.n_all, 0) + 1.0) / (totals.tot_all + {DSIR_BUCKETS}))
+       )), 4) AS dsir_weight
+FROM tok t LEFT JOIN stats s ON t.b = s.b CROSS JOIN totals
+GROUP BY t.doc_id
+"""
+
+
+@register(
+    "dsir_importance",
+    _DSIR_ORACLE,
+    doc=f"DSIR importance weight per document: mean log-ratio of the "
+    f"target ({DSIR_TARGET_LANG}) vs corpus distribution over "
+    f"{DSIR_BUCKETS} hashed token features (Xie et al. 2023, reduced to "
+    "its deterministic hashed-unigram form). Both distribution tables "
+    "are bucket-bounded broadcasts; the token stream aggregates per doc "
+    "with map-side combine and never shuffles on the token key",
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("token")
+    ).select(
+        "doc_id",
+        "lang",
+        (hash60(F.col("token"), "dsir") % DSIR_BUCKETS).alias("b"),
+    )
+    stats = tok.groupBy("b").agg(
+        F.count("*").alias("n_all"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("n_tgt"),
+    )
+    totals = stats.agg(
+        F.sum("n_all").cast("long").alias("tot_all"),
+        F.sum("n_tgt").cast("long").alias("tot_tgt"),
+    )
+    p_tgt = (F.coalesce(F.col("n_tgt"), F.lit(0)) + 1.0) / (
+        F.col("tot_tgt") + DSIR_BUCKETS
+    )
+    p_all = (F.coalesce(F.col("n_all"), F.lit(0)) + 1.0) / (
+        F.col("tot_all") + DSIR_BUCKETS
+    )
+    return (
+        tok.join(F.broadcast(stats), "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log10(p_tgt / p_all)), 4).alias("dsir_weight"),
+        )
+    )
+
+
+# -- bigram-LM document scoring ----------------------------------------------
+
+_BIGRAM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql('text')} AS ts FROM documents
+),
+bg AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM (
+    SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+    FROM tok WHERE len(ts) >= 2
+  )
+),
+pair_counts AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+ctx_counts AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+               FROM pair_counts GROUP BY w1),
+vocab AS (SELECT count(DISTINCT w2) AS v FROM bg)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round(avg(log10(
+         (p.c12 + {BIGRAM_SMOOTH}) / (c.c1 + {BIGRAM_SMOOTH} * vocab.v)
+       )), 4) AS avg_logprob
+FROM bg b
+JOIN pair_counts p ON b.w1 = p.w1 AND b.w2 = p.w2
+JOIN ctx_counts c ON b.w1 = c.w1
+CROSS JOIN vocab
+GROUP BY b.doc_id
+"""
+
+
+@register(
+    "bigram_logprob",
+    _BIGRAM_ORACLE,
+    doc=f"bigram-LM document scoring with add-{BIGRAM_SMOOTH} smoothing "
+    "(the conditional-probability step up from the unigram gate). The "
+    "bigram and context count tables are bounded by the token type "
+    "space, broadcast onto the per-doc bigram stream — the corpus "
+    "never shuffles on the skewed pair key",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    bg = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("ts") - 1)).alias("i"),
+        "ts",
+    ).select(
+        "doc_id",
+        F.expr("element_at(ts, i)").alias("w1"),
+        F.expr("element_at(ts, i + 1)").alias("w2"),
+    )
+    pair_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx_counts = pair_counts.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1")
+    )
+    vocab = bg.agg(F.countDistinct("w2").alias("v"))
+    lp = F.log10(
+        (F.col("c12") + BIGRAM_SMOOTH) / (F.col("c1") + BIGRAM_SMOOTH * F.col("v"))
+    )
+    return (
+        bg.join(F.broadcast(pair_counts), ["w1", "w2"])
+        .join(F.broadcast(ctx_counts), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(lp), 4).alias("avg_logprob"),
+        )
+    )
+
+
+# -- n-gram novelty -----------------------------------------------------------
+
+_NOVELTY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql('text')} AS ts FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS gram
+  FROM (
+    SELECT doc_id, ts, unnest(generate_series(1, len(ts) - {NOVELTY_N - 1})) AS i
+    FROM tok WHERE len(ts) >= {NOVELTY_N}
+  )
+),
+df AS (SELECT gram, count(*) AS n_docs FROM grams GROUP BY gram)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       count(*) FILTER (WHERE df.n_docs = 1) AS n_novel,
+       round(CAST(count(*) FILTER (WHERE df.n_docs = 1) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM grams g JOIN df ON g.gram = df.gram
+GROUP BY g.doc_id
+"""
+
+
+@register(
+    "ngram_novelty",
+    _NOVELTY_ORACLE,
+    doc=f"per-document novelty: fraction of distinct word {NOVELTY_N}-grams "
+    "occurring in no other document (the uniqueness signal, complement "
+    "of shared-boilerplate detection). One explode + document-frequency "
+    "aggregate + equi-join back on the gram key — all shuffles are "
+    "hash-partitioned on the gram, no self-join of the corpus",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("ts")).filter(
+        F.size("ts") >= NOVELTY_N
+    )
+    gram = F.concat_ws(
+        " ",
+        F.expr("element_at(ts, i)"),
+        F.expr("element_at(ts, i + 1)"),
+        F.expr("element_at(ts, i + 2)"),
+    )
+    grams = (
+        tok.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("ts") - (NOVELTY_N - 1))
+            ).alias("i"),
+            "ts",
+        )
+        .select("doc_id", gram.alias("gram"))
+        .distinct()
+    )
+    df = grams.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    novel = F.count(F.when(F.col("n_docs") == 1, 1))
+    return (
+        grams.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            novel.alias("n_novel"),
+            F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
+        )
+    )

@@ -977,3 +977,91 @@ def q_substring_dup_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# -- shingle containment (asymmetric near-dup) -------------------------------
+
+# Containment C(A,B) = |A ∩ B| / |A| catches the subset-duplicate case
+# Jaccard misses: a short doc fully embedded in a longer one scores
+# C(A,B) ~ 1 while J(A,B) stays low.  Same df-capped shingle universe
+# and self-join shape as ``jaccard_pairs`` (hot shingles broadcast-
+# anti-joined out), emitting BOTH directions' containment for each
+# unordered pair above the threshold on either side.
+
+CONTAINMENT_THRESHOLD = 0.3
+
+_CONTAINMENT_ORACLE = f"""
+WITH sh0 AS ({_SHINGLES_SQL}),
+hot AS (
+  SELECT source, shingle FROM sh0
+  GROUP BY source, shingle HAVING count(*) > {JACCARD_DF_CAP}
+),
+sh AS (
+  SELECT sh0.* FROM sh0 LEFT JOIN hot
+    ON sh0.source = hot.source AND sh0.shingle = hot.shingle
+  WHERE hot.shingle IS NULL
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(c AS DOUBLE) / sa.n, 6) AS containment_a_in_b,
+       round(CAST(c AS DOUBLE) / sb.n, 6) AS containment_b_in_a
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(c AS DOUBLE) / sa.n >= {CONTAINMENT_THRESHOLD}
+   OR CAST(c AS DOUBLE) / sb.n >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register(
+    "shingle_containment_pairs",
+    _CONTAINMENT_ORACLE,
+    doc="asymmetric containment near-dup: |A∩B|/|A| over the df-capped "
+    "shingle universe (catches short-doc-inside-long-doc that Jaccard "
+    "misses); identical scale shape to ngram_jaccard_pairs — hot "
+    "shingles broadcast-anti-joined out before the equi-self-join",
+)
+def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(_docs(spark, sf_dir)).cache()
+    hot = (
+        sh.groupBy("source", "shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > JACCARD_DF_CAP)
+        .select("source", "shingle")
+    )
+    capped = sh.join(F.broadcast(hot), ["source", "shingle"], "left_anti")
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    c_ab = F.col("c") / F.col("sa.n")
+    c_ba = F.col("c") / F.col("sb.n")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter((c_ab >= CONTAINMENT_THRESHOLD) | (c_ba >= CONTAINMENT_THRESHOLD))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_ab, 6).alias("containment_a_in_b"),
+            F.round(c_ba, 6).alias("containment_b_in_a"),
+        )
+    )

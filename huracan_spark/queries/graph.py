@@ -111,3 +111,134 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "node")
         .limit(PR_TOP_K)
     )
+
+
+# -- triangle counting --------------------------------------------------------
+
+# Nation-trade graph: an undirected edge links two nations when their
+# customers/suppliers trade above the corpus-average intensity (a
+# relative threshold, so the graph stays non-trivial at every scale
+# factor).  Triangle counting uses the standard distributed algorithm:
+# orient every edge from the lower-(degree, id) endpoint to the higher
+# one, then one self-join of the oriented edge list plus one closing
+# equi-join — each triangle is produced exactly once, and the join
+# fan-out is bounded by the oriented out-degree (<= sqrt(2m) per node),
+# the property that makes this the 100 TB algorithm (Suri & Vassilvitskii
+# 2011) instead of the naive 3-way join over undirected edges.
+
+TRI_ROUND = 6
+
+
+def _tri_edges_sql() -> str:
+    return """
+trades AS (
+  SELECT c.c_nationkey AS a, s.s_nationkey AS b
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+und AS (
+  SELECT least(a, b) AS x, greatest(a, b) AS y, count(*) AS n_trades
+  FROM trades GROUP BY 1, 2
+),
+kept AS (SELECT x, y FROM und WHERE n_trades > (SELECT avg(n_trades) FROM und)),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT x AS node FROM kept UNION ALL SELECT y AS node FROM kept
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (dx.d, k.x) < (dy.d, k.y) THEN k.x ELSE k.y END AS src,
+         CASE WHEN (dx.d, k.x) < (dy.d, k.y) THEN k.y ELSE k.x END AS dst
+  FROM kept k JOIN deg dx ON k.x = dx.node JOIN deg dy ON k.y = dy.node
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM oriented e1
+  JOIN oriented e2 ON e1.dst = e2.src
+  JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)"""
+
+
+_TRIANGLE_ORACLE = (
+    "WITH "
+    + _tri_edges_sql()
+    + """
+SELECT n.n_name, count(*) AS n_triangles
+FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+) t JOIN nation n ON t.node = n.n_nationkey
+GROUP BY n.n_name
+"""
+)
+
+
+@register(
+    "triangle_count_nations",
+    _TRIANGLE_ORACLE,
+    doc="per-node triangle counts over the above-average-intensity "
+    "nation-trade graph, via degree-ordered edge orientation (Suri & "
+    "Vassilvitskii): each triangle produced exactly once by one "
+    "oriented self-join + one closing equi-join; join fan-out bounded "
+    "by oriented out-degree, never the naive undirected 3-way join",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    trades = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b"))
+    )
+    und = trades.groupBy(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    ).agg(F.count("*").alias("n_trades"))
+    avg_n = und.agg(F.avg("n_trades").alias("avg_n"))
+    # the thresholded edge list is node-bounded (<= |nations|^2 rows) and
+    # referenced by deg/oriented/e1/e2/e3 — persist it so the corpus-sized
+    # 4-way trade join is planned and executed ONCE, not once per branch
+    kept = (
+        und.crossJoin(F.broadcast(avg_n))
+        .filter(F.col("n_trades") > F.col("avg_n"))
+        .select("x", "y")
+        .persist()
+    )
+    deg = (
+        kept.select(F.col("x").alias("node"))
+        .unionByName(kept.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    with_deg = kept.join(dx, "x").join(dy, "y")
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    oriented = with_deg.select(
+        F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
+    ).persist()  # three self-join branches read this edge-bounded table
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        nodes.join(F.broadcast(nation), nodes.node == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -58,6 +58,7 @@ def _load_all_modules() -> None:
     """Import every query module so registrations run."""
     from huracan_spark.queries import (  # noqa: F401
         analytics,
+        curation,
         dedup,
         extended,
         graph,
@@ -69,7 +70,9 @@ def _load_all_modules() -> None:
         ranking,
         relational,
         similarity,
+        sketches,
         text,
+        timeseries,
         tpch,
         tpch_extra,
         windows,

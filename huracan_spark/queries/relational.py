@@ -468,3 +468,106 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("c_value_asof").alias("next_click_value"),
     )
+
+
+# -- hopping (sliding) event-time windows -----------------------------------
+
+# 1-hour windows every 30 minutes: each event lands in exactly two
+# overlapping windows.  This is Spark's native sliding `window()` —
+# the oracle reproduces the assignment by exploding the two candidate
+# starts per event (the generic form unnests window_len/slide starts).
+
+_HOPPING_ORACLE = """
+WITH assigned AS (
+  SELECT event_type, value,
+         unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+           AS window_start
+  FROM events
+)
+SELECT epoch_ms(window_start) AS window_start_ms,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "hopping_window_agg",
+    _HOPPING_ORACLE,
+    doc="hopping (sliding) event-time windows — 1h length, 30min slide, "
+    "each event in exactly window/slide = 2 windows; Spark's native "
+    "sliding window() operator, partial-agg combined before the "
+    "(window, type) shuffle",
+)
+def q_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    win = F.window(F.col("ts"), "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("window_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# -- unpivot / melt ----------------------------------------------------------
+
+# Wide-to-long reshaping with EXACT integer-cents sums (double sums
+# fold-order-drift across engines; cents are associative).
+
+_MELT_ORACLE = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS quantity,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS price,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS discount,
+         CAST(sum(CAST(round(l_tax * 100) AS BIGINT)) AS BIGINT) AS tax
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'quantity' AS metric, quantity AS value_cents FROM wide
+UNION ALL
+SELECT l_returnflag, 'price', price FROM wide
+UNION ALL
+SELECT l_returnflag, 'discount', discount FROM wide
+UNION ALL
+SELECT l_returnflag, 'tax', tax FROM wide
+"""
+
+
+@register(
+    "lineitem_metrics_melt",
+    _MELT_ORACLE,
+    doc="unpivot/melt: wide per-flag measure columns reshaped to "
+    "(flag, metric, value) rows via DataFrame.unpivot — the reshape "
+    "happens AFTER the aggregate, so the melt multiplies a "
+    "|flags|-sized table, never the fact scan; sums are exact integer "
+    "cents (associative, engine-order-proof)",
+)
+def q_lineitem_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def cents(c: str):
+        return F.sum(F.round(F.col(c) * 100).cast("long")).cast("long")
+
+    wide = li.groupBy("l_returnflag").agg(
+        cents("l_quantity").alias("quantity"),
+        cents("l_extendedprice").alias("price"),
+        cents("l_discount").alias("discount"),
+        cents("l_tax").alias("tax"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["quantity", "price", "discount", "tax"],
+        "metric",
+        "value_cents",
+    )

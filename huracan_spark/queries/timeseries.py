@@ -1,0 +1,318 @@
+"""Time-series / behavioral analytics over the ``events`` stream table.
+
+Five operators a production analytics engine layers on an event store
+(beyond-reference extension per the build brief; the reference's
+analytics corpus stops at counts/distincts — SURVEY §2.6):
+
+- ``event_transition_matrix`` — first-order Markov transitions between
+  consecutive event types per user (the "what do users do next"
+  query).  Per-user window only (never a global sort); the output is
+  bounded by |event_type|^2.
+- ``user_behavior_entropy`` — Shannon entropy of each user's
+  event-type distribution (behavioral diversity signal).  Two linear
+  aggs + a join on user_id; the entropy fold is over <= |event_type|
+  terms per user.
+- ``gap_fill_daily`` — calendar spine per event type with
+  forward-filled daily averages (the classic time-series gap-fill /
+  LOCF).  The spine is |types| x |days| rows by construction; the
+  forward-fill window is per-type over the bounded day count, never
+  over raw events.
+- ``ewma_daily_value`` — exponentially weighted moving average of the
+  per-type daily mean.  The recursive fold is order-pinned on BOTH
+  engines (Spark: ``aggregate`` HOF over a sorted bounded array;
+  DuckDB: recursive CTE), so the doubles are bit-identical before the
+  final round.  The collected array is bounded by calendar days, not
+  data volume.
+- ``winsorized_mean_per_type`` — robust mean after clipping at exact
+  interpolated p05/p95 (outlier-trimmed KPI).  The percentile pass
+  aggregates per type; the 5-row stats table broadcasts back onto the
+  scan.
+
+All pure ``pyspark.sql.functions``; no UDFs, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from huracan_spark.queries.registry import register
+from huracan_spark.sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# -- first-order Markov transition matrix -----------------------------------
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM pairs
+"""
+
+
+@register(
+    "event_transition_matrix",
+    _TRANSITION_ORACLE,
+    doc="first-order Markov transitions between consecutive event types "
+    "per user (lag window partitioned by user — tie-broken by event_id, "
+    "never a global order); output bounded by |event_type|^2, the "
+    "row-probability window runs over that bounded matrix only",
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    row_total = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(row_total), 6).alias("p"),
+    )
+
+
+# -- behavioral entropy per user --------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events
+  GROUP BY user_id, event_type
+),
+t AS (
+  SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_events,
+         count(*) AS n_types
+  FROM c GROUP BY user_id
+)
+SELECT t.user_id, t.n_events, t.n_types,
+       round(-sum((c.cnt / CAST(t.n_events AS DOUBLE))
+                  * log2(c.cnt / CAST(t.n_events AS DOUBLE))), 6)
+         AS behavior_entropy
+FROM c JOIN t USING (user_id)
+GROUP BY t.user_id, t.n_events, t.n_types
+"""
+
+
+@register(
+    "user_behavior_entropy",
+    _ENTROPY_ORACLE,
+    doc="Shannon entropy of each user's event-type distribution "
+    "(behavioral-diversity signal); two linear hash aggs + an equi-join "
+    "on user_id, entropy fold over <= |event_type| terms per user — "
+    "no window, no self-join",
+)
+def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    t = c.groupBy("user_id").agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.count("*").alias("n_types"),
+    )
+    p = F.col("cnt") / F.col("n_events").cast("double")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", "n_events", "n_types")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("behavior_entropy"))
+    )
+
+
+# -- calendar gap-fill with forward fill (LOCF) ------------------------------
+
+_GAPFILL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, epoch_ms(date_trunc('day', ts)) AS day_ms,
+         count(*) AS n, round(avg(value), 6) AS avg_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+  FROM events
+),
+spine AS (
+  SELECT t.event_type, epoch_ms(gs.d) AS day_ms
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM bounds
+  ) gs
+)
+SELECT s.event_type, s.day_ms,
+       coalesce(d.n, 0) AS n,
+       last_value(d.avg_value IGNORE NULLS)
+         OVER (PARTITION BY s.event_type ORDER BY s.day_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS avg_value_filled
+FROM spine s LEFT JOIN daily d USING (event_type, day_ms)
+"""
+
+
+@register(
+    "gap_fill_daily",
+    _GAPFILL_ORACLE,
+    doc="time-series gap fill: dense calendar spine per event type with "
+    "forward-filled (LOCF) daily averages; the spine is |types| x |days| "
+    "rows by construction and the fill window runs per type over that "
+    "bounded series — raw events are touched once, in the daily agg",
+)
+def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    day_ms = F.unix_millis(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+    daily = ev.groupBy(
+        "event_type", day_ms.alias("day_ms")
+    ).agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("d")
+    ).select(F.unix_millis(F.col("d").cast("timestamp")).alias("day_ms"))
+    types = ev.select("event_type").distinct()
+    # both spine sides are bounded (|types|, |days|) -> broadcast cross
+    spine = types.crossJoin(F.broadcast(days))
+    fill = (
+        Window.partitionBy("event_type")
+        .orderBy("day_ms")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(daily, ["event_type", "day_ms"], "left").select(
+        "event_type",
+        "day_ms",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.last("avg_value", ignorenulls=True).over(fill).alias("avg_value_filled"),
+    )
+
+
+# -- EWMA of the per-type daily mean ----------------------------------------
+
+EWMA_ALPHA = 0.3
+
+# The fold is order-pinned on both engines: Spark folds a sorted
+# bounded array with the `aggregate` HOF; DuckDB unrolls the identical
+# recurrence e_t = a*x_t + (1-a)*e_{t-1} (e_1 = x_1) via recursive CTE.
+# Inputs are pre-rounded to 6dp so both sides fold the same doubles ->
+# bit-identical result before the final round(4).
+
+_EWMA_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, epoch_ms(date_trunc('day', ts)) AS day_ms,
+         round(avg(value), 6) AS x
+  FROM events GROUP BY 1, 2
+),
+numbered AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day_ms) AS rn
+  FROM daily
+),
+rec AS (
+  SELECT event_type, rn, x AS e FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT d.event_type, d.rn, {EWMA_ALPHA} * d.x + {1 - EWMA_ALPHA} * r.e
+  FROM numbered d JOIN rec r
+    ON d.event_type = r.event_type AND d.rn = r.rn + 1
+)
+SELECT event_type, max(rn) AS n_days, round(max_by(e, rn), 4) AS ewma
+FROM rec GROUP BY event_type
+"""
+
+
+@register(
+    "ewma_daily_value",
+    _EWMA_ORACLE,
+    doc=f"EWMA (alpha={EWMA_ALPHA}) of the per-type daily mean value — "
+    "the smoothed-KPI recurrence. Raw events aggregate to a per-type "
+    "daily series first; the collected array the fold runs over is "
+    "bounded by calendar days, never by data volume, and the fold order "
+    "is pinned (sorted array + aggregate HOF), so the recurrence is "
+    "reproducible cross-engine",
+)
+def q_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    day_ms = F.unix_millis(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+    daily = ev.groupBy(
+        "event_type", day_ms.alias("day_ms")
+    ).agg(F.round(F.avg("value"), 6).alias("x"))
+    arr = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day_ms", "x"))).alias("s")
+    )
+    fold = (
+        f"aggregate(slice(s, 2, size(s) - 1), "
+        f"CAST(element_at(s, 1).x AS DOUBLE), "
+        f"(acc, e) -> {EWMA_ALPHA}D * e.x + {1 - EWMA_ALPHA}D * acc)"
+    )
+    return arr.select(
+        "event_type",
+        F.size("s").cast("long").alias("n_days"),
+        F.round(F.expr(fold), 4).alias("ewma"),
+    )
+
+
+# -- winsorized mean ---------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n,
+       round(s.lo, 6) AS p05, round(s.hi, 6) AS p95,
+       round(avg(least(greatest(e.value, s.lo), s.hi)), 4)
+         AS winsorized_mean
+FROM events e JOIN stats s USING (event_type)
+GROUP BY e.event_type, s.lo, s.hi
+"""
+
+
+@register(
+    "winsorized_mean_per_type",
+    _WINSOR_ORACLE,
+    doc="robust mean after clipping at exact interpolated p05/p95 per "
+    "type (outlier-trimmed KPI); the percentile pass reduces per type, "
+    "the |types|-row stats table broadcasts back onto the scan — two "
+    "linear passes, no corpus-wide sort",
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("lo", 6).alias("p05"),
+            F.round("hi", 6).alias("p95"),
+            "winsorized_mean",
+        )
+    )

@@ -1,0 +1,221 @@
+"""Property + plan tests for the round-4 analytics additions:
+time-series (transition matrix, entropy, gap fill, EWMA, winsorized
+mean), deterministic sketches (CMS, Bloom prefilter, vocab growth),
+curation scores (DSIR, bigram LM, novelty), and triangle counting."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from huracan_spark.queries.registry import REGISTRY, spark_queries
+
+spark_queries()
+
+
+def _run(spark, sf_dir, name: str):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return _run(spark, sf_dir, name)._jdf.queryExecution().executedPlan().toString()
+
+
+# -- time-series -------------------------------------------------------------
+
+
+def test_transition_matrix_rows_are_distributions(spark, sf_dir):
+    rows = _run(spark, sf_dir, "event_transition_matrix").collect()
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.p
+    for prev, total in by_prev.items():
+        assert total == pytest.approx(1.0, abs=1e-4), prev
+
+
+def test_transition_matrix_window_is_partitioned_by_user(spark, sf_dir):
+    p = _plan(spark, sf_dir, "event_transition_matrix")
+    assert "Window" in p
+    # the per-user lag window must never collapse to a single partition
+    assert "SinglePartition" not in p.split("Window")[0]
+
+
+def test_behavior_entropy_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "user_behavior_entropy").collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert 0.0 <= r.behavior_entropy <= math.log2(max(r.n_types, 2)) + 1e-9
+
+
+def test_gap_fill_is_dense_and_carries_last_value(spark, sf_dir):
+    rows = _run(spark, sf_dir, "gap_fill_daily").collect()
+    types = {r.event_type for r in rows}
+    days = {r.day_ms for r in rows}
+    assert len(rows) == len(types) * len(days)  # dense spine
+    # forward fill: wherever n > 0 the filled value is the day's own avg;
+    # a gap day repeats the previous filled value
+    for t in types:
+        series = sorted((r for r in rows if r.event_type == t), key=lambda r: r.day_ms)
+        prev = None
+        for r in series:
+            if r.n == 0:
+                assert r.avg_value_filled == prev
+            prev = r.avg_value_filled
+
+
+def test_ewma_matches_pandas(spark, sf_dir):
+    import pandas as pd
+
+    from huracan_spark.queries.timeseries import EWMA_ALPHA
+    from huracan_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    got = {r.event_type: r.ewma for r in _run(spark, sf_dir, "ewma_daily_value").collect()}
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.unix_millis(F.date_trunc("day", F.col("ts")).cast("timestamp")).alias(
+                "day_ms"
+            ),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("x"))
+        .toPandas()
+    )
+    for t, g in daily.groupby("event_type"):
+        series = g.sort_values("day_ms")["x"]
+        want = series.ewm(alpha=EWMA_ALPHA, adjust=False).mean().iloc[-1]
+        assert got[t] == pytest.approx(round(want, 4), abs=2e-4)
+
+
+def test_winsorized_mean_within_clip_bounds(spark, sf_dir):
+    for r in _run(spark, sf_dir, "winsorized_mean_per_type").collect():
+        assert r.p05 <= r.winsorized_mean <= r.p95
+
+
+# -- sketches ----------------------------------------------------------------
+
+
+def test_cms_estimate_is_one_sided(spark, sf_dir):
+    rows = _run(spark, sf_dir, "cms_heavy_hitters").collect()
+    assert rows
+    for r in rows:
+        assert r.est_n >= r.true_n  # CMS never underestimates
+        assert r.overestimate == r.est_n - r.true_n
+
+
+def test_cms_sketch_join_is_broadcast(spark, sf_dir):
+    p = _plan(spark, sf_dir, "cms_heavy_hitters")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    rows = _run(spark, sf_dir, "bloom_prefilter_join").collect()
+    assert rows
+    for r in rows:
+        assert r.n_pass_bloom >= r.n_actual  # a bloom cannot drop a match
+        assert r.n_false_pos == r.n_pass_bloom - r.n_actual
+        assert r.n_false_pos >= 0
+
+
+def test_bloom_bits_join_is_broadcast(spark, sf_dir):
+    p = _plan(spark, sf_dir, "bloom_prefilter_join")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_vocab_growth_is_monotone_and_concave_ish(spark, sf_dir):
+    rows = sorted(
+        _run(spark, sf_dir, "vocab_growth_curve").collect(), key=lambda r: r.slice
+    )
+    assert [r.slice for r in rows] == list(range(len(rows)))
+    for a, b in itertools.pairwise(rows):
+        assert b.n_units_cum > a.n_units_cum
+        assert b.n_vocab_cum >= a.n_vocab_cum  # vocab never shrinks
+    # Heaps: vocabulary grows sublinearly vs token mass
+    first, last = rows[0], rows[-1]
+    assert last.n_vocab_cum / first.n_vocab_cum < last.n_units_cum / first.n_units_cum
+
+
+# -- curation ----------------------------------------------------------------
+
+
+def test_dsir_target_lang_scores_higher(spark, sf_dir):
+    from huracan_spark.sources.tables import load_table
+
+    docs = {r.doc_id: r.lang for r in load_table(spark, sf_dir, "documents").collect()}
+    rows = _run(spark, sf_dir, "dsir_importance").collect()
+    en = [r.dsir_weight for r in rows if docs[r.doc_id] == "en"]
+    rest = [r.dsir_weight for r in rows if docs[r.doc_id] != "en"]
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_bigram_logprob_bounded_and_stats_broadcast(spark, sf_dir):
+    rows = _run(spark, sf_dir, "bigram_logprob").collect()
+    assert all(r.avg_logprob < 0 for r in rows)
+    p = _plan(spark, sf_dir, "bigram_logprob")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ngram_novelty_fraction_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "ngram_novelty").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams
+        assert 0.0 <= r.novelty <= 1.0
+
+
+# -- triangles ---------------------------------------------------------------
+
+
+def test_triangle_counts_match_bruteforce(spark, sf_dir):
+    """Degree-ordered orientation must count exactly the undirected
+    triangles (checked against itertools over the kept edge set)."""
+    from pyspark.sql import functions as F
+
+    from huracan_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    und = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("x"),
+            F.greatest("c_nationkey", "s_nationkey").alias("y"),
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    avg = sum(r.n for r in und) / len(und)
+    edges = {(r.x, r.y) for r in und if r.n > avg}
+    nodes = sorted({v for e in edges for v in e})
+    per_node = dict.fromkeys(nodes, 0)
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges:
+            for v in (a, b, c):
+                per_node[v] += 1
+    got = {
+        r.n_name: r.n_triangles
+        for r in _run(spark, sf_dir, "triangle_count_nations").collect()
+    }
+    nation = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    want = {nation[k]: v for k, v in per_node.items() if v > 0}
+    assert got == want
+
+
+def test_triangle_join_no_cartesian(spark, sf_dir):
+    p = _plan(spark, sf_dir, "triangle_count_nations")
+    assert "CartesianProduct" not in p
