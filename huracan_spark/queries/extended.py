@@ -638,3 +638,73 @@ def q_daily_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(z) >= Z_FLAG, 1).otherwise(0).alias("is_anomaly"),
         )
     )
+
+
+# -- median-absolute-deviation outliers --------------------------------------
+
+# Robust complement to daily_volume_zscores: median/MAD are insensitive
+# to the very outliers being hunted (mean/stddev are not).  Two exact
+# interpolated-percentile passes per type — each a per-type aggregate
+# over the scan, stats broadcast back; no corpus-wide sort.
+
+MAD_K = 3.0  # |x - median| > K * MAD flags an outlier
+
+_MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS median_v
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, med.median_v,
+         quantile_cont(abs(e.value - med.median_v), 0.5) AS mad_v
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type, med.median_v
+)
+SELECT e.event_type,
+       round(m.median_v, 6) AS median_v,
+       round(m.mad_v, 6) AS mad_v,
+       count(*) AS n,
+       count(*) FILTER (WHERE abs(e.value - m.median_v) > {MAD_K} * m.mad_v)
+         AS n_outliers
+FROM events e JOIN mad m USING (event_type)
+GROUP BY e.event_type, m.median_v, m.mad_v
+"""
+
+
+@register(
+    "mad_outliers_per_type",
+    _MAD_ORACLE,
+    doc=f"robust outlier detection: |x - median| > {MAD_K} * MAD per "
+    "event type (median/MAD are outlier-insensitive, unlike the "
+    "mean/stddev z-score twin). Two exact percentile aggregates per "
+    "type, |types|-row stats broadcast back onto the scan",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("median_v")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "median_v")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("median_v")), F.lit(0.5)).alias(
+                "mad_v"
+            )
+        )
+    )
+    out = F.count(
+        F.when(F.abs(F.col("value") - F.col("median_v")) > MAD_K * F.col("mad_v"), 1)
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "median_v", "mad_v")
+        .agg(F.count("*").alias("n"), out.alias("n_outliers"))
+        .select(
+            "event_type",
+            F.round("median_v", 6).alias("median_v"),
+            F.round("mad_v", 6).alias("mad_v"),
+            "n",
+            "n_outliers",
+        )
+    )

@@ -164,3 +164,54 @@ def write_documents_orc(df: DataFrame, path: str, *, compression: str = "zstd") 
     df.select(*_CANON_COLS).write.mode("overwrite").option(
         "compression", compression
     ).orc(path)
+
+
+# -- raw media ingestion (binaryFile source) ---------------------------------
+
+# Maps a directory of raw media files onto the MEDIA_SCHEMA contract
+# (multimodal.py) via Spark's binaryFile source: payloads stay opaque
+# binary columns (never decoded JVM-side), metadata rides typed
+# columns.  kind is derived from the file extension; media_id is the
+# content-stable hash60 of the relative path, so re-ingesting the same
+# drop yields identical ids (idempotent replay, K4 analog at the
+# format edge).
+#
+# Scale notes: binaryFile parallelizes by file; spark.sql.files.
+# maxPartitionBytes governs packing of small files into tasks, and
+# the pathGlobFilter prunes non-media files at listing time (no read).
+
+_MEDIA_EXT_TO_KIND = {
+    "jpg": "image",
+    "jpeg": "image",
+    "png": "image",
+    "wav": "audio",
+    "mp3": "audio",
+    "mp4": "video",
+    "mkv": "video",
+}
+
+
+def read_media_binary(spark: SparkSession, path: str) -> DataFrame:
+    """Read raw media files under ``path`` into the media-table layout:
+    (media_id, kind, payload, source, n_bytes, mtime)."""
+    from huracan_spark.functions.textfns import hash60
+
+    glob = "*.{" + ",".join(sorted(_MEDIA_EXT_TO_KIND)) + "}"
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    kind = F.lit(None).cast("string")
+    for e, k in sorted(_MEDIA_EXT_TO_KIND.items()):
+        kind = F.when(ext == e, F.lit(k)).otherwise(kind)
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    return raw.select(
+        hash60(fname, "media").alias("media_id"),
+        kind.alias("kind"),
+        F.col("content").alias("payload"),
+        F.lit(path).alias("source"),
+        F.col("length").cast("int").alias("n_bytes"),
+        F.col("modificationTime").alias("mtime"),
+    )
