@@ -256,3 +256,102 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
         )
     )
+
+
+# -- typo pairs via deletion neighborhoods (FastSS) ---------------------------
+
+# Edit-distance<=2 similarity JOIN made scale-safe: two strings within
+# k edits share a member of their k-deletion neighborhoods (Bocek et
+# al. 2007, FastSS), so candidates come from a plain equi-join on the
+# deletion-variant key — fan-out 1 + L + C(L,2) per token, bounded by
+# token length^2, never a quadratic levenshtein cross-join of the
+# vocabulary.  The exact distance check runs on candidates only.
+
+TYPO_MIN_LEN = 3
+TYPO_MAX_DIST = 2
+
+_TYPO_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT unnest({tokens_sql('text')}) AS token FROM documents
+),
+t AS (SELECT token FROM toks WHERE length(token) >= {TYPO_MIN_LEN}),
+del1 AS (
+  SELECT token, substr(token, 1, i - 1) || substr(token, i + 1) AS v, i
+  FROM (SELECT token, unnest(generate_series(1, length(token))) AS i FROM t)
+),
+del2 AS (
+  -- delete position j > i of the original = delete (j-1) of the del1 string
+  SELECT token, substr(v, 1, j - 2) || substr(v, j) AS v
+  FROM (SELECT token, v, i, unnest(generate_series(i + 1, length(v) + 1)) AS j
+        FROM del1)
+),
+variants AS (
+  SELECT token, token AS variant FROM t
+  UNION ALL SELECT token, v FROM del1
+  UNION ALL SELECT token, v FROM del2
+),
+cand AS (
+  SELECT DISTINCT a.token AS token_a, b.token AS token_b
+  FROM variants a JOIN variants b
+    ON a.variant = b.variant AND a.token < b.token
+)
+SELECT token_a, token_b,
+       levenshtein(token_a, token_b) AS dist
+FROM cand
+WHERE levenshtein(token_a, token_b) <= {TYPO_MAX_DIST}
+"""
+
+
+@register(
+    "token_typo_pairs",
+    _TYPO_ORACLE,
+    doc=f"edit-distance<={TYPO_MAX_DIST} token pairs via FastSS "
+    "deletion neighborhoods: candidates share a <=2-deletion variant "
+    "(plain equi-join on the variant key, fan-out bounded by token "
+    "length^2), exact levenshtein verifies candidates only — never a "
+    "quadratic cross-join of the vocabulary",
+)
+def q_token_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens("text")).alias("token"))
+        .distinct()
+        .filter(F.length("token") >= TYPO_MIN_LEN)
+    )
+    del1 = (
+        "transform(sequence(1, length(token)), "
+        "i -> concat(substring(token, 1, i - 1), "
+        "substring(token, i + 1, length(token))))"
+    )
+    # deleting original positions (i, j), i<j == deleting j, then i: do
+    # both deletions on the fly from the original string
+    del2 = (
+        "flatten(transform(sequence(1, length(token)), "
+        "j -> transform(sequence(1, j - 1), "
+        "i -> concat(substring(token, 1, i - 1), "
+        "substring(token, i + 1, j - i - 1), "
+        "substring(token, j + 1, length(token))))))"
+    )
+    variants = toks.select(
+        "token",
+        F.explode(
+            F.concat(F.array(F.col("token")), F.expr(del1), F.expr(del2))
+        ).alias("variant"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .select(
+            F.col("a.token").alias("token_a"), F.col("b.token").alias("token_b")
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("token_a", "token_b")
+    return cand.filter(dist <= TYPO_MAX_DIST).select(
+        "token_a", "token_b", dist.alias("dist")
+    )

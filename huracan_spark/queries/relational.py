@@ -571,3 +571,75 @@ def q_lineitem_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value_cents",
     )
+
+
+# -- market-basket co-purchase pairs -----------------------------------------
+
+# Support + lift over part pairs sharing an order.  The self-join fans
+# out per order by (lines-per-order choose 2) — bounded by the order
+# line cap, NOT corpus size — and is hash-partitioned on the order key;
+# the per-part order counts broadcast back for the lift ratio.
+
+BASKET_MIN_SUPPORT = 2
+
+_COPURCHASE_ORACLE = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM lp),
+part_freq AS (SELECT l_partkey, count(*) AS n_p FROM lp GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT p.part_a, p.part_b, p.support,
+       round(CAST(p.support AS DOUBLE) * n_orders.n
+             / (fa.n_p * fb.n_p), 6) AS lift
+FROM pairs p
+JOIN part_freq fa ON p.part_a = fa.l_partkey
+JOIN part_freq fb ON p.part_b = fb.l_partkey
+CROSS JOIN n_orders
+"""
+
+
+@register(
+    "copurchase_pairs",
+    _COPURCHASE_ORACLE,
+    doc=f"market-basket analysis: part pairs co-occurring in >= "
+    f"{BASKET_MIN_SUPPORT} orders with lift = P(a,b)/(P(a)P(b)). "
+    "Self-join fan-out bounded by lines-per-order (never corpus-"
+    "quadratic), hash-partitioned on the order key; per-part "
+    "frequencies broadcast for the lift ratio",
+)
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = lp.agg(F.countDistinct("l_orderkey").alias("n"))
+    part_freq = lp.groupBy("l_partkey").agg(F.count("*").alias("n_p"))
+    a = lp.alias("a")
+    b = lp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    fa = part_freq.select(F.col("l_partkey").alias("part_a"), F.col("n_p").alias("na"))
+    fb = part_freq.select(F.col("l_partkey").alias("part_b"), F.col("n_p").alias("nb"))
+    lift = F.col("support").cast("double") * F.col("n") / (F.col("na") * F.col("nb"))
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select("part_a", "part_b", "support", F.round(lift, 6).alias("lift"))
+    )

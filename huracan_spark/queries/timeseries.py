@@ -316,3 +316,71 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_mean",
         )
     )
+
+
+# -- trailing 7-day active users (WAU) ----------------------------------------
+
+# Sliding distinct-count via bounded fan-out: each (type, user, day)
+# activity row contributes to exactly the 7 trailing windows ending on
+# day..day+6, so the explode factor is the window length — never a
+# per-day re-scan and never a distinct-over-window (which Spark cannot
+# partial-aggregate).  The spine join drops windows ending on days
+# with no events so both engines agree on the domain.
+
+WAU_DAYS = 7
+
+_WAU_ORACLE = f"""
+WITH au AS (
+  SELECT DISTINCT event_type, user_id, date_trunc('day', ts) AS day
+  FROM events
+),
+spine AS (SELECT DISTINCT day FROM au),
+contrib AS (
+  SELECT event_type, user_id,
+         unnest(generate_series(day, day + INTERVAL {WAU_DAYS - 1} DAY,
+                                INTERVAL 1 DAY)) AS wend
+  FROM au
+)
+SELECT c.event_type, epoch_ms(c.wend) AS day_ms,
+       count(DISTINCT c.user_id) AS n_active
+FROM contrib c JOIN spine s ON c.wend = s.day
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "trailing_7d_active_users",
+    _WAU_ORACLE,
+    doc=f"trailing {WAU_DAYS}-day distinct active users per event type "
+    "(the WAU KPI): each activity day fans out to exactly its "
+    f"{WAU_DAYS} trailing windows (bounded explode), then one distinct "
+    "aggregate per (type, window) — never a distinct-over-window or a "
+    "per-day re-scan",
+)
+def q_trailing_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    au = ev.select(
+        "event_type", "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    spine = au.select("day").distinct().select(F.col("day").alias("wend"))
+    contrib = au.select(
+        "event_type",
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr(f"INTERVAL {WAU_DAYS - 1} DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("wend"),
+    )
+    return (
+        contrib.join(F.broadcast(spine), "wend")
+        .groupBy("event_type", "wend")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(
+            "event_type",
+            F.unix_millis(F.col("wend").cast("timestamp")).alias("day_ms"),
+            "n_active",
+        )
+    )

@@ -219,3 +219,96 @@ def test_triangle_counts_match_bruteforce(spark, sf_dir):
 def test_triangle_join_no_cartesian(spark, sf_dir):
     p = _plan(spark, sf_dir, "triangle_count_nations")
     assert "CartesianProduct" not in p
+
+
+# -- market basket / WAU / typo pairs ----------------------------------------
+
+
+def test_copurchase_lift_consistent_with_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from huracan_spark.sources.tables import load_table
+
+    rows = _run(spark, sf_dir, "copurchase_pairs").collect()
+    assert rows and all(r.support >= 2 for r in rows)
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = lp.select("l_orderkey").distinct().count()
+    freq = {r.l_partkey: r.n for r in lp.groupBy("l_partkey").agg(F.count("*").alias("n")).collect()}
+    r = rows[0]
+    want = round(r.support * n_orders / (freq[r.part_a] * freq[r.part_b]), 6)
+    assert r.lift == pytest.approx(want, abs=1e-6)
+
+
+def test_trailing_active_users_matches_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from huracan_spark.sources.tables import load_table
+
+    au = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type", "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .distinct()
+        .collect()
+    )
+    days = sorted({r.day for r in au})
+    got = {
+        (r.event_type, r.day_ms): r.n_active
+        for r in _run(spark, sf_dir, "trailing_7d_active_users").collect()
+    }
+    # brute-force check on the latest day, per type
+    import datetime
+
+    last = days[-1]
+    lo = last - datetime.timedelta(days=6)
+    for et in {r.event_type for r in au}:
+        want = len({r.user_id for r in au if r.event_type == et and lo <= r.day <= last})
+        key = (et, int(last.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000))
+        assert got[key] == want
+
+
+def test_typo_pairs_complete_vs_bruteforce(spark, sf_dir):
+    """FastSS candidate generation must find EVERY vocabulary pair
+    within edit distance 2 (losslessness of the deletion-neighborhood
+    blocking), verified against itertools over the full vocabulary."""
+    from pyspark.sql import functions as F
+
+    from huracan_spark.functions.textfns import tokens
+    from huracan_spark.queries.curation import TYPO_MIN_LEN
+    from huracan_spark.sources.tables import load_table
+
+    vocab = [
+        r.token
+        for r in load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("token"))
+        .distinct()
+        .collect()
+        if len(r.token) >= TYPO_MIN_LEN
+    ]
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b): lev(a, b)
+        for a, b in itertools.combinations(sorted(vocab), 2)
+        if lev(a, b) <= 2
+    }
+    got = {
+        (r.token_a, r.token_b): r.dist
+        for r in _run(spark, sf_dir, "token_typo_pairs").collect()
+    }
+    assert got == want
