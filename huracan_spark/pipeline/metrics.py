@@ -97,3 +97,26 @@ def attach_streaming_listener(spark: SparkSession, table: MetricsTable):
     listener = _L()
     spark.streams.addListener(listener)
     return listener
+
+
+def observe_pipeline(df: DataFrame, name: str = "pipeline"):
+    """Attach free in-flight metrics to a DataFrame via Spark's
+    ``observe`` mechanism: row count, error-row count and value sum are
+    accumulated DURING the action that consumes ``df`` — no second scan,
+    unlike a separate ``df.count()`` (which at 100 TB doubles the read).
+
+    Returns ``(observed_df, observation)``; read ``observation.get``
+    after the first action completes.  The reference tails every bulk
+    write with separate counting queries (main/src/etl.rs:1296-1318) —
+    this is the single-pass Spark analog, feedable into MetricsTable.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return observed, obs

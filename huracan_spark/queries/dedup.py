@@ -191,13 +191,70 @@ def jaccard_pairs(sh: DataFrame, df_cap: int = JACCARD_DF_CAP) -> DataFrame:
     )
 
 
+def _shingle_commons(spark: SparkSession, sf_dir: str):
+    """(common, sizes) over the df-capped shingle universe, materialized
+    once per (application, sf_dir) and shared by the Jaccard and
+    containment pair queries — the expensive shingle self-join runs
+    once, both measures are cheap reads of its output.  Same pipeline
+    as ``jaccard_pairs`` (which stays the plan-tested canonical form
+    for direct use)."""
+
+    def build_capped():
+        sh = _shingles(_docs(spark, sf_dir))
+        hot = (
+            sh.groupBy("source", "shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > JACCARD_DF_CAP)
+            .select("source", "shingle")
+        )
+        return sh.join(F.broadcast(hot), ["source", "shingle"], "left_anti")
+
+    capped = _materialized(spark, sf_dir, "capped_shingles", build_capped)
+    sizes = _materialized(
+        spark,
+        sf_dir,
+        "shingle_sizes",
+        lambda: capped.groupBy("doc_id").agg(F.count("*").alias("n")),
+    )
+
+    def build_common():
+        a = capped.alias("a")
+        b = capped.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.source") == F.col("b.source"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count("*").alias("c"))
+        )
+
+    common = _materialized(spark, sf_dir, "shingle_common", build_common)
+    return common, sizes
+
+
 @register(
     "ngram_jaccard_pairs",
     _JACCARD_ORACLE,
-    doc="n-gram Jaccard near-dup: df-capped shingle self-join within source, threshold pairs",
+    doc="n-gram Jaccard near-dup: df-capped shingle self-join within source, "
+    "threshold pairs; the self-join output is materialized per (app, sf_dir) "
+    "and shared with shingle_containment_pairs",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return jaccard_pairs(_shingles(_docs(spark, sf_dir)))
+    common, sizes = _shingle_commons(spark, sf_dir)
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jacc = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jacc >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )
 
 
 # -- MinHash + LSH ----------------------------------------------------------
@@ -1029,27 +1086,7 @@ WHERE CAST(c AS DOUBLE) / sa.n >= {CONTAINMENT_THRESHOLD}
     "shingles broadcast-anti-joined out before the equi-self-join",
 )
 def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(_docs(spark, sf_dir)).cache()
-    hot = (
-        sh.groupBy("source", "shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > JACCARD_DF_CAP)
-        .select("source", "shingle")
-    )
-    capped = sh.join(F.broadcast(hot), ["source", "shingle"], "left_anti")
-    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = capped.alias("a")
-    b = capped.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("c"))
-    )
+    common, sizes = _shingle_commons(spark, sf_dir)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     c_ab = F.col("c") / F.col("sa.n")

@@ -708,3 +708,60 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# -- Z-order layout statistics -----------------------------------------------
+
+# The data-clustering primitive behind multi-dimensional file skipping
+# (Delta/Iceberg OPTIMIZE ZORDER): interleave (user bucket, day) into a
+# Morton code and show that every contiguous Z-range bounds BOTH
+# dimensions — a z-sorted file layout lets scans filtered on EITHER
+# key skip most files, where a lexicographic sort only serves its
+# leading key.  Pure shift/mask integer arithmetic on both engines.
+
+from huracan_spark.operators.zorder import zorder_key, zorder_key_sql  # noqa: E402
+
+_Z_DIM = 256  # values per dimension (8 bits)
+_Z_SHIFT = 10  # bucket = z >> 10: 64 buckets of 1024 z-values = 32x32 tiles
+
+_ZORDER_ORACLE = f"""
+WITH keyed AS (
+  SELECT CAST(user_id % {_Z_DIM} AS BIGINT) AS u,
+         CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) % {_Z_DIM} AS d
+  FROM events
+),
+z AS (SELECT u, d, {zorder_key_sql('u', 'd')} AS zval FROM keyed)
+SELECT zval >> {_Z_SHIFT} AS z_bucket,
+       count(*) AS n,
+       max(u) - min(u) AS u_span,
+       max(d) - min(d) AS d_span
+FROM z GROUP BY 1
+"""
+
+
+@register(
+    "zorder_layout_stats",
+    _ZORDER_ORACLE,
+    doc="Z-order (Morton) clustering audit: per contiguous z-bucket, the "
+    "span of BOTH interleaved dimensions — each 2^10 z-range covers a "
+    "32x32 tile, so min/max file stats prune on either key (the "
+    "OPTIMIZE ZORDER layout primitive); one scan, codegen'd shift/mask "
+    "arithmetic, bucket cardinality bounded by the key space",
+)
+def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    u = (F.col("user_id") % _Z_DIM).cast("long")
+    d = (
+        F.floor(
+            F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(86400000)
+        ).cast("long")
+        % _Z_DIM
+    )
+    z = ev.select(u.alias("u"), d.alias("d")).select(
+        "u", "d", zorder_key(F.col("u"), F.col("d")).alias("zval")
+    )
+    return z.groupBy(F.shiftright("zval", _Z_SHIFT).alias("z_bucket")).agg(
+        F.count("*").alias("n"),
+        (F.max("u") - F.min("u")).alias("u_span"),
+        (F.max("d") - F.min("d")).alias("d_span"),
+    )

@@ -242,3 +242,82 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+# -- BFS minimum-hop distances ------------------------------------------------
+
+BFS_ROUNDS = 3  # >= diameter of the thresholded trade graph
+
+
+def _bfs_round_sql(k: int) -> str:
+    return f"""
+d{k} AS (
+  SELECT node, min(hops) AS hops FROM (
+    SELECT node, hops FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.hops + 1 AS hops
+    FROM d{k - 1} d JOIN bi e ON d.node = e.src
+  ) GROUP BY node
+)"""
+
+
+_BFS_ORACLE = (
+    "WITH "
+    + _tri_edges_sql().split(",\ntri AS")[0]  # trades/und/kept/deg/oriented
+    + f""",
+bi AS (
+  SELECT x AS src, y AS dst FROM kept
+  UNION ALL
+  SELECT y AS src, x AS dst FROM kept
+),
+src0 AS (SELECT min(src) AS s FROM bi),
+d0 AS (SELECT s AS node, 0 AS hops FROM src0),
+{",".join(_bfs_round_sql(k) for k in range(1, BFS_ROUNDS + 1))}
+SELECT n.n_name, d.hops
+FROM d{BFS_ROUNDS} d JOIN nation n ON d.node = n.n_nationkey
+"""
+)
+
+
+@register(
+    "bfs_trade_hops",
+    _BFS_ORACLE,
+    doc=f"BFS minimum-hop distances ({BFS_ROUNDS} rounds) from the "
+    "lowest-id nation over the above-average-intensity trade graph — "
+    "iterative frontier expansion: one equi-join + partial-agg min per "
+    "round, localCheckpoint lineage truncation, no driver graph state; "
+    "oracle unrolls the rounds as CTEs (operators/bfs.py)",
+)
+def q_bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.operators.bfs import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    trades = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b"))
+    )
+    und = trades.groupBy(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    ).agg(F.count("*").alias("n_trades"))
+    avg_n = und.agg(F.avg("n_trades").alias("avg_n"))
+    kept = (
+        und.crossJoin(F.broadcast(avg_n))
+        .filter(F.col("n_trades") > F.col("avg_n"))
+        .select("x", "y")
+        .persist()
+    )
+    bi = kept.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
+        kept.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    source = bi.agg(F.min("src")).collect()[0][0]  # O(1) scalar, like kmeans
+    dist = bfs_hops(bi, F.lit(source), rounds=BFS_ROUNDS)
+    return dist.join(F.broadcast(nation), dist.node == nation.n_nationkey).select(
+        "n_name", "hops"
+    )

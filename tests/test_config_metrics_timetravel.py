@@ -233,3 +233,25 @@ def test_silver_compact_makes_old_generations_vacuumable(spark, tmp_path):
     assert gen1 in removed
     state = {r._id: r.version_ for r in silver.read().collect()}
     assert len(state) == 64 and state["k0"] == 2 and state["k63"] == 1
+
+
+def test_observe_pipeline_single_pass_metrics(spark, sf_dir):
+    """observe() metrics must match the separately computed truth while
+    being collected in the SAME action as the consuming write."""
+    from pyspark.sql import functions as F
+
+    from huracan_spark.pipeline.metrics import observe_pipeline
+    from huracan_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    observed, obs = observe_pipeline(ev, "ingest_audit")
+    n_consumed = observed.count()  # the consuming action
+    got = obs.get
+    truth = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ).collect()[0]
+    assert got["n_rows"] == n_consumed == truth.n_rows
+    assert got["n_errors"] == truth.n_errors
+    assert abs(got["sum_value"] - truth.sum_value) < 1e-6

@@ -312,3 +312,82 @@ def test_typo_pairs_complete_vs_bruteforce(spark, sf_dir):
         for r in _run(spark, sf_dir, "token_typo_pairs").collect()
     }
     assert got == want
+
+
+# -- z-order / BFS -----------------------------------------------------------
+
+
+def test_zorder_key_matches_python_morton(spark):
+    from pyspark.sql import functions as F
+
+    from huracan_spark.operators.zorder import Z_BITS, zorder_key
+
+    def morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(Z_BITS):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    pairs = [(0, 0), (1, 0), (0, 1), (255, 255), (170, 85), (37, 201)]
+    df = spark.createDataFrame(pairs, "a: long, b: long").select(
+        "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == morton(r.a, r.b)
+
+
+def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
+    """Every contiguous 2^10 z-range covers a 32x32 tile: both spans
+    must be < 32 even though the global spans are far larger."""
+    rows = _run(spark, sf_dir, "zorder_layout_stats").collect()
+    assert rows
+    for r in rows:
+        assert r.u_span < 32 and r.d_span < 32
+
+
+def test_bfs_hops_match_bruteforce(spark, sf_dir):
+    from collections import deque
+
+    from pyspark.sql import functions as F
+
+    from huracan_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    und = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("x"),
+            F.greatest("c_nationkey", "s_nationkey").alias("y"),
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    avg = sum(r.n for r in und) / len(und)
+    adj: dict[int, set[int]] = {}
+    for r in und:
+        if r.n > avg:
+            adj.setdefault(r.x, set()).add(r.y)
+            adj.setdefault(r.y, set()).add(r.x)
+    src = min(adj)
+    want = {src: 0}
+    dq = deque([src])
+    while dq:
+        u = dq.popleft()
+        for v in adj[u]:
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    nation = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    got = {r.n_name: r.hops for r in _run(spark, sf_dir, "bfs_trade_hops").collect()}
+    # BFS_ROUNDS covers the diameter of the fixture graph
+    assert got == {nation[k]: v for k, v in want.items()}

@@ -96,8 +96,14 @@ def test_q19_part_side_broadcast(spark, sf_dir):
 
 def test_jaccard_hot_shingle_cap_is_broadcast_anti_join(spark, sf_dir):
     """The df-cap winnowing must subtract the (tiny) hot-shingle list
-    via a broadcast anti-join — never a shuffled one."""
-    p = _plan(spark, sf_dir, "ngram_jaccard_pairs")
+    via a broadcast anti-join — never a shuffled one.  Checked on the
+    canonical ``jaccard_pairs`` pipeline directly: the registered query
+    reads the per-(app, sf_dir) materialization of the same pipeline,
+    whose plan is an ExistingRDD scan after first build."""
+    from huracan_spark.queries.dedup import _docs, _shingles, jaccard_pairs
+
+    df = jaccard_pairs(_shingles(_docs(spark, sf_dir)))
+    p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "CartesianProduct" not in p
 
