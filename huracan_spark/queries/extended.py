@@ -765,3 +765,119 @@ def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("u") - F.min("u")).alias("u_span"),
         (F.max("d") - F.min("d")).alias("d_span"),
     )
+
+
+# -- correlation / covariance aggregates -------------------------------------
+
+_CORR_ORACLE = """
+SELECT event_type, count(*) AS n,
+       round(corr(value, CAST(extract(hour FROM ts) AS DOUBLE)), 4) AS corr_value_hour,
+       round(covar_samp(value, CAST(extract(hour FROM ts) AS DOUBLE)), 4)
+         AS covar_value_hour
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "value_hour_correlation",
+    _CORR_ORACLE,
+    doc="Pearson correlation + sample covariance between event value and "
+    "hour-of-day per type — the moment-based correlation aggregates "
+    "(single scan, map-side partial moments, no window)",
+)
+def q_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hour = F.hour(F.col("ts")).cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("value", hour), 4).alias("corr_value_hour"),
+        F.round(F.covar_samp("value", hour), 4).alias("covar_value_hour"),
+    )
+
+
+# -- key-skew diagnostics -----------------------------------------------------
+
+# The decision input for salting/AQE-skew-join (operators/salting.py):
+# per candidate shuffle key, the frequency histogram is collapsed to a
+# count-of-counts table (bounded by the number of DISTINCT frequency
+# values, not keys), from which top-share and the Gini coefficient are
+# exact.  The window for the Gini partial sums runs over that bounded
+# count-of-counts table only.
+
+_SKEW_ORACLE = """
+WITH freq AS (
+  SELECT user_id, count(*) AS f FROM events GROUP BY user_id
+),
+coc AS (SELECT f, count(*) AS m FROM freq GROUP BY f),
+tot AS (
+  SELECT CAST(sum(m) AS BIGINT) AS n_keys, CAST(sum(f * m) AS BIGINT) AS n_rows
+  FROM coc
+),
+cum AS (
+  SELECT f, m,
+         sum(m) OVER (ORDER BY f) AS cum_m,
+         sum(f * m) OVER (ORDER BY f) AS cum_fm
+  FROM coc
+),
+gini AS (
+  -- G = 1 - sum_i (m_i/n) * (2*cum_fm_before + f_i*m_i) / total_mass
+  SELECT 1.0 - sum((CAST(m AS DOUBLE) / tot.n_keys)
+                   * (2.0 * (cum_fm - f * m) + CAST(f AS DOUBLE) * m)
+                   / tot.n_rows) AS g
+  FROM cum CROSS JOIN tot
+)
+SELECT tot.n_keys, tot.n_rows,
+       (SELECT max(f) FROM coc) AS max_key_rows,
+       round(CAST((SELECT max(f) FROM coc) AS DOUBLE) / tot.n_rows, 6)
+         AS top1_share,
+       round(gini.g, 6) AS gini
+FROM tot CROSS JOIN gini
+"""
+
+
+@register(
+    "key_skew_report",
+    _SKEW_ORACLE,
+    doc="shuffle-key skew diagnostics for the user_id key: exact Gini "
+    "coefficient + top-1 share from the count-of-counts histogram — "
+    "the table the Gini window runs over is bounded by distinct "
+    "frequency VALUES, never by key cardinality (the salting/AQE "
+    "decision input, operators/salting.py)",
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    freq = ev.groupBy("user_id").agg(F.count("*").alias("f"))
+    coc = freq.groupBy("f").agg(F.count("*").alias("m"))
+    tot = coc.agg(
+        F.sum("m").cast("long").alias("n_keys"),
+        F.sum(F.col("f") * F.col("m")).cast("long").alias("n_rows"),
+        F.max("f").alias("max_key_rows"),
+    )
+    cum = Window.orderBy("f").rowsBetween(Window.unboundedPreceding, 0)
+    cumd = coc.select(
+        "f", "m", F.sum(F.col("f") * F.col("m")).over(cum).alias("cum_fm")
+    )
+    g_term = (
+        (F.col("m").cast("double") / F.col("n_keys"))
+        * (2.0 * (F.col("cum_fm") - F.col("f") * F.col("m"))
+           + F.col("f").cast("double") * F.col("m"))
+        / F.col("n_rows")
+    )
+    gini = (
+        cumd.crossJoin(F.broadcast(tot))
+        .agg((F.lit(1.0) - F.sum(g_term)).alias("g"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(gini))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            F.round(F.col("max_key_rows").cast("double") / F.col("n_rows"), 6).alias(
+                "top1_share"
+            ),
+            F.round("g", 6).alias("gini"),
+        )
+    )

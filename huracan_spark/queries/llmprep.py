@@ -598,3 +598,61 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_u") < F.col("weight"))
         .drop("_u")
     )
+
+
+# -- weighted reservoir sampling (Efraimidis–Spirakis) ------------------------
+
+# Distributed weighted sampling WITHOUT replacement: each doc gets key
+# ln(u)/w (u content-stable uniform from hash60, w = n_chars weight);
+# the top-K keys per source are exactly an Efraimidis–Spirakis (2006)
+# weighted reservoir — mergeable across shards (keep each shard's
+# top-K, re-top-K the union), RNG-free and replay-stable like
+# ``weighted_sample`` (Bernoulli twin).  Adjacent ranked keys are
+# ~1/n apart, astronomically wider than cross-engine libm ulp drift,
+# so the selected set is engine-stable.
+
+ES_SAMPLE_K = 10
+_ES_U = f"(({hash60_sql('text', 'essample')} + 0.5) / {float(1 << 60)})"
+
+_ES_ORACLE = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         ln({_ES_U}) / n_chars AS es_key
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_chars, es_key,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY es_key DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT source, doc_id, n_chars, round(es_key, 6) AS es_key
+FROM ranked WHERE rn <= {ES_SAMPLE_K}
+"""
+
+
+@register(
+    "weighted_reservoir_sample",
+    _ES_ORACLE,
+    doc=f"Efraimidis–Spirakis weighted reservoir: top-{ES_SAMPLE_K} docs "
+    "per source by ln(u)/weight with a content-stable uniform — exact "
+    "weighted sampling without replacement, mergeable across shards "
+    "(per-shard top-K then re-top-K), RNG-free/replay-stable; ranking "
+    "window is partitioned per source, never global",
+)
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from huracan_spark.functions.textfns import hash60
+
+    d = _docs(spark, sf_dir)
+    u = (hash60(F.col("text"), "essample") + 0.5) / float(1 << 60)
+    keyed = d.select(
+        "source", "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("es_key")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ES_SAMPLE_K)
+        .select("source", "doc_id", "n_chars", F.round("es_key", 6).alias("es_key"))
+    )

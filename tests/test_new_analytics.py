@@ -391,3 +391,38 @@ def test_bfs_hops_match_bruteforce(spark, sf_dir):
     got = {r.n_name: r.hops for r in _run(spark, sf_dir, "bfs_trade_hops").collect()}
     # BFS_ROUNDS covers the diameter of the fixture graph
     assert got == {nation[k]: v for k, v in want.items()}
+
+
+# -- correlation / skew / weighted reservoir ---------------------------------
+
+
+def test_correlation_bounds(spark, sf_dir):
+    for r in _run(spark, sf_dir, "value_hour_correlation").collect():
+        assert -1.0 <= r.corr_value_hour <= 1.0
+
+
+def test_key_skew_gini_bounds(spark, sf_dir):
+    r = _run(spark, sf_dir, "key_skew_report").collect()[0]
+    assert 0.0 <= r.gini < 1.0
+    assert 0.0 < r.top1_share <= 1.0
+    assert r.max_key_rows <= r.n_rows
+
+
+def test_weighted_reservoir_favors_heavy_docs(spark, sf_dir):
+    """E-S sampling with w = n_chars must bias the sample toward longer
+    docs: sampled mean length > corpus mean length."""
+    from pyspark.sql import functions as F
+
+    from huracan_spark.queries.llmprep import ES_SAMPLE_K
+    from huracan_spark.sources.tables import load_table
+
+    rows = _run(spark, sf_dir, "weighted_reservoir_sample").collect()
+    per_source: dict[str, int] = {}
+    for r in rows:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+    assert all(v == ES_SAMPLE_K for v in per_source.values())
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
