@@ -643,3 +643,92 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_orders))
         .select("part_a", "part_b", "support", F.round(lift, 6).alias("lift"))
     )
+
+
+# -- decile lift / gains table -----------------------------------------------
+
+# The scale-safe ntile alternative: a global ntile() needs a
+# SinglePartition window over every customer; instead the 9 decile
+# BOUNDARIES are computed with one exact-percentile aggregate (doubles
+# identical cross-engine on integer-cents input), broadcast, and each
+# row buckets itself locally.  The cumulative pass runs over the
+# 10-row decile table only.
+
+_LIFT_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+bounds AS (
+  SELECT quantile_cont(cents, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+           AS bs
+  FROM spend
+),
+bucketed AS (
+  SELECT s.cents,
+         len(list_filter(bounds.bs, b -> s.cents > b)) AS decile
+  FROM spend s CROSS JOIN bounds
+),
+dec AS (
+  SELECT decile, count(*) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS total_cents
+  FROM bucketed GROUP BY decile
+),
+tot AS (SELECT CAST(sum(total_cents) AS BIGINT) AS grand FROM dec)
+SELECT d.decile, d.n_customers, d.total_cents,
+       round(CAST(d.total_cents AS DOUBLE) / tot.grand, 6) AS share,
+       round(CAST(sum(d.total_cents)
+                  OVER (ORDER BY d.decile DESC) AS DOUBLE) / tot.grand, 6)
+         AS cum_share_from_top
+FROM dec d CROSS JOIN tot
+"""
+
+
+@register(
+    "customer_decile_lift",
+    _LIFT_ORACLE,
+    doc="decile gains table over customer spend WITHOUT a global ntile "
+    "window: 9 exact-percentile boundaries broadcast, rows bucket "
+    "locally, cumulative share computed over the 10-row decile table — "
+    "the SinglePartition-free form of the marketing lift report",
+)
+def q_customer_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    bounds = spend.agg(
+        F.percentile("cents", F.lit([i / 10.0 for i in range(1, 10)])).alias("bs")
+    )
+    bucketed = spend.crossJoin(F.broadcast(bounds)).select(
+        "cents",
+        F.size(F.filter(F.col("bs"), lambda b: F.col("cents") > b)).alias("decile"),
+    )
+    dec = bucketed.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    tot = dec.agg(F.sum("total_cents").cast("long").alias("grand"))
+    cum = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "total_cents",
+            F.round(F.col("total_cents").cast("double") / F.col("grand"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.sum("total_cents").over(cum).cast("double") / F.col("grand"), 6
+            ).alias("cum_share_from_top"),
+        )
+    )

@@ -1092,3 +1092,100 @@ def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.count("_drop")).alias("n_kept"),
         )
     )
+
+
+# -- kNN label-vote classification eval ---------------------------------------
+
+# The standard "is this embedding space any good" probe: majority label
+# of the k nearest neighbors vs the query's own label.  Same
+# broadcast-probe kNN shape as knn_cosine_topk (corpus never shuffles);
+# the vote window is per query over <= k rows.
+
+N_EVAL_QUERIES = 50
+
+_LABEL_VOTE_ORACLE = f"""
+WITH n AS ({_NORMALIZED_SQL}),
+lab AS (SELECT vec_id, label FROM embeddings),
+q AS (SELECT vec_id, nemb FROM n WHERE vec_id < {N_EVAL_QUERIES}),
+sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round({_dot_sql('q.nemb', 'e.nemb')}, 6) AS cosine
+  FROM q JOIN n e ON e.vec_id <> q.vec_id
+),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM sims
+  ) WHERE rn <= {TOP_K}
+),
+votes AS (
+  SELECT t.query_id, l.label, count(*) AS c
+  FROM topk t JOIN lab l ON t.neighbor_id = l.vec_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, label AS pred_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY c DESC, label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT tl.label AS true_label,
+       count(*) AS n_queries,
+       count(*) FILTER (WHERE p.pred_label = tl.label) AS n_correct,
+       round(CAST(count(*) FILTER (WHERE p.pred_label = tl.label) AS DOUBLE)
+             / count(*), 6) AS accuracy
+FROM pred p JOIN lab tl ON p.query_id = tl.vec_id
+GROUP BY tl.label
+"""
+
+
+@register(
+    "knn_label_accuracy",
+    _LABEL_VOTE_ORACLE,
+    doc=f"kNN label-vote classification eval: majority label of the "
+    f"{TOP_K} nearest neighbors vs the query's own label, per label, "
+    f"for {N_EVAL_QUERIES} probes — probe side broadcast (corpus never "
+    "shuffles), vote window per query over <= k rows",
+)
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _normalized(_emb(spark, sf_dir)).persist()
+    lab = _emb(spark, sf_dir).select("vec_id", "label")
+    q = n.filter(F.col("vec_id") < N_EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("nemb").alias("q_emb")
+    )
+    sims = n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_dot(F.col("q_emb"), F.col("nemb")), 6).alias("cosine"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        sims.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    votes = (
+        topk.join(lab, topk.neighbor_id == lab.vec_id)
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("c").desc(), "label")
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    correct = F.count(F.when(F.col("pred_label") == F.col("label"), 1))
+    return (
+        pred.join(lab, pred.query_id == lab.vec_id)
+        .groupBy(F.col("label").alias("true_label"))
+        .agg(
+            F.count("*").alias("n_queries"),
+            correct.alias("n_correct"),
+            F.round(correct.cast("double") / F.count("*"), 6).alias("accuracy"),
+        )
+    )

@@ -426,3 +426,26 @@ def test_weighted_reservoir_favors_heavy_docs(spark, sf_dir):
     )
     sample_mean = sum(r.n_chars for r in rows) / len(rows)
     assert sample_mean > corpus_mean
+
+
+def test_decile_lift_is_complete_and_monotone(spark, sf_dir):
+    rows = sorted(
+        _run(spark, sf_dir, "customer_decile_lift").collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(10))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    # top deciles must hold more spend than bottom ones (gains property)
+    assert rows[9].total_cents > rows[0].total_cents
+    # cumulative-from-top is decreasing in decile order and ends at ~1
+    assert rows[0].cum_share_from_top == pytest.approx(1.0, abs=1e-4)
+
+
+def test_knn_label_accuracy_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "knn_label_accuracy").collect()
+    assert rows
+    from huracan_spark.queries.similarity import N_EVAL_QUERIES
+
+    assert sum(r.n_queries for r in rows) == N_EVAL_QUERIES
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_queries
+        assert 0.0 <= r.accuracy <= 1.0
