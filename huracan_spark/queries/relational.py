@@ -732,3 +732,119 @@ def q_customer_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share_from_top"),
         )
     )
+
+
+# -- absence detection: unresolved errors ------------------------------------
+
+# "A not followed by B within T" — the alerting primitive.  The
+# existence probe reuses the bucketed range join (operators/
+# range_join.py) riding (user, time-bucket) equi-keys, then errors
+# with a matching follow-up are subtracted with a broadcast-size anti
+# join on the error id — never a per-row correlated subquery and never
+# a time-predicate nested loop.
+
+RESOLVE_WINDOW_US = 3_600_000_000  # 1 hour
+
+_UNRESOLVED_ORACLE = f"""
+WITH err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+resolved AS (
+  SELECT DISTINCT e.event_id
+  FROM err e JOIN events c
+    ON c.user_id = e.user_id AND c.event_type = 'click'
+   AND epoch_us(c.ts) > epoch_us(e.ts)
+   AND epoch_us(c.ts) < epoch_us(e.ts) + {RESOLVE_WINDOW_US}
+)
+SELECT e.user_id,
+       count(*) AS n_errors,
+       count(*) FILTER (WHERE r.event_id IS NULL) AS n_unresolved
+FROM err e LEFT JOIN resolved r ON e.event_id = r.event_id
+GROUP BY e.user_id
+"""
+
+
+@register(
+    "unresolved_errors",
+    _UNRESOLVED_ORACLE,
+    doc="absence-within-window detection (error with no click inside the "
+    "following hour, per user): bucketed range join on (user, "
+    "time-bucket) finds resolutions, an anti join on the error id "
+    "subtracts them — no correlated subquery, no nested-loop time "
+    "predicate",
+)
+def q_unresolved_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.operators.range_join import bucketed_range_join
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id"),
+        us.alias("lo"),
+        (us + RESOLVE_WINDOW_US).alias("hi"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), us.alias("c_us")
+    )
+    matched = bucketed_range_join(
+        clicks,
+        err,
+        point_col="c_us",
+        lo_col="lo",
+        hi_col="hi",
+        bucket_width=RESOLVE_WINDOW_US,
+        extra_keys=("user_id",),
+    )
+    resolved = (
+        matched.filter(F.col("c_us") > F.col("lo")).select("err_id").distinct()
+    )
+    unresolved = err.join(resolved, "err_id", "left_anti")
+    n_unres = err.join(resolved.withColumn("_r", F.lit(1)), "err_id", "left")
+    return n_unres.groupBy("user_id").agg(
+        F.count("*").alias("n_errors"),
+        F.count(F.when(F.col("_r").isNull(), 1)).alias("n_unresolved"),
+    )
+
+
+# -- week-over-week growth ----------------------------------------------------
+
+_WOW_ORACLE = """
+WITH weekly AS (
+  SELECT event_type, epoch_ms(date_trunc('week', ts)) AS week_ms,
+         round(sum(value), 2) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, week_ms, total_value,
+       round((total_value - lag(total_value)
+              OVER (PARTITION BY event_type ORDER BY week_ms))
+             / lag(total_value)
+              OVER (PARTITION BY event_type ORDER BY week_ms), 6)
+         AS wow_growth
+FROM weekly
+"""
+
+
+@register(
+    "weekly_value_wow",
+    _WOW_ORACLE,
+    doc="week-over-week growth per event type: weekly rollup first, lag "
+    "window over the bounded (type, week) series only — the trend KPI "
+    "without ever ordering raw events globally",
+)
+def q_weekly_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    week_ms = F.unix_millis(F.date_trunc("week", F.col("ts")).cast("timestamp"))
+    weekly = ev.groupBy("event_type", week_ms.alias("week_ms")).agg(
+        F.round(F.sum("value"), 2).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy("week_ms")
+    prev = F.lag("total_value").over(w)
+    return weekly.select(
+        "event_type",
+        "week_ms",
+        "total_value",
+        F.round((F.col("total_value") - prev) / prev, 6).alias("wow_growth"),
+    )

@@ -428,3 +428,59 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("char_entropy"))
         .select("doc_id", "n_distinct_chars", "char_entropy")
     )
+
+
+# -- inverted index (capped postings) -----------------------------------------
+
+# The search-engine primitive: token -> (document frequency, posting
+# list).  Postings are CAPPED before collection — a per-token ranking
+# window keeps the first K doc ids, so no executor ever materializes an
+# unbounded list for a stop-word-grade token (the classic inverted-
+# index OOM); the full df rides a separate count aggregate.
+
+POSTINGS_CAP = 20
+
+_INVINDEX_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({X.tokens_sql('text')}) AS token
+  FROM documents
+),
+ranked AS (
+  SELECT token, doc_id,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+  FROM tok
+)
+SELECT t.token,
+       count(DISTINCT t.doc_id) AS df,
+       string_agg(CASE WHEN r.rn <= {POSTINGS_CAP}
+                       THEN CAST(r.doc_id AS VARCHAR) END, ','
+                  ORDER BY r.doc_id) AS postings
+FROM tok t JOIN ranked r ON t.token = r.token AND t.doc_id = r.doc_id
+GROUP BY t.token
+"""
+
+
+@register(
+    "inverted_index_sample",
+    _INVINDEX_ORACLE,
+    doc=f"inverted index with capped postings: token -> df + first "
+    f"{POSTINGS_CAP} doc ids. The ranking window caps the list BEFORE "
+    "collection so no executor materializes an unbounded posting for a "
+    "hot token; df is a separate count over the full stream",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tok = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(X.tokens("text")).alias("token"))
+        .distinct()
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    ranked = tok.withColumn("rn", F.row_number().over(w))
+    capped = ranked.filter(F.col("rn") <= POSTINGS_CAP)
+    postings = capped.groupBy("token").agg(
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings")
+    )
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    return df.join(postings, "token").select("token", "df", "postings")

@@ -449,3 +449,44 @@ def test_knn_label_accuracy_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_correct <= r.n_queries
         assert 0.0 <= r.accuracy <= 1.0
+
+
+def test_unresolved_errors_brute_force(spark, sf_dir):
+    from huracan_spark.queries.relational import RESOLVE_WINDOW_US
+    from huracan_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).collect()
+    clicks: dict[int, list[int]] = {}
+    for r in ev:
+        if r.event_type == "click":
+            clicks.setdefault(r.user_id, []).append(r.us)
+    want: dict[int, list[int]] = {}
+    for r in ev:
+        if r.event_type == "error":
+            res = any(
+                r.us < c < r.us + RESOLVE_WINDOW_US
+                for c in clicks.get(r.user_id, [])
+            )
+            e, u = want.setdefault(r.user_id, [0, 0]), None
+            e[0] += 1
+            e[1] += 0 if res else 1
+    got = {
+        r.user_id: [r.n_errors, r.n_unresolved]
+        for r in _run(spark, sf_dir, "unresolved_errors").collect()
+    }
+    assert got == want
+
+
+def test_inverted_index_postings_are_capped_prefixes(spark, sf_dir):
+    from huracan_spark.queries.text import POSTINGS_CAP
+
+    for r in _run(spark, sf_dir, "inverted_index_sample").collect():
+        ids = [int(x) for x in r.postings.split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == min(r.df, POSTINGS_CAP)
