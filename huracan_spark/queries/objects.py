@@ -258,3 +258,31 @@ def q_version_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).filter(F.col("event_id") < 500)
     withhex = ev.select("event_id", long_to_hex("event_id").alias("version_hex"))
     return withhex.withColumn("decoded", hex_to_long("version_hex"))
+
+
+# -- keyset (seek) pagination -------------------------------------------------
+
+_KEYSET_ORACLE = """
+SELECT event_id, event_type, user_id
+FROM events
+WHERE event_id > 1234
+ORDER BY event_id
+LIMIT 50
+"""
+
+
+@register(
+    "pagination_keyset",
+    _KEYSET_ORACLE,
+    doc="keyset (seek) pagination: WHERE key > cursor ORDER BY key LIMIT n "
+    "— O(page) at any depth because the cursor predicate pushes into the "
+    "parquet scan (GreaterThan in PushedFilters, plan-tested), unlike "
+    "OFFSET pagination which reads and discards offset rows per page",
+)
+def q_pagination_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.operators.pagination import paginate_after
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    return paginate_after(ev, "event_id", limit=50, after=(1234,))

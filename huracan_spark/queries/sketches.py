@@ -92,7 +92,11 @@ GROUP BY p.token, p.true_n
 )
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _docs(spark, sf_dir).select(F.explode(tokens("text")).alias("token"))
-    truth = tok.groupBy("token").agg(F.count("*").alias("true_n"))
+    # reduce the corpus to per-token counts FIRST: the CMS_DEPTH-way
+    # hash explode then runs over the (Zipf-bounded) token TYPE table,
+    # not the corpus — cells are weighted sums of type counts, exactly
+    # equal to counting per-occurrence but 4x cheaper on the big side
+    truth = tok.groupBy("token").agg(F.count("*").alias("true_n")).persist()
     top = truth.orderBy(F.col("true_n").desc(), "token").limit(CMS_TOP_K)
 
     def positions(df: DataFrame) -> DataFrame:
@@ -109,7 +113,11 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             *df.columns, F.col("pos.r").alias("r"), F.col("pos.bucket").alias("bucket")
         )
 
-    cells = positions(tok).groupBy("r", "bucket").agg(F.count("*").alias("cell_n"))
+    cells = (
+        positions(truth)
+        .groupBy("r", "bucket")
+        .agg(F.sum("true_n").cast("long").alias("cell_n"))
+    )
     probe = positions(top)
     # the sketch is CMS_DEPTH * CMS_WIDTH rows by construction -> broadcast
     return (

@@ -490,3 +490,25 @@ def test_inverted_index_postings_are_capped_prefixes(spark, sf_dir):
         ids = [int(x) for x in r.postings.split(",")]
         assert ids == sorted(ids)
         assert len(ids) == min(r.df, POSTINGS_CAP)
+
+
+def test_keyset_pagination_pushes_cursor_into_scan(spark, sf_dir):
+    p = _plan(spark, sf_dir, "pagination_keyset")
+    assert "GreaterThan(event_id,1234)" in p  # cursor reached the scan
+    assert "TakeOrderedAndProject" in p  # page sort never materializes fully
+
+
+def test_keyset_pagination_walks_pages_without_overlap(spark, sf_dir):
+    from huracan_spark.operators.pagination import paginate_after
+    from huracan_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    cursor, seen = None, []
+    for _ in range(3):
+        page = paginate_after(ev, "event_id", limit=40, after=cursor).collect()
+        ids = [r.event_id for r in page]
+        assert ids == sorted(ids)
+        seen.extend(ids)
+        cursor = (ids[-1],)
+    assert len(seen) == len(set(seen)) == 120  # disjoint consecutive pages
+    assert seen == sorted(seen)
