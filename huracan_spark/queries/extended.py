@@ -881,3 +881,116 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("g", 6).alias("gini"),
         )
     )
+
+
+# -- Benford first-digit audit ------------------------------------------------
+
+# Fraud/synthetic-data screen: the first significant digit of natural
+# positive quantities follows log10(1 + 1/d); the query emits the
+# observed vs expected share per digit plus each digit's chi-square
+# contribution.  Single scan, 9-row output.
+
+_BENFORD_ORACLE = """
+WITH pos AS (SELECT value FROM events WHERE value > 0),
+digits AS (
+  SELECT CAST(floor(value / power(10, floor(log10(value)))) AS BIGINT) AS d
+  FROM pos
+),
+counts AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+SELECT c.d AS digit, c.n,
+       round(CAST(c.n AS DOUBLE) / tot.total, 6) AS observed_share,
+       round(log10(1.0 + 1.0 / c.d), 6) AS benford_share,
+       round(power(CAST(c.n AS DOUBLE) / tot.total - log10(1.0 + 1.0 / c.d), 2)
+             / log10(1.0 + 1.0 / c.d) * tot.total, 4) AS chi2_term
+FROM counts c CROSS JOIN tot
+"""
+
+
+@register(
+    "benford_first_digit",
+    _BENFORD_ORACLE,
+    doc="Benford's-law first-digit audit over positive event values: "
+    "observed vs log10(1+1/d) expected share + per-digit chi-square "
+    "contribution (the fraud/synthetic-data screen); one scan, 9-row "
+    "output, digit extraction is pure column arithmetic",
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("value") > 0)
+    d = F.floor(
+        F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value")))
+    ).cast("long")
+    counts = ev.select(d.alias("d")).groupBy("d").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    share = F.col("n").cast("double") / F.col("total")
+    expect = F.log10(1.0 + 1.0 / F.col("d"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("digit"),
+        "n",
+        F.round(share, 6).alias("observed_share"),
+        F.round(expect, 6).alias("benford_share"),
+        F.round(F.pow(share - expect, F.lit(2)) / expect * F.col("total"), 4).alias(
+            "chi2_term"
+        ),
+    )
+
+
+# -- conversion rate with Wilson interval ------------------------------------
+
+_WILSON_Z = 1.959963984540054  # 95%
+
+_WILSON_ORACLE = f"""
+WITH peru AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS converted
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT count(*) AS n, CAST(sum(converted) AS BIGINT) AS k FROM peru
+)
+SELECT n, k,
+       round(CAST(k AS DOUBLE) / n, 6) AS rate,
+       round((k / CAST(n AS DOUBLE) + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+              - {_WILSON_Z} * sqrt((k / CAST(n AS DOUBLE))
+                 * (1 - k / CAST(n AS DOUBLE)) / n
+                 + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+             / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_lo,
+       round((k / CAST(n AS DOUBLE) + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+              + {_WILSON_Z} * sqrt((k / CAST(n AS DOUBLE))
+                 * (1 - k / CAST(n AS DOUBLE)) / n
+                 + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+             / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_hi
+FROM agg
+"""
+
+
+@register(
+    "conversion_rate_ci",
+    _WILSON_ORACLE,
+    doc="user-level conversion rate with the Wilson 95% score interval "
+    "(closed-form, no bootstrap/resampling pass): one per-user reduce + "
+    "one scalar aggregate",
+)
+def q_conversion_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    peru = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("converted")
+    )
+    agg = peru.agg(
+        F.count("*").alias("n"), F.sum("converted").cast("long").alias("k")
+    )
+    z = _WILSON_Z
+    p = F.col("k") / F.col("n").cast("double")
+    half = z * F.sqrt(p * (1 - p) / F.col("n") + z * z / (4.0 * F.col("n") * F.col("n")))
+    center = p + z * z / (2 * F.col("n"))
+    denom = 1 + z * z / F.col("n")
+    return agg.select(
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )

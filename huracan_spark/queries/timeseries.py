@@ -384,3 +384,70 @@ def q_trailing_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_active",
         )
     )
+
+
+# -- three-step ordered funnel ------------------------------------------------
+
+# click -> view -> purchase strictly ordered within a user's history,
+# evaluated per purchase WITHOUT self-joins: two conditional running
+# windows (last click so far, last view so far) make the pattern test a
+# row-local predicate — the MATCH_RECOGNIZE(A B C) shape as plain
+# windows, state bounded per user.
+
+_FUNNEL3_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_us,
+         max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_view_us
+  FROM events
+),
+hits AS (
+  SELECT user_id
+  FROM seq
+  WHERE event_type = 'purchase'
+    AND last_click_us IS NOT NULL AND last_view_us IS NOT NULL
+    AND last_click_us < last_view_us
+)
+SELECT user_id, count(*) AS n_funnel_purchases FROM hits GROUP BY user_id
+"""
+
+
+@register(
+    "three_step_funnel",
+    _FUNNEL3_ORACLE,
+    doc="ordered 3-step funnel (click -> view -> purchase) per user "
+    "counted per purchase with NO self-join: two conditional running-"
+    "max windows turn the sequence pattern into a row-local predicate "
+    "(the MATCH_RECOGNIZE shape as plain windows, per-user partitions)",
+)
+def q_three_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.max(F.when(F.col("event_type") == "click", us)).over(w).alias(
+            "last_click_us"
+        ),
+        F.max(F.when(F.col("event_type") == "view", us)).over(w).alias(
+            "last_view_us"
+        ),
+    )
+    hits = seq.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("last_click_us").isNotNull()
+        & F.col("last_view_us").isNotNull()
+        & (F.col("last_click_us") < F.col("last_view_us"))
+    )
+    return hits.groupBy("user_id").agg(F.count("*").alias("n_funnel_purchases"))

@@ -512,3 +512,51 @@ def test_keyset_pagination_walks_pages_without_overlap(spark, sf_dir):
         cursor = (ids[-1],)
     assert len(seen) == len(set(seen)) == 120  # disjoint consecutive pages
     assert seen == sorted(seen)
+
+
+def test_three_step_funnel_bruteforce(spark, sf_dir):
+    from huracan_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+        )
+        .collect(),
+        key=lambda r: (r.user_id, r.us, r.event_id),
+    )
+    want: dict[int, int] = {}
+    last_click: dict[int, int] = {}
+    last_view: dict[int, int] = {}
+    for r in ev:
+        if r.event_type == "purchase":
+            c, v = last_click.get(r.user_id), last_view.get(r.user_id)
+            if c is not None and v is not None and c < v:
+                want[r.user_id] = want.get(r.user_id, 0) + 1
+        elif r.event_type == "click":
+            last_click[r.user_id] = r.us
+        elif r.event_type == "view":
+            last_view[r.user_id] = r.us
+    got = {
+        r.user_id: r.n_funnel_purchases
+        for r in _run(spark, sf_dir, "three_step_funnel").collect()
+    }
+    assert got == want
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    rows = _run(spark, sf_dir, "benford_first_digit").collect()
+    assert sorted(r.digit for r in rows) == list(range(1, 10))
+    assert abs(sum(r.observed_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.benford_share for r in rows) - 1.0) < 1e-4
+    assert all(r.chi2_term >= 0 for r in rows)
+
+
+def test_wilson_interval_brackets_rate(spark, sf_dir):
+    r = _run(spark, sf_dir, "conversion_rate_ci").collect()[0]
+    assert 0.0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1.0
+    assert r.k <= r.n
