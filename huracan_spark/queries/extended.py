@@ -994,3 +994,127 @@ def q_conversion_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+# -- KMV sketch algebra: join-cardinality estimate ----------------------------
+
+# Pre-join sizing from per-set sketches alone — the cost-estimation
+# primitive: two KMV sketches (k smallest user-hashes per event type)
+# estimate their Jaccard from the shared k-min of the UNION, and
+# |A ∩ B| ~ J * |A ∪ B|.  Exact truth rides alongside so the driver
+# hash-checks both the estimator and its inputs.  Everything is
+# deterministic given the shared hash60 family; sketch size k bounds
+# every intermediate.
+
+KMV_JOIN_K = 64
+
+_KMVJOIN_ORACLE = f"""
+WITH hv AS (
+  SELECT DISTINCT event_type, user_id,
+         {hash60_sql("user_id::VARCHAR", "kmvjoin")} AS h
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+ka AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hv
+    WHERE event_type = 'click'
+  ) WHERE rn <= {KMV_JOIN_K}
+),
+kb AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hv
+    WHERE event_type = 'purchase'
+  ) WHERE rn <= {KMV_JOIN_K}
+),
+ku AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+  ) WHERE rn <= {KMV_JOIN_K}
+),
+j AS (
+  SELECT CAST(count(*) AS BIGINT) AS shared FROM ku
+  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+),
+union_est AS (
+  SELECT round(({KMV_JOIN_K} - 1) * pow(2, 60) / max(h), 2) AS u_est
+  FROM ku
+),
+truth AS (
+  SELECT CAST(count(DISTINCT CASE WHEN in_both THEN user_id END) AS BIGINT)
+           AS exact_intersection
+  FROM (
+    SELECT user_id, count(DISTINCT event_type) = 2 AS in_both
+    FROM hv GROUP BY user_id
+  )
+)
+SELECT j.shared, round(CAST(j.shared AS DOUBLE) / {KMV_JOIN_K}, 6) AS jaccard_est,
+       union_est.u_est,
+       round(CAST(j.shared AS DOUBLE) / {KMV_JOIN_K} * union_est.u_est, 2)
+         AS intersection_est,
+       truth.exact_intersection
+FROM j CROSS JOIN union_est CROSS JOIN truth
+"""
+
+
+@register(
+    "kmv_join_estimate",
+    _KMVJOIN_ORACLE,
+    doc=f"sketch-algebra join sizing: two {KMV_JOIN_K}-min KMV sketches "
+    "estimate the click/purchase user-set intersection (J from the "
+    "shared union k-min, |A∩B| ~ J*|A∪B|) next to the exact truth — "
+    "the pre-join cost-estimation primitive; every intermediate is "
+    "k-bounded, the raw sets reduce once each",
+)
+def q_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.functions.textfns import hash60
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hv = ev.select(
+        "event_type",
+        "user_id",
+        hash60(F.col("user_id").cast("string"), "kmvjoin").alias("h"),
+    ).distinct()
+
+    def kmin(df: DataFrame) -> DataFrame:
+        # distributed k-min: TakeOrderedAndProject, never a global window
+        return df.select("h").orderBy("h").limit(KMV_JOIN_K)
+
+    ka = kmin(hv.filter(F.col("event_type") == "click")).persist()
+    kb = kmin(hv.filter(F.col("event_type") == "purchase")).persist()
+    ku = kmin(ka.unionByName(kb).distinct()).persist()
+    shared = (
+        ku.join(ka, "h", "left_semi").join(kb, "h", "left_semi")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    u_est = ku.agg(
+        F.round((KMV_JOIN_K - 1) * F.lit(float(1 << 60)) / F.max("h"), 2).alias(
+            "u_est"
+        )
+    )
+    both = (
+        hv.groupBy("user_id")
+        .agg((F.countDistinct("event_type") == 2).alias("both"))
+        .agg(
+            F.count(F.when(F.col("both"), 1))
+            .cast("long")
+            .alias("exact_intersection")
+        )
+    )
+    return (
+        shared.crossJoin(F.broadcast(u_est))
+        .crossJoin(F.broadcast(both))
+        .select(
+            "shared",
+            F.round(F.col("shared").cast("double") / KMV_JOIN_K, 6).alias(
+                "jaccard_est"
+            ),
+            "u_est",
+            F.round(
+                F.col("shared").cast("double") / KMV_JOIN_K * F.col("u_est"), 2
+            ).alias("intersection_est"),
+            "exact_intersection",
+        )
+    )

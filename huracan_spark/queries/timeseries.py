@@ -451,3 +451,59 @@ def q_three_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("last_click_us") < F.col("last_view_us"))
     )
     return hits.groupBy("user_id").agg(F.count("*").alias("n_funnel_purchases"))
+
+
+# -- conversion latency percentiles -------------------------------------------
+
+_CONVLAT_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_us
+  FROM events
+),
+lat AS (
+  SELECT (us - last_click_us) / 1e6 AS latency_s
+  FROM seq WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+)
+SELECT count(*) AS n_conversions,
+       round(quantile_cont(latency_s, 0.5), 4) AS p50_s,
+       round(quantile_cont(latency_s, 0.9), 4) AS p90_s,
+       round(quantile_cont(latency_s, 0.99), 4) AS p99_s
+FROM lat
+"""
+
+
+@register(
+    "conversion_latency_percentiles",
+    _CONVLAT_ORACLE,
+    doc="click-to-purchase latency p50/p90/p99: last-click-before via a "
+    "per-user running window (the as-of shape), exact interpolated "
+    "percentiles over the conversions only — never a corpus-wide sort",
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = ev.select(
+        "event_type",
+        us.alias("us"),
+        F.max(F.when(F.col("event_type") == "click", us)).over(w).alias(
+            "last_click_us"
+        ),
+    )
+    lat = seq.filter(
+        (F.col("event_type") == "purchase") & F.col("last_click_us").isNotNull()
+    ).select(((F.col("us") - F.col("last_click_us")) / 1e6).alias("latency_s"))
+    return lat.agg(
+        F.count("*").alias("n_conversions"),
+        F.round(F.percentile("latency_s", F.lit(0.5)), 4).alias("p50_s"),
+        F.round(F.percentile("latency_s", F.lit(0.9)), 4).alias("p90_s"),
+        F.round(F.percentile("latency_s", F.lit(0.99)), 4).alias("p99_s"),
+    )

@@ -560,3 +560,20 @@ def test_wilson_interval_brackets_rate(spark, sf_dir):
     r = _run(spark, sf_dir, "conversion_rate_ci").collect()[0]
     assert 0.0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1.0
     assert r.k <= r.n
+
+
+def test_kmv_join_estimate_is_sane(spark, sf_dir):
+    r = _run(spark, sf_dir, "kmv_join_estimate").collect()[0]
+    assert 0 <= r.shared <= 64
+    assert 0.0 <= r.jaccard_est <= 1.0
+    assert r.exact_intersection >= 0
+    # the sketch estimate should land within 50% of truth at k=64 on
+    # the fixture's heavily-overlapping user sets
+    if r.exact_intersection > 20:
+        assert abs(r.intersection_est - r.exact_intersection) < 0.5 * r.exact_intersection
+
+
+def test_conversion_latency_percentiles_ordered(spark, sf_dir):
+    r = _run(spark, sf_dir, "conversion_latency_percentiles").collect()[0]
+    assert r.n_conversions > 0
+    assert 0 <= r.p50_s <= r.p90_s <= r.p99_s
