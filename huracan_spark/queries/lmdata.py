@@ -222,3 +222,131 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("avg_logprob") < MIN_AVG_LOGPROB).select(
         "doc_id", "n_tokens", "avg_logprob"
     )
+
+
+# -- iterative BPE training (greedy merge application) ------------------------
+
+# The actual tokenizer-training loop, not just one pair count
+# (``bpe_merge_step``): each round counts adjacent symbol pairs over
+# the corpus, picks the top pair, and REWRITES the symbol stream by
+# merging it — then recounts.  Two key scale moves:
+#
+# - training runs on the word TYPE table (distinct word + frequency),
+#   so every round is O(|vocab|) with occurrence counts as weights —
+#   the corpus is scanned exactly once, up front (this is how real BPE
+#   trainers work: HuggingFace tokenizers does the same);
+# - symbols are angle-wrapped ('<a><b>') so the merge rewrite is a
+#   plain left-to-right non-overlapping string replace with no
+#   cross-symbol false matches and exact BPE greedy semantics on
+#   repeats ('<a><b><a><b>' -> '<ab><ab>').
+#
+# The chosen pair is a driver-side O(1) scalar per round (like the
+# k-means convergence check); the oracle replays every round as CTEs
+# with the identical replace, so merge choice AND application are both
+# hash-checked.
+
+BPE_TRAIN_ROUNDS = 2
+
+
+def _bpe_pairs_sql(src: str, k: int) -> str:
+    return f"""
+arr{k} AS (
+  SELECT string_split(substr(seq, 2, length(seq) - 2), '><') AS a, w
+  FROM {src} WHERE length(seq) > 2
+),
+pc{k} AS (
+  SELECT '<' || a[i] || '><' || a[i + 1] || '>' AS pair,
+         '<' || a[i] || a[i + 1] || '>' AS merged,
+         CAST(sum(w) AS BIGINT) AS weight
+  FROM (SELECT a, w, unnest(generate_series(1, len(a) - 1)) AS i FROM arr{k}
+        WHERE len(a) >= 2)
+  GROUP BY 1, 2
+),
+b{k} AS (
+  SELECT {k} AS step, pair, merged, weight FROM pc{k}
+  ORDER BY weight DESC, pair LIMIT 1
+)"""
+
+
+_BPE_TRAIN_ORACLE = (
+    """
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS w FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents
+  ) WHERE length(word) >= 2
+  GROUP BY word
+),
+r0 AS (SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS seq, w FROM words),"""
+    + _bpe_pairs_sql("r0", 1)
+    + """,
+r1 AS (SELECT replace(seq, b1.pair, b1.merged) AS seq, w
+       FROM r0 CROSS JOIN b1),"""
+    + _bpe_pairs_sql("r1", 2)
+    + """
+SELECT step, pair, merged, weight FROM b1
+UNION ALL
+SELECT step, pair, merged, weight FROM b2
+"""
+)
+
+
+@register(
+    "bpe_train_merges",
+    _BPE_TRAIN_ORACLE,
+    doc=f"iterative BPE training, {BPE_TRAIN_ROUNDS} greedy rounds: count "
+    "weighted adjacent symbol pairs over the word-TYPE table, pick the "
+    "top pair, rewrite the symbol stream (angle-wrapped symbols make "
+    "the merge an exact boundary-safe replace), recount. One corpus "
+    "scan total; every round is vocab-sized; the oracle replays both "
+    "choice and application per round",
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    cur = words.select(
+        F.regexp_replace(F.col("word"), "(.)", "<$1>").alias("seq"), "w"
+    ).persist()
+
+    def pair_counts(df: DataFrame) -> DataFrame:
+        arr = df.filter(F.length("seq") > 2).select(
+            F.split(F.expr("substring(seq, 2, length(seq) - 2)"), "><").alias("a"),
+            "w",
+        ).filter(F.size("a") >= 2)
+        pos = arr.select(
+            "a", "w", F.explode(F.sequence(F.lit(1), F.size("a") - 1)).alias("i")
+        )
+        left = F.expr("element_at(a, i)")
+        right = F.expr("element_at(a, i + 1)")
+        return pos.select(
+            F.concat(F.lit("<"), left, F.lit("><"), right, F.lit(">")).alias("pair"),
+            F.concat(F.lit("<"), left, right, F.lit(">")).alias("merged"),
+            "w",
+        ).groupBy("pair", "merged").agg(F.sum("w").cast("long").alias("weight"))
+
+    chosen = []
+    for step in range(1, BPE_TRAIN_ROUNDS + 1):
+        best = (
+            pair_counts(cur)
+            .orderBy(F.col("weight").desc(), "pair")
+            .limit(1)
+            .collect()[0]  # O(1) driver scalar per round (kmeans-style)
+        )
+        chosen.append((step, best.pair, best.merged, best.weight))
+        nxt = cur.select(
+            F.replace(F.col("seq"), F.lit(best.pair), F.lit(best.merged)).alias(
+                "seq"
+            ),
+            "w",
+        ).persist()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        chosen, "step int, pair string, merged string, weight long"
+    )

@@ -215,3 +215,14 @@ def read_media_binary(spark: SparkSession, path: str) -> DataFrame:
         F.col("length").cast("int").alias("n_bytes"),
         F.col("modificationTime").alias("mtime"),
     )
+
+
+def write_documents_jsonl(df: DataFrame, path: str, *, compression: str | None = None) -> None:
+    """Write a documents-contract DataFrame as JSONL (the interchange
+    format most corpus tooling consumes).  Columns are reordered to the
+    canonical contract so drops are byte-comparable across writers."""
+    out = df.select(*_CANON_COLS)
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -115,3 +115,20 @@ def test_orc_read_pins_schema_and_rejects_broken_feed(spark, sf_dir, tmp_path):
     bad.write.mode("overwrite").orc(pb)
     with pytest.raises(ValueError, match="missing contract columns"):
         read_documents_orc(spark, pb)
+
+
+def test_documents_jsonl_round_trip(spark, sf_dir, tmp_path):
+    from huracan_spark.sources.formats import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+    from huracan_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs, out, compression="gzip")
+    back = read_documents_jsonl(spark, out, strict=True)
+    assert back.count() == docs.count()
+    a = {tuple(r) for r in docs.select("doc_id", "text", "n_chars").collect()}
+    b = {tuple(r) for r in back.select("doc_id", "text", "n_chars").collect()}
+    assert a == b

@@ -144,3 +144,29 @@ def test_perplexity_filter_broadcast_vocab_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p
     # the only nested-loop is the 1-row corpus-total broadcast
     assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_bpe_train_first_merge_is_true_argmax(spark, sf_dir):
+    """The trainer's first chosen merge must equal the Python-computed
+    weighted argmax over adjacent char pairs of the word-type table."""
+    import re
+    from collections import Counter
+
+    from huracan_spark.queries.registry import REGISTRY
+    from huracan_spark.sources.tables import load_table
+
+    words = Counter()
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        for w in re.split(r"[^a-z]+", r.text.lower()):
+            if len(w) >= 2:
+                words[w] += 1
+    pairs = Counter()
+    for w, c in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += c
+    best = min(pairs.items(), key=lambda kv: (-kv[1], f"<{kv[0][0]}><{kv[0][1]}>"))
+    got = {r.step: r for r in REGISTRY["bpe_train_merges"].fn(spark, sf_dir).collect()}
+    assert got[1].pair == f"<{best[0][0]}><{best[0][1]}>"
+    assert got[1].weight == best[1]
+    # round 2 must pick a different pair against the REWRITTEN stream
+    assert got[2].pair != got[1].pair
