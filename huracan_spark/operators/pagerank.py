@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "personalized_pagerank"]
 
 DAMPING = 0.85
 
@@ -44,6 +44,7 @@ def pagerank_round(
     n_nodes: DataFrame,
     damping: float,
     round_at: int | None = None,
+    reset: DataFrame | None = None,
 ) -> DataFrame:
     """One power-iteration step.
 
@@ -65,17 +66,21 @@ def pagerank_round(
     )
     # nodes with no in-edges still get the teleport term: start from
     # the full node set (ranks), not from contrib
-    rank = (1.0 - damping) / F.col("n") + damping * F.coalesce(
-        F.col("_in"), F.lit(0.0)
-    )
+    if reset is None:
+        teleport = (1.0 - damping) / F.col("n")
+    else:
+        # personalized: teleport mass lands on the reset distribution
+        # only (0 elsewhere) — reset is a (node, reset) df summing to 1
+        teleport = (1.0 - damping) * F.coalesce(F.col("reset"), F.lit(0.0))
+    rank = teleport + damping * F.coalesce(F.col("_in"), F.lit(0.0))
     if round_at is not None:
         rank = F.round(rank, round_at)
-    return (
-        ranks.select("node")
-        .join(contrib, "node", "left")
-        .crossJoin(F.broadcast(n_nodes))
-        .select("node", rank.alias("rank"))
-    )
+    out = ranks.select("node").join(contrib, "node", "left")
+    if reset is None:
+        out = out.crossJoin(F.broadcast(n_nodes))
+    else:
+        out = out.join(F.broadcast(reset), "node", "left")
+    return out.select("node", rank.alias("rank"))
 
 
 def pagerank(
@@ -107,5 +112,41 @@ def pagerank(
         ranks = pagerank_round(ranks, e, n_nodes, damping, round_at=round_at)
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             # truncate lineage so round-N plans stay O(1), not O(N)
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    reset: DataFrame,
+    *,
+    iterations: int,
+    damping: float = DAMPING,
+    checkpoint_every: int = 1,
+    round_at: int | None = None,
+) -> DataFrame:
+    """Personalized PageRank: the teleport step returns to the ``reset``
+    distribution (a (node, reset) DataFrame summing to 1) instead of
+    uniform — rank then measures proximity TO the reset set, the
+    related-items / recommendation primitive.  Identical per-round
+    scale shape to ``pagerank``; ranks start AT the reset distribution.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.agg(F.count("*").alias("n"))
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    e = edges.join(out_deg, "src").persist()
+    ranks = nodes.join(F.broadcast(reset), "node", "left").select(
+        "node", F.coalesce(F.col("reset"), F.lit(0.0)).alias("rank")
+    )
+    for i in range(iterations):
+        ranks = pagerank_round(
+            ranks, e, n_nodes, damping, round_at=round_at, reset=reset
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -1118,3 +1118,73 @@ def q_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersection",
         )
     )
+
+
+# -- data-quality rule report -------------------------------------------------
+
+_DQ_ORACLE = """
+WITH base AS (
+  SELECT count(*) AS n,
+         count(*) FILTER (WHERE user_id IS NULL) AS v_null,
+         count(*) FILTER (WHERE value IS NULL OR value < 0 OR value > 50)
+           AS v_range,
+         count(*) FILTER (WHERE event_type IS NULL
+                          OR event_type NOT IN ('click','view','purchase','error'))
+           AS v_set,
+         count(*) FILTER (WHERE props IS NULL
+                          OR NOT regexp_matches(props, '^\\{')) AS v_json
+  FROM events
+),
+uniq AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS v
+  FROM (SELECT event_id, count(*) AS c FROM events GROUP BY event_id)
+)
+SELECT rule, n_rows, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'not_null(user_id)' AS rule, n AS n_rows, v_null AS n_violations
+  FROM base
+  UNION ALL SELECT 'in_range(value,0,50)', n, v_range FROM base
+  UNION ALL SELECT 'in_set(event_type)', n, v_set FROM base
+  UNION ALL SELECT 'matches(props)', n, v_json FROM base
+  UNION ALL SELECT 'unique(event_id)', n, v FROM uniq
+)
+"""
+
+
+@register(
+    "dq_violation_report",
+    _DQ_ORACLE,
+    doc="declarative data-quality report (deequ/Great-Expectations "
+    "shape): four row-level rules compile into ONE conditional-count "
+    "scan, uniqueness adds one hash-agg — never |rules| re-scans "
+    "(operators/dq.py)",
+)
+def q_dq_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.operators.dq import (
+        check,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        unique,
+    )
+
+    ev = _events(spark, sf_dir)
+    rules = [
+        not_null("user_id"),
+        in_range("value", 0, 50),
+        in_set("event_type", ["click", "view", "purchase", "error"]),
+        matches("props", r"^\{"),
+        unique("event_id"),
+    ]
+    out = check(ev, rules)
+    # align rule labels with the oracle's fixed strings
+    label = (
+        F.when(F.col("rule").startswith("in_range"), F.lit("in_range(value,0,50)"))
+        .when(F.col("rule").startswith("in_set"), F.lit("in_set(event_type)"))
+        .when(F.col("rule").startswith("matches"), F.lit("matches(props)"))
+        .otherwise(F.col("rule"))
+    )
+    return out.select(
+        label.alias("rule"), "n_rows", "n_violations", "passed"
+    )

@@ -321,3 +321,119 @@ def q_bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.join(F.broadcast(nation), dist.node == nation.n_nationkey).select(
         "n_name", "hops"
     )
+
+
+# -- personalized PageRank: related parts -------------------------------------
+
+PPR_ITERS = 3
+PPR_DAMPING = 0.85
+PPR_ROUND_AT = 10
+PPR_TOP_K = 15
+
+
+def _ppr_round_sql(k: int) -> str:
+    return f"""
+c{k} AS (
+  SELECT e.dst AS node, sum(r.rank / e.out_deg) AS m
+  FROM e JOIN r{k - 1} r ON r.node = e.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT nd.node,
+         round((1.0 - {PPR_DAMPING}) * CASE WHEN nd.node = src0.p THEN 1.0
+                                            ELSE 0.0 END
+               + {PPR_DAMPING} * coalesce(c.m, 0.0), {PPR_ROUND_AT}) AS rank
+  FROM nodes nd CROSS JOIN src0 LEFT JOIN c{k} c ON c.node = nd.node
+)"""
+
+
+_PPR_ORACLE = (
+    """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS n
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+e0 AS (
+  SELECT x AS src, y AS dst FROM pairs
+  UNION ALL SELECT y AS src, x AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM e0),
+deg AS (SELECT src, count(*) AS out_deg FROM e0 GROUP BY src),
+e AS (SELECT e0.src, e0.dst, deg.out_deg FROM e0 JOIN deg ON e0.src = deg.src),
+src0 AS (
+  SELECT l_partkey AS p FROM lp GROUP BY l_partkey
+  ORDER BY count(*) DESC, l_partkey LIMIT 1
+),
+r0 AS (
+  SELECT nd.node, CASE WHEN nd.node = src0.p THEN 1.0 ELSE 0.0 END AS rank
+  FROM nodes nd CROSS JOIN src0
+),"""
+    + ",".join(_ppr_round_sql(k) for k in range(1, PPR_ITERS + 1))
+    + f"""
+SELECT r.node AS part_id, round(r.rank, 6) AS rank
+FROM r{PPR_ITERS} r CROSS JOIN src0
+WHERE r.node <> src0.p AND r.rank > 0
+ORDER BY rank DESC, part_id
+LIMIT {PPR_TOP_K}
+"""
+)
+
+
+@register(
+    "related_parts_ppr",
+    _PPR_ORACLE,
+    doc=f"personalized PageRank ({PPR_ITERS} rounds, d={PPR_DAMPING}) over "
+    "the co-purchase graph, teleporting to the most-ordered part — the "
+    "related-items recommendation primitive; same per-round shape as "
+    "pagerank (one equi-join + partial-agg sum), oracle unrolls rounds",
+)
+def q_related_parts_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.operators.pagerank import personalized_pagerank
+
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
+    a = lp.alias("a")
+    b = lp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .persist()
+    )
+    edges = pairs.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
+        pairs.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    source = (
+        lp.groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "l_partkey")
+        .limit(1)
+        .collect()[0]
+        .l_partkey
+    )  # O(1) driver scalar
+    reset = spark.createDataFrame([(source, 1.0)], "node long, reset double")
+    ranks = personalized_pagerank(
+        edges,
+        reset,
+        iterations=PPR_ITERS,
+        damping=PPR_DAMPING,
+        round_at=PPR_ROUND_AT,
+    )
+    return (
+        ranks.filter((F.col("node") != source) & (F.col("rank") > 0))
+        .select(F.col("node").alias("part_id"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "part_id")
+        .limit(PPR_TOP_K)
+    )

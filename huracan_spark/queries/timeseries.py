@@ -507,3 +507,87 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("latency_s", F.lit(0.9)), 4).alias("p90_s"),
         F.round(F.percentile("latency_s", F.lit(0.99)), 4).alias("p99_s"),
     )
+
+
+# -- Holt linear (double exponential) smoothing + forecast --------------------
+
+# Level+trend recurrence per type over the bounded daily series, same
+# order-pinning contract as ewma_daily_value: both engines replay the
+# IDENTICAL arithmetic (the new-level expression is written out twice
+# rather than bound to a local, so Spark's fold and DuckDB's recursion
+# produce bit-identical doubles before the final round).
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+HOLT_H = 7  # forecast horizon (days)
+
+_HOLT_L = f"{HOLT_ALPHA} * d.x + {1 - HOLT_ALPHA} * (r.l + r.b)"
+
+_HOLT_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, epoch_ms(date_trunc('day', ts)) AS day_ms,
+         round(avg(value), 6) AS x
+  FROM events GROUP BY 1, 2
+),
+numbered AS (
+  SELECT event_type, x,
+         lead(x) OVER (PARTITION BY event_type ORDER BY day_ms) AS x_next,
+         row_number() OVER (PARTITION BY event_type ORDER BY day_ms) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+rec AS (
+  SELECT event_type, rn, n, x AS l, x_next - x AS b
+  FROM numbered WHERE rn = 1 AND n >= 2
+  UNION ALL
+  SELECT d.event_type, d.rn, r.n,
+         {_HOLT_L},
+         {HOLT_BETA} * (({_HOLT_L}) - r.l) + {1 - HOLT_BETA} * r.b
+  FROM numbered d JOIN rec r
+    ON d.event_type = r.event_type AND d.rn = r.rn + 1
+)
+SELECT event_type, max(rn) AS n_days,
+       round(max_by(l, rn), 4) AS level,
+       round(max_by(b, rn), 4) AS trend,
+       round(max_by(l, rn) + {HOLT_H} * max_by(b, rn), 4) AS forecast_{HOLT_H}d
+FROM rec GROUP BY event_type
+"""
+
+
+@register(
+    "holt_forecast_daily",
+    _HOLT_ORACLE,
+    doc=f"Holt linear smoothing (alpha={HOLT_ALPHA}, beta={HOLT_BETA}) of "
+    "the per-type daily mean with a "
+    f"{HOLT_H}-day forecast: level+trend recurrence over the calendar-"
+    "bounded series, fold order pinned on both engines (sorted array + "
+    "aggregate HOF vs recursive CTE, identical arithmetic)",
+)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    day_ms = F.unix_millis(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+    daily = ev.groupBy("event_type", day_ms.alias("day_ms")).agg(
+        F.round(F.avg("value"), 6).alias("x")
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day_ms", "x"))).alias("s")
+    ).filter(F.size("s") >= 2)
+    newl = (
+        f"{HOLT_ALPHA}D * e.x + {1 - HOLT_ALPHA}D * (acc.l + acc.b)"
+    )
+    fold = (
+        f"aggregate(slice(s, 2, size(s) - 1), "
+        f"named_struct('l', CAST(element_at(s, 1).x AS DOUBLE), "
+        f"'b', CAST(element_at(s, 2).x - element_at(s, 1).x AS DOUBLE)), "
+        f"(acc, e) -> named_struct("
+        f"'l', {newl}, "
+        f"'b', {HOLT_BETA}D * (({newl}) - acc.l) + {1 - HOLT_BETA}D * acc.b))"
+    )
+    st = F.expr(fold)
+    return arr.select(
+        "event_type",
+        F.size("s").cast("long").alias("n_days"),
+        F.round(st["l"], 4).alias("level"),
+        F.round(st["b"], 4).alias("trend"),
+        F.round(st["l"] + HOLT_H * st["b"], 4).alias(f"forecast_{HOLT_H}d"),
+    )

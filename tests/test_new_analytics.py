@@ -577,3 +577,77 @@ def test_conversion_latency_percentiles_ordered(spark, sf_dir):
     r = _run(spark, sf_dir, "conversion_latency_percentiles").collect()[0]
     assert r.n_conversions > 0
     assert 0 <= r.p50_s <= r.p90_s <= r.p99_s
+
+
+# -- DQ / Holt / personalized PageRank ----------------------------------------
+
+
+def test_dq_check_one_scan_and_correct_counts(spark, sf_dir):
+    from huracan_spark.operators.dq import check, in_set, not_null, unique
+    from huracan_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = {
+        r.rule: r
+        for r in check(
+            ev, [not_null("user_id"), in_set("event_type", ["click"]), unique("event_id")]
+        ).collect()
+    }
+    n = ev.count()
+    n_click = ev.filter("event_type = 'click'").count()
+    assert out["not_null(user_id)"].n_violations == 0
+    assert out["not_null(user_id)"].passed
+    assert out["in_set(event_type)"].n_violations == n - n_click
+    assert out["unique(event_id)"].passed  # event_id is the PK
+
+
+def test_holt_forecast_matches_python_fold(spark, sf_dir):
+    from huracan_spark.queries.timeseries import HOLT_ALPHA, HOLT_BETA, HOLT_H
+    from huracan_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.unix_millis(F.date_trunc("day", F.col("ts")).cast("timestamp")).alias(
+                "day_ms"
+            ),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("x"))
+        .toPandas()
+    )
+    got = {r.event_type: r for r in _run(spark, sf_dir, "holt_forecast_daily").collect()}
+    for t, g in daily.groupby("event_type"):
+        xs = list(g.sort_values("day_ms")["x"])
+        level, b = xs[0], xs[1] - xs[0]
+        for x in xs[1:]:
+            new_l = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (level + b)
+            b = HOLT_BETA * (new_l - level) + (1 - HOLT_BETA) * b
+            level = new_l
+        assert got[t].level == pytest.approx(round(level, 4), abs=2e-4)
+        assert got[t].trend == pytest.approx(round(b, 4), abs=2e-4)
+        assert got[t][f"forecast_{HOLT_H}d"] == pytest.approx(
+            round(level + HOLT_H * b, 4), abs=5e-4
+        )
+
+
+def test_personalized_pagerank_mass_decays_with_distance(spark):
+    """Triangle a-b-c with tail c--d (non-bipartite, so finite power
+    iteration doesn't oscillate): PPR from `a` must rank the far tail
+    node `d` lowest, and conserve mass (no dangling nodes)."""
+    from huracan_spark.operators.pagerank import personalized_pagerank
+
+    und = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src string, dst string"
+    )
+    reset = spark.createDataFrame([("a", 1.0)], "node string, reset double")
+    ranks = {
+        r.node: r.rank
+        for r in personalized_pagerank(edges, reset, iterations=6).collect()
+    }
+    assert min(("a", "b", "c"), key=ranks.get) != "d"
+    assert all(ranks[n] > ranks["d"] for n in ("a", "b", "c"))
+    assert ranks["a"] == max(ranks.values())  # source keeps the most mass
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
