@@ -1188,3 +1188,37 @@ def q_dq_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         label.alias("rule"), "n_rows", "n_violations", "passed"
     )
+
+
+# -- VARIANT semi-structured extraction ---------------------------------------
+
+# Spark 4's VARIANT type: parse the props JSON once into a binary
+# variant and extract typed paths from it — the engine-native
+# semi-structured path (vs per-path get_json_object re-parsing the
+# string; SURVEY §1.4's typed-view option on the modern type).
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "props_variant_stats",
+    _VARIANT_ORACLE,
+    doc="VARIANT semi-structured aggregation: props parsed ONCE per row "
+    "into Spark 4's binary variant, typed paths extracted with "
+    "variant_get — single scan, no per-path string re-parse",
+)
+def q_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )

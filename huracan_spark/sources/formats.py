@@ -226,3 +226,33 @@ def write_documents_jsonl(df: DataFrame, path: str, *, compression: str | None =
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+# -- XML document feeds (built-in XML source, Spark 4) -----------------------
+
+def read_documents_xml(spark: SparkSession, path: str, *, row_tag: str = "doc") -> DataFrame:
+    """Read an XML document feed into the documents contract.  Schema is
+    DECLARED (no two-pass inference), matching the JSONL/CSV readers."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("lang", StringType()),
+            StructField("n_chars", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .schema(schema)
+        .load(path)
+        .select(*_CANON_COLS)
+    )
+
+
+def write_documents_xml(df: DataFrame, path: str, *, row_tag: str = "doc") -> None:
+    out = df.select(*_CANON_COLS)
+    out.write.mode("overwrite").format("xml").option("rowTag", row_tag).option(
+        "rootTag", "docs"
+    ).save(path)
