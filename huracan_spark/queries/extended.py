@@ -1222,3 +1222,95 @@ def q_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("long").alias("sum_k"),
         F.max(k).cast("long").alias("max_k"),
     )
+
+
+# -- A/B test significance ----------------------------------------------------
+
+# Two-proportion z-test over a content-stable hash split of users (the
+# same RNG-free assignment discipline as hash_split): "conversion" =
+# the user's purchase share of events exceeds 0.2 (a scale-free
+# definition with real variance on the fixture).  Closed form, no
+# resampling; one per-user reduce + one 2-row aggregate.
+
+_AB_ORACLE = f"""
+WITH peru AS (
+  SELECT user_id,
+         CASE WHEN {hash60_sql("user_id::VARCHAR", 'abtest')} % 2 = 0
+              THEN 'A' ELSE 'B' END AS grp,
+         CASE WHEN count(*) FILTER (WHERE event_type = 'purchase')
+                   > 0.2 * count(*) THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT grp, count(*) AS n, CAST(sum(conv) AS BIGINT) AS k
+  FROM peru GROUP BY grp
+),
+w AS (
+  SELECT max(CASE WHEN grp = 'A' THEN n END) AS na,
+         max(CASE WHEN grp = 'A' THEN k END) AS ka,
+         max(CASE WHEN grp = 'B' THEN n END) AS nb,
+         max(CASE WHEN grp = 'B' THEN k END) AS kb
+  FROM g
+)
+SELECT na, ka, nb, kb,
+       round(CAST(ka AS DOUBLE) / na, 6) AS rate_a,
+       round(CAST(kb AS DOUBLE) / nb, 6) AS rate_b,
+       round((CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb)
+             / sqrt((CAST(ka + kb AS DOUBLE) / (na + nb))
+                    * (1 - CAST(ka + kb AS DOUBLE) / (na + nb))
+                    * (1.0 / na + 1.0 / nb)), 4) AS z_score,
+       abs((CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb)
+           / sqrt((CAST(ka + kb AS DOUBLE) / (na + nb))
+                  * (1 - CAST(ka + kb AS DOUBLE) / (na + nb))
+                  * (1.0 / na + 1.0 / nb))) > 1.96 AS significant_95
+FROM w
+"""
+
+
+@register(
+    "ab_test_significance",
+    _AB_ORACLE,
+    doc="two-proportion z-test over a content-stable 50/50 user hash "
+    "split (RNG-free assignment, pooled-variance closed form, no "
+    "resampling): one per-user reduce + one scalar aggregate",
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.functions.textfns import hash60
+
+    ev = _events(spark, sf_dir)
+    grp = F.when(
+        hash60(F.col("user_id").cast("string"), "abtest") % 2 == 0, "A"
+    ).otherwise("B")
+    peru = ev.groupBy("user_id").agg(
+        F.first(grp).alias("grp"),
+        F.when(
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            > 0.2 * F.count("*"),
+            1,
+        )
+        .otherwise(0)
+        .alias("conv"),
+    )
+    g = peru.groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("conv").cast("long").alias("k")
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == "A", F.col("k"))).alias("ka"),
+        F.max(F.when(F.col("grp") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("grp") == "B", F.col("k"))).alias("kb"),
+    )
+    pa = F.col("ka") / F.col("na").cast("double")
+    pb = F.col("kb") / F.col("nb").cast("double")
+    pp = (F.col("ka") + F.col("kb")).cast("double") / (F.col("na") + F.col("nb"))
+    z = (pa - pb) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    return w.select(
+        "na",
+        "ka",
+        "nb",
+        "kb",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )

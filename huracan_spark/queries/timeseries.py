@@ -591,3 +591,85 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(st["b"], 4).alias("trend"),
         F.round(st["l"] + HOLT_H * st["b"], 4).alias(f"forecast_{HOLT_H}d"),
     )
+
+
+# -- Kaplan–Meier weekly survival ---------------------------------------------
+
+# Discrete-time survival of user activity: a user "dies" at their last
+# active week unless it is the corpus's final week (right-censored).
+# S(t) = prod over offsets <= t of (1 - d_i / n_i).  Everything after
+# the per-user reduce is offset-bounded (weeks of history), so the
+# cumulative product runs over a ~dozen-row series; the log-sum is
+# order-pinned by the window ORDER BY on both engines.
+
+_KM_ORACLE = """
+WITH peru AS (
+  SELECT user_id,
+         date_diff('week', date_trunc('week', min(ts)), date_trunc('week', max(ts)))
+           AS lifetime_w,
+         date_trunc('week', max(ts)) = (
+           SELECT date_trunc('week', max(ts)) FROM events
+         ) AS censored
+  FROM events GROUP BY user_id
+),
+offsets AS (
+  SELECT lifetime_w AS t,
+         count(*) AS n_end,
+         count(*) FILTER (WHERE NOT censored) AS d
+  FROM peru GROUP BY lifetime_w
+),
+risk AS (
+  SELECT t, d,
+         CAST(sum(n_end) OVER (ORDER BY t DESC) AS BIGINT) AS n_at_risk
+  FROM offsets
+)
+SELECT t, d, n_at_risk,
+       round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk))
+                 OVER (ORDER BY t)), 6) AS survival
+FROM risk
+"""
+
+
+@register(
+    "kaplan_meier_weekly",
+    _KM_ORACLE,
+    doc="Kaplan-Meier weekly survival of user activity (last active week "
+    "= event unless right-censored at the corpus edge): per-user reduce "
+    "then offset-bounded risk table; cumulative product via order-"
+    "pinned log-sum window over ~weeks rows",
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    week = F.date_trunc("week", F.col("ts"))
+    maxw = ev.agg(F.date_trunc("week", F.max("ts")).alias("corpus_max_w"))
+    peru = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("week", F.min("ts")).alias("w0"),
+            F.date_trunc("week", F.max("ts")).alias("w1"),
+        )
+        .crossJoin(F.broadcast(maxw))
+        .select(
+            F.floor(
+                (F.unix_micros(F.col("w1").cast("timestamp"))
+                 - F.unix_micros(F.col("w0").cast("timestamp")))
+                / F.lit(7 * 86400 * 1_000_000)
+            ).alias("t"),
+            (F.col("w1") == F.col("corpus_max_w")).alias("censored"),
+        )
+    )
+    offsets = peru.groupBy("t").agg(
+        F.count("*").alias("n_end"),
+        F.count(F.when(~F.col("censored"), 1)).alias("d"),
+    )
+    back = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fwd = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = offsets.select(
+        "t", "d", F.sum("n_end").over(back).cast("long").alias("n_at_risk")
+    )
+    surv = F.exp(
+        F.sum(F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk"))).over(fwd)
+    )
+    return risk.select("t", "d", "n_at_risk", F.round(surv, 6).alias("survival"))

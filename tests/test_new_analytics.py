@@ -651,3 +651,24 @@ def test_personalized_pagerank_mass_decays_with_distance(spark):
     assert all(ranks[n] > ranks["d"] for n in ("a", "b", "c"))
     assert ranks["a"] == max(ranks.values())  # source keeps the most mass
     assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ab_split_is_balanced_and_z_is_finite(spark, sf_dir):
+    import math
+
+    r = _run(spark, sf_dir, "ab_test_significance").collect()[0]
+    assert r.na + r.nb > 0 and r.ka <= r.na and r.kb <= r.nb
+    # hash split should be roughly balanced
+    assert 0.25 < r.na / (r.na + r.nb) < 0.75
+    assert math.isfinite(r.z_score)
+    assert r.significant_95 == (abs(r.z_score) > 1.96)
+
+
+def test_kaplan_meier_survival_is_monotone(spark, sf_dir):
+    rows = sorted(_run(spark, sf_dir, "kaplan_meier_weekly").collect(), key=lambda r: r.t)
+    assert rows
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r.survival <= prev + 1e-9  # survival never increases
+        assert r.d <= r.n_at_risk
+        prev = r.survival
