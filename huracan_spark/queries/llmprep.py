@@ -656,3 +656,72 @@ def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= ES_SAMPLE_K)
         .select("source", "doc_id", "n_chars", F.round("es_key", 6).alias("es_key"))
     )
+
+
+# -- Neyman-allocated stratified sampling -------------------------------------
+
+# Optimal stratified allocation: stratum quota proportional to
+# N_h * S_h (size x std of the target metric), then a deterministic
+# hash-ordered take per stratum — the variance-minimizing upgrade of
+# the equal-quota `stratified_sample`.  Stats are |sources| rows
+# (broadcast); the quota window ranks within strata only.
+
+NEYMAN_TOTAL = 100
+
+_NEYMAN_ORACLE = f"""
+WITH stats AS (
+  SELECT source, count(*) AS n_h, stddev_samp(n_chars) AS s_h
+  FROM documents GROUP BY source
+),
+alloc AS (
+  SELECT source, n_h,
+         greatest(1, CAST(round({NEYMAN_TOTAL} * (n_h * s_h)
+             / (SELECT sum(n_h * s_h) FROM stats)) AS BIGINT)) AS quota
+  FROM stats
+),
+ranked AS (
+  SELECT d.doc_id, d.source, d.n_chars, a.quota,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY {hash60_sql('text', 'neyman')}, d.doc_id)
+           AS rn
+  FROM documents d JOIN alloc a ON d.source = a.source
+)
+SELECT doc_id, source, n_chars FROM ranked WHERE rn <= quota
+"""
+
+
+@register(
+    "neyman_stratified_sample",
+    _NEYMAN_ORACLE,
+    doc=f"Neyman-allocated stratified sample (~{NEYMAN_TOTAL} docs): "
+    "per-source quota proportional to N_h*S_h of n_chars (variance-"
+    "minimizing allocation), deterministic hash-ordered take within "
+    "each stratum — RNG-free, replay-stable, stats broadcast",
+)
+def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from huracan_spark.functions.textfns import hash60
+
+    d = _docs(spark, sf_dir)
+    stats = d.groupBy("source").agg(
+        F.count("*").alias("n_h"), F.stddev_samp("n_chars").alias("s_h")
+    )
+    tot = stats.agg(F.sum(F.col("n_h") * F.col("s_h")).alias("mass"))
+    alloc = stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.greatest(
+            F.lit(1),
+            F.round(NEYMAN_TOTAL * F.col("n_h") * F.col("s_h") / F.col("mass"))
+            .cast("long"),
+        ).alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        hash60(F.col("text"), "neyman"), "doc_id"
+    )
+    return (
+        d.join(F.broadcast(alloc), "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source", "n_chars")
+    )

@@ -484,3 +484,94 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     return df.join(postings, "token").select("token", "df", "postings")
+
+
+# -- TF-IDF keyword extraction ------------------------------------------------
+
+TFIDF_TOP = 3
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({X.tokens_sql('text')}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+idf AS (
+  SELECT token, ln(CAST(n_docs.n AS DOUBLE) / count(DISTINCT doc_id)) AS idf
+  FROM tok CROSS JOIN n_docs GROUP BY token, n_docs.n
+),
+scored AS (
+  SELECT tf.doc_id, tf.token, round(tf.tf * idf.idf, 6) AS tfidf
+  FROM tf JOIN idf ON tf.token = idf.token
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, token, tfidf, rn AS rank
+FROM ranked WHERE rn <= {TFIDF_TOP} AND tfidf > 0
+"""
+
+
+@register(
+    "doc_tfidf_keywords",
+    _TFIDF_ORACLE,
+    doc=f"TF-IDF keyword extraction: top-{TFIDF_TOP} tokens per document "
+    "by tf*ln(N/df). The idf table is vocabulary-sized (broadcast); the "
+    "per-doc ranking window is bounded by document length",
+)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(X.tokens("text")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    n_docs = tok.agg(F.countDistinct("doc_id").alias("n"))
+    idf = (
+        tok.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token", F.log(F.col("n").cast("double") / F.col("df")).alias("idf")
+        )
+    )
+    scored = tf.join(F.broadcast(idf), "token").select(
+        "doc_id", "token", F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= TFIDF_TOP) & (F.col("tfidf") > 0))
+        .select("doc_id", "token", "tfidf", "rank")
+    )
+
+
+# -- language-ID confusion matrix ---------------------------------------------
+
+_LANGCONF_ORACLE = f"""
+SELECT lang AS true_lang,
+       {X.predicted_lang_sql('text')} AS predicted_lang,
+       count(*) AS n
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "langid_confusion",
+    _LANGCONF_ORACLE,
+    doc="language-ID heuristic evaluation: confusion matrix of generator "
+    "metadata lang vs the marker-token classifier (functions/textfns.py) "
+    "— one scan, |langs|^2-bounded output",
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(
+            F.col("lang").alias("true_lang"),
+            X.predicted_lang("text").alias("predicted_lang"),
+        )
+        .agg(F.count("*").alias("n"))
+    )

@@ -673,3 +673,56 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk"))).over(fwd)
     )
     return risk.select("t", "d", "n_at_risk", F.round(surv, 6).alias("survival"))
+
+
+# -- longest consecutive-day activity streak ----------------------------------
+
+# Gaps-and-islands on (user, active day) — the same islands shape as
+# the checkpoint completed-ranges operator (operators/islands.py),
+# applied to engagement: day_number - dense_rank is constant within a
+# consecutive run.  Output: each user's longest streak.
+
+_STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_ms(date_trunc('day', ts)) / 86400000) AS BIGINT)
+           AS dayno
+  FROM events
+),
+runs AS (
+  SELECT user_id, dayno,
+         dayno - row_number() OVER (PARTITION BY user_id ORDER BY dayno)
+           AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, count(*) AS len FROM runs GROUP BY user_id, grp
+)
+SELECT user_id, max(len) AS longest_streak_days
+FROM streaks GROUP BY user_id
+"""
+
+
+@register(
+    "longest_daily_streak",
+    _STREAK_ORACLE,
+    doc="longest consecutive-active-day streak per user: gaps-and-"
+    "islands (dayno - row_number constant within a run) over distinct "
+    "(user, day) — per-user windows over bounded day counts, the "
+    "engagement twin of the completed-ranges operator",
+)
+def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    dayno = F.floor(
+        F.unix_millis(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+        / F.lit(86400000)
+    ).cast("long")
+    days = ev.select("user_id", dayno.alias("dayno")).distinct()
+    w = Window.partitionBy("user_id").orderBy("dayno")
+    runs = days.select(
+        "user_id", "dayno", (F.col("dayno") - F.row_number().over(w)).alias("grp")
+    )
+    streaks = runs.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak_days")
+    )

@@ -672,3 +672,89 @@ def test_kaplan_meier_survival_is_monotone(spark, sf_dir):
         assert 0.0 <= r.survival <= prev + 1e-9  # survival never increases
         assert r.d <= r.n_at_risk
         prev = r.survival
+
+
+def test_tfidf_keywords_top3_per_doc(spark, sf_dir):
+    rows = _run(spark, sf_dir, "doc_tfidf_keywords").collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in per_doc.items():
+        assert len(rs) <= 3
+        assert sorted(r.rank for r in rs) == list(range(1, len(rs) + 1))
+        assert all(r.tfidf > 0 for r in rs)
+
+
+def test_langid_confusion_is_complete_and_valid(spark, sf_dir):
+    """The fixture's text is English-ish word soup for every metadata
+    lang (the lang column is generator metadata, not ground truth — see
+    functions/textfns.py), so the matrix can't be diagonal; assert the
+    structural contract instead: every doc lands in exactly one cell
+    and predictions stay in the classifier's output alphabet."""
+    from huracan_spark.functions.textfns import LANG_MARKERS
+    from huracan_spark.sources.tables import load_table
+
+    rows = _run(spark, sf_dir, "langid_confusion").collect()
+    total = sum(r.n for r in rows)
+    assert total == load_table(spark, sf_dir, "documents").count()
+    allowed = set(LANG_MARKERS) | {"unknown"}
+    assert {r.predicted_lang for r in rows} <= allowed
+    assert all(r.n > 0 for r in rows)
+
+
+def test_longest_streak_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from huracan_spark.sources.tables import load_table
+
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.floor(
+                F.unix_millis(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+                / F.lit(86400000)
+            ).alias("d"),
+        )
+        .distinct()
+        .collect()
+    )
+    per_user: dict[int, set] = {}
+    for r in days:
+        per_user.setdefault(r.user_id, set()).add(r.d)
+    want = {}
+    for u, ds in per_user.items():
+        best = cur = 1
+        s = sorted(ds)
+        for a, b in zip(s, s[1:]):
+            cur = cur + 1 if b == a + 1 else 1
+            best = max(best, cur)
+        want[u] = best
+    got = {
+        r.user_id: r.longest_streak_days
+        for r in _run(spark, sf_dir, "longest_daily_streak").collect()
+    }
+    assert got == want
+
+
+def test_neyman_sample_respects_quotas(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from huracan_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = {
+        r.source: (r.n, r.s)
+        for r in docs.groupBy("source")
+        .agg(F.count("*").alias("n"), F.stddev_samp("n_chars").alias("s"))
+        .collect()
+    }
+    mass = sum(n * s for n, s in stats.values())
+    rows = _run(spark, sf_dir, "neyman_stratified_sample").collect()
+    per_source: dict[str, int] = {}
+    for r in rows:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+    for src, cnt in per_source.items():
+        n, s = stats[src]
+        quota = max(1, round(100 * n * s / mass))
+        assert cnt == min(quota, n)
