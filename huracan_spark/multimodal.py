@@ -36,6 +36,7 @@ __all__ = [
     "MEDIA_KINDS",
     "synthesize_media",
     "extract_features",
+    "extract_features_arrow",
     "decode_real",
 ]
 
@@ -214,3 +215,44 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             )
 
     return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+def extract_features_arrow(media: DataFrame) -> DataFrame:
+    """mapInArrow twin of ``extract_features``: RecordBatches in,
+    RecordBatches out, no pandas materialization.
+
+    The Arrow-native path saves the per-batch Arrow->pandas->Arrow
+    conversion (the only per-row Python left is the digest itself,
+    which a real kernel would replace with the decode call).  Output
+    is bit-identical to the mapInPandas stage — pinned by
+    ``tests/test_multimodal.py`` and by the shared SQL oracle.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _extract(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            digests = [
+                hashlib.md5(v.as_py()).hexdigest() if v.is_valid else None
+                for v in payloads
+            ]
+            dim_a = [
+                int(h[:4], 16) % 1920 if h is not None else None for h in digests
+            ]
+            dim_b = [
+                int(h[4:8], 16) % 1080 if h is not None else None for h in digests
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("media_id")),
+                    batch.column(batch.schema.get_field_index("kind")),
+                    pc.cast(pc.binary_length(payloads), pa.int32()),
+                    pa.array(digests, pa.string()),
+                    pa.array(dim_a, pa.int32()),
+                    pa.array(dim_b, pa.int32()),
+                ],
+                names=["media_id", "kind", "n_bytes", "digest", "dim_a", "dim_b"],
+            )
+
+    return media.mapInArrow(_extract, schema=FEATURE_SCHEMA)

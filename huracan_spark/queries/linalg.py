@@ -1,0 +1,271 @@
+"""Distributed linear algebra over the ``embeddings`` table.
+
+Three operators a vector-data pipeline layers on an embedding corpus
+(beyond-reference extension per the build brief; complements the ANN /
+PQ stack in ``queries/similarity.py`` and ``queries/pq.py``):
+
+- ``embedding_dim_stats`` — per-dimension mean / stddev / min / max
+  (the feature-scaling audit every normalization step starts from).
+  One ``posexplode`` scan + a 64-group hash agg; output bounded by
+  the dimensionality, never the corpus.
+- ``embedding_int8_quant`` — symmetric int8 quantization audit:
+  per-dim max-abs scale, round-to-nearest code, reconstruction RMSE
+  and saturation count.  Two linear scans (scale pass + error pass)
+  with the 64-row scale table broadcast back — the int8 compression
+  feasibility report for a 100 TB vector corpus.
+- ``pca_power_iteration`` — dominant principal component of the
+  centered corpus via two power-iteration steps, WITHOUT ever
+  materializing the covariance matrix: each step is the two-pass
+  matvec  t_i = (x_i - m)·v  then  y = Σ_i t_i (x_i - m), i.e. one
+  equi-join + partial-agg sum per pass over the (vec, dim) long form.
+  State between steps is a 64-row vector — broadcast, never shuffled.
+  This is the scale-safe spectral shape (same discipline as the
+  k-means mean step, operators/kmeans.py): O(n·d) rows per pass,
+  O(d) driver-visible state, no O(d²) intermediate.
+
+Cross-engine determinism: float→double widening is exact on both
+engines; quantization rounds via ``floor(v + 0.5)`` (identical double
+math on both sides, no engine-native round-half mode involved); all
+reported doubles are rounded after the final fold so parallel
+summation order can't leak into the hash compare.
+
+No UDFs, no driver-side loops, no ``collect`` — the iteration count
+is a compile-time constant (2), so the "loop" is just a deeper plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from huracan_spark.queries.registry import register
+from huracan_spark.sources.tables import load_table
+
+DIM = 64
+# deterministic power-iteration init: uniform unit vector; sqrt(64)=8
+# is exact in binary, so 1/8 is the same double on both engines.
+V0 = 1.0 / 8.0
+
+
+def _vecdim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, pos, x) long form — pos 0-based, x exact double."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        ).alias("pos", "x"),
+    )
+
+
+# oracle twin of _vecdim: 1-based dims table x list_extract; the +/-1
+# shift is applied once in the final projection of each oracle.
+_VECDIM_SQL = f"""
+dims AS (SELECT unnest(generate_series(1, {DIM})) AS dim),
+vd AS (
+  SELECT e.vec_id, d.dim, CAST(e.embedding[d.dim] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN dims d
+)
+"""
+
+
+# -- per-dimension distribution stats ---------------------------------------
+
+_DIM_STATS_ORACLE = f"""
+WITH {_VECDIM_SQL}
+SELECT dim,
+       round(avg(x), 6) AS mean_x,
+       round(stddev_samp(x), 6) AS std_x,
+       round(min(x), 6) AS min_x,
+       round(max(x), 6) AS max_x
+FROM vd GROUP BY dim
+"""
+
+
+@register(
+    "embedding_dim_stats",
+    _DIM_STATS_ORACLE,
+    doc="per-dimension mean/stddev/min/max of the embedding corpus — "
+    "one posexplode scan, 64-group partial agg; output bounded by "
+    "dimensionality, the feature-scaling audit input",
+)
+def q_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vd = _vecdim(spark, sf_dir)
+    return (
+        vd.groupBy("pos")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean_x"),
+            F.round(F.stddev_samp("x"), 6).alias("std_x"),
+            F.round(F.min("x"), 6).alias("min_x"),
+            F.round(F.max("x"), 6).alias("max_x"),
+        )
+        .select(
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            "mean_x",
+            "std_x",
+            "min_x",
+            "max_x",
+        )
+    )
+
+
+# -- symmetric int8 quantization audit --------------------------------------
+
+# round-to-nearest via floor(v + 0.5): identical double arithmetic on
+# both engines (engine-native round() half-mode never enters), and the
+# max-abs scale guarantees |code| <= 127 with equality only at the
+# per-dim extreme.  All-zero dims (scale = 0) encode to 0.
+_QUANT_CODE_SQL = (
+    "CASE WHEN s.scale = 0 THEN 0 "
+    "ELSE CAST(floor(vd.x * 127.0 / s.scale + 0.5) AS BIGINT) END"
+)
+
+_INT8_QUANT_ORACLE = f"""
+WITH {_VECDIM_SQL},
+scales AS (SELECT dim, max(abs(x)) AS scale FROM vd GROUP BY dim),
+coded AS (
+  SELECT vd.dim, vd.x, s.scale, {_QUANT_CODE_SQL} AS code
+  FROM vd JOIN scales s ON s.dim = vd.dim
+)
+SELECT dim,
+       round(any_value(scale), 6) AS scale,
+       round(sqrt(avg(pow(x - code * scale / 127.0, 2))), 8) AS rmse,
+       CAST(sum(CASE WHEN abs(code) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_saturated
+FROM coded GROUP BY dim
+"""
+
+
+@register(
+    "embedding_int8_quant",
+    _INT8_QUANT_ORACLE,
+    doc="symmetric int8 quantization audit: per-dim max-abs scale, "
+    "floor(v+0.5) round-to-nearest code, reconstruction RMSE + "
+    "saturation count; 64-row scale table broadcast back onto the "
+    "scan — two linear passes, no corpus shuffle",
+)
+def q_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vd = _vecdim(spark, sf_dir)
+    scales = vd.groupBy("pos").agg(F.max(F.abs("x")).alias("scale"))
+    code = F.when(F.col("scale") == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(F.col("x") * 127.0 / F.col("scale") + 0.5)
+    )
+    coded = vd.join(F.broadcast(scales), "pos").withColumn("code", code)
+    err = F.col("x") - F.col("code") * F.col("scale") / 127.0
+    return (
+        coded.groupBy("pos")
+        .agg(
+            F.round(F.any_value("scale"), 6).alias("scale"),
+            F.round(F.sqrt(F.avg(err * err)), 8).alias("rmse"),
+            F.sum((F.abs("code") == 127).cast("long")).alias("n_saturated"),
+        )
+        .select(
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            "scale",
+            "rmse",
+            "n_saturated",
+        )
+    )
+
+
+# -- dominant principal component via power iteration -----------------------
+
+
+def _matvec(cent: DataFrame, v: DataFrame) -> DataFrame:
+    """One covariance matvec y = Σ_i ((x_i-m)·v) (x_i-m) in long form.
+
+    ``cent`` is (vec_id, pos, xc); ``v`` is the 64-row (pos, v) vector
+    — broadcast onto the scan.  The t-join back on vec_id is a linear
+    equi-join of the long table with the n-row t vector (shuffle on
+    vec_id; at 100 TB this is the same O(n·d) per-pass cost as the
+    k-means assignment step — never an O(d²) or O(n²) intermediate).
+    """
+    t = (
+        cent.join(F.broadcast(v), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("xc") * F.col("v")).alias("t"))
+    )
+    return (
+        cent.join(t, "vec_id")
+        .groupBy("pos")
+        .agg(F.sum(F.col("xc") * F.col("t")).alias("y"))
+    )
+
+
+def _normalize_vec(y: DataFrame) -> DataFrame:
+    """(pos, y) -> (pos, v) unit vector; the scalar norm rides a
+    broadcast 1-row crossJoin, never a window."""
+    nrm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+    return y.crossJoin(F.broadcast(nrm)).select(
+        "pos", (F.col("y") / F.col("nrm")).alias("v")
+    )
+
+
+# oracle: the same two passes unrolled as CTEs (the established
+# unrolled-iteration pattern — see _TRAINED_CENTS_CTES in
+# queries/similarity.py).  v0 = 1/8 exactly, so t1 = sum(xc)/8.
+_PCA_ORACLE = f"""
+WITH {_VECDIM_SQL},
+means AS (SELECT dim, avg(x) AS m FROM vd GROUP BY dim),
+cent AS (
+  SELECT vd.vec_id, vd.dim, vd.x - mm.m AS xc
+  FROM vd JOIN means mm ON mm.dim = vd.dim
+),
+t1 AS (SELECT vec_id, sum(xc * {V0!r}) AS t FROM cent GROUP BY vec_id),
+y1 AS (SELECT c.dim, sum(c.xc * t1.t) AS y
+       FROM cent c JOIN t1 ON t1.vec_id = c.vec_id GROUP BY c.dim),
+n1 AS (SELECT sqrt(sum(y * y)) AS nrm FROM y1),
+v1 AS (SELECT dim, y / nrm AS v FROM y1 CROSS JOIN n1),
+t2 AS (SELECT c.vec_id, sum(c.xc * v1.v) AS t
+       FROM cent c JOIN v1 ON v1.dim = c.dim GROUP BY c.vec_id),
+y2 AS (SELECT c.dim, sum(c.xc * t2.t) AS y
+       FROM cent c JOIN t2 ON t2.vec_id = c.vec_id GROUP BY c.dim),
+n2 AS (SELECT sqrt(sum(y * y)) AS nrm FROM y2),
+nvec AS (SELECT count(*) AS n FROM embeddings)
+SELECT y2.dim,
+       round(y2.y / n2.nrm, 6) AS component,
+       round(n2.nrm / nvec.n, 6) AS eigenvalue
+FROM y2 CROSS JOIN n2 CROSS JOIN nvec
+"""
+
+
+@register(
+    "pca_power_iteration",
+    _PCA_ORACLE,
+    doc="dominant principal component via 2 power-iteration matvec "
+    "passes over the centered (vec, dim) long form — covariance never "
+    "materialized, O(d) state broadcast between passes; eigenvalue = "
+    "Rayleigh estimate ||C v||; oracle unrolls both passes as CTEs",
+)
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vd = _vecdim(spark, sf_dir)
+    means = vd.groupBy("pos").agg(F.avg("x").alias("m"))
+    # persist: the centered long form feeds 4 matvec legs (t/y twice)
+    cent = (
+        vd.join(F.broadcast(means), "pos")
+        .select("vec_id", "pos", (F.col("x") - F.col("m")).alias("xc"))
+        .persist()
+    )
+    # pass 1 with the constant init vector folded in (t1 = V0 * Σ_d xc)
+    t1 = cent.groupBy("vec_id").agg(F.sum(F.col("xc") * F.lit(V0)).alias("t"))
+    y1 = (
+        cent.join(t1, "vec_id")
+        .groupBy("pos")
+        .agg(F.sum(F.col("xc") * F.col("t")).alias("y"))
+    )
+    v1 = _normalize_vec(y1)
+    y2 = _matvec(cent, v1)
+    nrm2 = y2.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+    nvec = (
+        load_table(spark, sf_dir, "embeddings")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        y2.crossJoin(F.broadcast(nrm2))
+        .crossJoin(F.broadcast(nvec))
+        .select(
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.round(F.col("y") / F.col("nrm"), 6).alias("component"),
+            F.round(F.col("nrm") / F.col("n"), 6).alias("eigenvalue"),
+        )
+    )

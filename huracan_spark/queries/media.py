@@ -114,3 +114,26 @@ def q_media_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dst_dim_b").cast("int").alias("dst_dim_b"),
         F.length("payload").cast("long").alias("n_bytes"),
     )
+
+
+@register(
+    "media_features_arrow",
+    _MEDIA_ORACLE,
+    doc="mapInArrow twin of media_features: RecordBatch-native feature "
+    "extraction, no pandas round-trip — same oracle, same output, "
+    "lower per-batch overhead (the preferred 100 TB shape for kernels "
+    "that work on buffers, not frames)",
+)
+def q_media_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.multimodal import extract_features_arrow
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features_arrow(synthesize_media(docs))
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "digest",
+        F.col("dim_a").cast("long").alias("dim_a"),
+        F.col("dim_b").cast("long").alias("dim_b"),
+    )

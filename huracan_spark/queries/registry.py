@@ -58,10 +58,12 @@ def _load_all_modules() -> None:
     """Import every query module so registrations run."""
     from huracan_spark.queries import (  # noqa: F401
         analytics,
+        corpusstats,
         curation,
         dedup,
         extended,
         graph,
+        linalg,
         llmprep,
         lmdata,
         media,

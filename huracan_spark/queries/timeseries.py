@@ -726,3 +726,142 @@ def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaks.groupBy("user_id").agg(
         F.max("len").alias("longest_streak_days")
     )
+
+
+# -- autocorrelation function of the daily volume series --------------------
+
+# ACF at lags 1..7 over the corpus-wide daily event-count series:
+# r_k = sum((c_t - mean)(c_{t+k} - mean)) / sum((c_t - mean)^2), pairs
+# taken only where both calendar days observed.  No window at all —
+# the lagged series is an equi-join of the bounded daily table with
+# itself on (dayno + lag), so there is never a global sort; the mean /
+# sum-of-squares stats are a 1-row broadcast.  avg of exact integer
+# counts divides once, so devs are bit-identical across engines; the
+# final round absorbs parallel summation order.
+
+_ACF_ORACLE = """
+WITH daily AS (
+  SELECT CAST(floor(epoch_ms(date_trunc('day', ts)) / 86400000) AS BIGINT)
+           AS dayno,
+         count(*) AS cnt
+  FROM events GROUP BY 1
+),
+m AS (SELECT avg(cnt) AS mean_c FROM daily),
+dev AS (SELECT dayno, cnt - m.mean_c AS dev FROM daily CROSS JOIN m),
+ssq AS (SELECT sum(dev * dev) AS ss FROM dev),
+lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+pairs AS (
+  SELECT l.lag, a.dev * b.dev AS prod
+  FROM dev a
+  CROSS JOIN lags l
+  JOIN dev b ON b.dayno = a.dayno + l.lag
+)
+SELECT lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum(prod) / any_value(ss), 6) AS acf
+FROM pairs CROSS JOIN ssq
+GROUP BY lag
+"""
+
+
+@register(
+    "acf_daily_counts",
+    _ACF_ORACLE,
+    doc="autocorrelation of the corpus-wide daily event-count series "
+    "at lags 1..7 — lagged pairs via equi-join on (dayno + lag) over "
+    "the bounded daily table (no global-sort window); mean/SS stats "
+    "broadcast as a 1-row table",
+)
+def q_acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    dayno = F.floor(
+        F.unix_millis(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+        / F.lit(86400000)
+    ).cast("long")
+    daily = ev.groupBy(dayno.alias("dayno")).agg(F.count("*").alias("cnt"))
+    stats = daily.agg(F.avg("cnt").alias("mean_c"))
+    dev = daily.crossJoin(F.broadcast(stats)).select(
+        "dayno", (F.col("cnt") - F.col("mean_c")).alias("dev")
+    )
+    # ss from the same dev projection both engines divide by
+    ss = dev.agg(F.sum(F.col("dev") * F.col("dev")).alias("ss"))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = dev.crossJoin(F.broadcast(lags))
+    b = dev.select(F.col("dayno").alias("dayno_b"), F.col("dev").alias("dev_b"))
+    pairs = a.join(
+        b, F.col("dayno_b") == F.col("dayno") + F.col("lag")
+    ).select("lag", (F.col("dev") * F.col("dev_b")).alias("prod"))
+    return (
+        pairs.groupBy("lag")
+        .agg(F.count("*").cast("long").alias("n_pairs"), F.sum("prod").alias("sp"))
+        .crossJoin(F.broadcast(ss))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(F.col("sp") / F.col("ss"), 6).alias("acf"),
+        )
+    )
+
+
+# -- CUSUM changepoint detection per event type -----------------------------
+
+# Classic CUSUM: per type, the running sum of (daily count - series
+# mean); the day where |CUSUM| peaks is the most likely level-shift
+# point.  The cumulative window is per-type over the BOUNDED calendar
+# day series (never raw events); both engines fold it in the same day
+# order, and the mean divides an exact integer sum, so the cusum is
+# bit-identical before the final round.
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch_ms(date_trunc('day', ts)) / 86400000) AS BIGINT)
+           AS dayno,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+stats AS (SELECT event_type, avg(cnt) AS mean_c FROM daily GROUP BY 1),
+cusum AS (
+  SELECT d.event_type, d.dayno,
+         sum(d.cnt - s.mean_c) OVER (PARTITION BY d.event_type
+                                     ORDER BY d.dayno) AS cum
+  FROM daily d JOIN stats s ON s.event_type = d.event_type
+)
+SELECT event_type, dayno AS change_day, round(cum, 6) AS peak_cusum
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(cum) DESC, dayno) AS rn
+  FROM cusum
+) WHERE rn = 1
+"""
+
+
+@register(
+    "cusum_changepoint",
+    _CUSUM_ORACLE,
+    doc="CUSUM level-shift detection per event type: running sum of "
+    "(daily count - series mean) over the bounded per-type day series, "
+    "peak-|CUSUM| day via partial-agg max_by (earliest-day tie-break) "
+    "— the window is per type over calendar days, never raw events",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    dayno = F.floor(
+        F.unix_millis(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+        / F.lit(86400000)
+    ).cast("long")
+    daily = ev.groupBy("event_type", dayno.alias("dayno")).agg(
+        F.count("*").alias("cnt")
+    )
+    stats = daily.groupBy("event_type").agg(F.avg("cnt").alias("mean_c"))
+    w = Window.partitionBy("event_type").orderBy("dayno")
+    cusum = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "dayno",
+        F.sum(F.col("cnt") - F.col("mean_c")).over(w).alias("cum"),
+    )
+    key = F.struct(F.abs("cum").alias("a"), (-F.col("dayno")).alias("nd"))
+    return cusum.groupBy("event_type").agg(
+        F.max_by("dayno", key).alias("change_day"),
+        F.round(F.max_by("cum", key), 6).alias("peak_cusum"),
+    )

@@ -22,7 +22,12 @@ import hashlib
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-__all__ = ["PaginatedRpcDataSource", "register_rpc_source"]
+__all__ = [
+    "PaginatedRpcDataSource",
+    "register_rpc_source",
+    "PaginatedRpcStreamDataSource",
+    "register_rpc_stream_source",
+]
 
 
 def _h60(seed: str, value: str) -> int:
@@ -77,3 +82,73 @@ class PaginatedRpcDataSource(DataSource):
 
 def register_rpc_source(spark) -> None:
     spark.dataSource.register(PaginatedRpcDataSource)
+
+
+# -- streaming variant: the S1 head poll as a true custom stream ------------
+#
+# The reference's live loop polls the checkpoint head and emits new
+# pages as they appear (SURVEY §2.1 S1).  Spark 4's
+# SimpleDataSourceStreamReader expresses exactly that contract:
+# offsets are page cursors, each micro-batch drains the pages between
+# the last committed cursor and the current head, and
+# ``readBetweenOffsets`` replays a committed range VERBATIM on
+# recovery — the replay-stability the idempotent MERGE sink (K1/K4)
+# assumes.  The synthetic head advances ``pages_per_batch`` per poll
+# up to ``n_pages``; a real deployment swaps ``_page_rows`` for the
+# RPC fetch and derives the head from the remote checkpoint probe
+# (S8), changing nothing in the offset protocol.
+
+try:  # Spark >= 4.0
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+except ImportError:  # pragma: no cover - older runtime
+    SimpleDataSourceStreamReader = object  # type: ignore[assignment,misc]
+
+
+class _RpcStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.page_size = int(options.get("page_size", 100))
+        self.n_pages = int(options.get("n_pages", 10))
+        self.pages_per_batch = int(options.get("pages_per_batch", 2))
+        self.seed = options.get("seed", "rpc")
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def read(self, start: dict):
+        lo = int(start["page"])
+        hi = min(lo + self.pages_per_batch, self.n_pages)
+        return self._rows(lo, hi), {"page": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # recovery replay of a committed range — must be byte-identical
+        # to what read() produced, which _page_rows guarantees (pure
+        # function of (page, size, seed))
+        return self._rows(int(start["page"]), int(end["page"]))
+
+    def _rows(self, lo: int, hi: int):
+        # Spark's prefetch cache copy.copy()'s the returned iterator
+        # between planPartitions calls — a generator can't be copied,
+        # a list iterator can.  Pages are driver-side and bounded by
+        # pages_per_batch, so materializing the batch is the contract.
+        rows = []
+        for page in range(lo, hi):
+            rows.extend(_page_rows(page, self.page_size, self.seed))
+        return iter(rows)
+
+
+class PaginatedRpcStreamDataSource(DataSource):
+    """``spark.readStream.format("paginated_rpc_stream")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "paginated_rpc_stream"
+
+    def schema(self) -> str:
+        return "cp bigint, object_id string, version bigint, owner string"
+
+    def simpleStreamReader(self, schema) -> _RpcStreamReader:
+        return _RpcStreamReader(self.options)
+
+
+def register_rpc_stream_source(spark) -> None:
+    spark.dataSource.register(PaginatedRpcStreamDataSource)

@@ -255,3 +255,51 @@ def test_observe_pipeline_single_pass_metrics(spark, sf_dir):
     assert got["n_rows"] == n_consumed == truth.n_rows
     assert got["n_errors"] == truth.n_errors
     assert abs(got["sum_value"] - truth.sum_value) < 1e-6
+
+
+def test_silver_diff_change_data_feed(spark, tmp_path):
+    """diff(gen_a, gen_b) emits exactly the changed keys with the right
+    change_type, and reads only buckets whose file changed between the
+    manifests (CDF with manifest-level file skipping)."""
+    silver = SilverTable(spark, str(tmp_path / "s"), n_buckets=8)
+    silver.merge(
+        spark.createDataFrame(
+            [(f"k{i}", 1, False) for i in range(64)],
+            "_id string, version_ long, deleted boolean",
+        )
+    )
+    gen1 = silver.current_generation()
+    silver.merge(
+        spark.createDataFrame(
+            [("k0", 2, False), ("new1", 1, False), ("k1", 3, True)],
+            "_id string, version_ long, deleted boolean",
+        )
+    )
+    gen2 = silver.current_generation()
+
+    changed = silver.changed_buckets(gen1, gen2)
+    assert 0 < len(changed) < 8  # shared buckets skipped without a read
+
+    cdf = silver.diff(gen1, gen2)
+    rows = {r._id: (r.change_type, r.old_version, r.new_version)
+            for r in cdf.collect()}
+    assert rows == {
+        "k0": ("update", 1, 2),
+        "new1": ("insert", None, 1),
+        "k1": ("delete", 1, 3),
+    }
+
+    # self-diff: nothing changed -> no buckets to read at all
+    assert silver.diff(gen2, gen2) is None
+
+    # stale-version merge produces a new generation only if keys moved;
+    # merging an already-superseded row must yield an EMPTY cdf
+    silver.merge(
+        spark.createDataFrame(
+            [("k0", 1, False)], "_id string, version_ long, deleted boolean"
+        )
+    )
+    gen3 = silver.current_generation()
+    if gen3 != gen2:
+        d = silver.diff(gen2, gen3)
+        assert d is None or d.count() == 0

@@ -69,3 +69,17 @@ def test_sample_frames_fanout(spark, sf_dir):
     assert len(out) == expected
     assert all(r.media_id in vids for r in out)
     assert all(r.frame_idx % 25 == 0 for r in out)
+
+
+def test_arrow_and_pandas_feature_paths_identical(spark, sf_dir):
+    from huracan_spark.multimodal import (
+        extract_features,
+        extract_features_arrow,
+        synthesize_media,
+    )
+    from huracan_spark.sources.tables import load_table
+
+    media = synthesize_media(load_table(spark, sf_dir, "documents")).limit(200)
+    a = {tuple(r) for r in extract_features(media).collect()}
+    b = {tuple(r) for r in extract_features_arrow(media).collect()}
+    assert a == b

@@ -144,3 +144,132 @@ def test_windowed_agg_on_rocksdb_state_store(spark, tmp_path):
     # watermark (5 min) passed the first two 10-min windows via the 10:40 row
     assert emitted[(0, "click")] == (2, 3.0)
     assert emitted[(10, "view")] == (1, 3.0)
+
+
+# -- Python streaming DataSource: S1 head poll as a custom stream -----------
+
+
+def _drain_rpc_stream(spark, tmp_path, out, cp, stop_early=False):
+    import time
+
+    from huracan_spark.sources.rpc_datasource import register_rpc_stream_source
+
+    register_rpc_stream_source(spark)
+    stream = (
+        spark.readStream.format("paginated_rpc_stream")
+        .option("page_size", 25)
+        .option("n_pages", 8)
+        .option("pages_per_batch", 3)
+        .load()
+    )
+
+    def _sink(bdf, _bid):
+        if bdf.isEmpty():
+            return
+        bdf.write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", cp)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def _n_out():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:  # sink dir not created / no files yet
+            return 0
+
+    target = 25 * 8
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            n = _n_out()
+            if stop_early and n > 0:
+                return n
+            if n >= target:
+                return n
+            time.sleep(0.5)
+        raise AssertionError("stream did not drain in time")
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+
+def test_rpc_stream_source_drains_head_exactly_once(spark, tmp_path):
+    out = str(tmp_path / "sout")
+    _drain_rpc_stream(spark, tmp_path, out, str(tmp_path / "scp"))
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 200
+    assert {r.cp for r in rows} == set(range(200))  # no gaps, no dupes
+
+
+def test_rpc_stream_source_resumes_from_committed_offset(spark, tmp_path):
+    """Stop mid-head, restart from the same checkpoint: offsets resume,
+    readBetweenOffsets replays any in-flight batch identically, and the
+    drained output still covers every cp exactly once."""
+    out = str(tmp_path / "rout")
+    cp = str(tmp_path / "rcp")
+    n_first = _drain_rpc_stream(spark, tmp_path, out, cp, stop_early=True)
+    assert 0 < n_first  # stopped somewhere mid-stream
+    _drain_rpc_stream(spark, tmp_path, out, cp)
+    rows = spark.read.parquet(out).collect()
+    cps = [r.cp for r in rows]
+    assert sorted(set(cps)) == list(range(200))
+    # exactly-once: foreachBatch replay after restart may not re-append
+    # a committed batch; every cp appears exactly once
+    assert len(cps) == 200
+
+
+# -- state store reader: checkpoint state as a queryable DataFrame ----------
+
+
+def test_statestore_reader_exposes_window_state(spark, tmp_path):
+    """`spark.read.format("statestore")` turns a checkpoint's state
+    into a normal DataFrame — the ops/debug surface for 100 TB stateful
+    jobs (inspect skew, count keys) without touching the running query."""
+    from datetime import datetime
+
+    from huracan_spark.streaming.windows import windowed_event_counts
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+    feed = str(tmp_path / "sfeed")
+    cp = str(tmp_path / "sck")
+    rows = [
+        (datetime(2024, 1, 1, 10, m), et, v)
+        for m, et, v in [(0, "click", 1.0), (4, "click", 2.0), (12, "view", 3.0)]
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+        feed
+    )
+    stream = spark.readStream.schema(schema).parquet(feed)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    meta = spark.read.format("state-metadata").load(cp)
+    assert meta.count() >= 1  # one stateful operator registered
+    op = meta.select("operatorName").first()[0]
+
+    state = spark.read.format("statestore").load(cp)
+    # both 10-minute windows are still live state (watermark has not
+    # passed them), keyed by (window, event_type)
+    keys = {
+        (r.key.window.start.minute, r.key.event_type)
+        for r in state.select("key").collect()
+    }
+    assert (0, "click") in keys and (10, "view") in keys
+    assert op is not None
