@@ -1314,3 +1314,267 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_score"),
         (F.abs(z) > 1.96).alias("significant_95"),
     )
+
+
+# -- population stability index (distribution drift) ------------------------
+#
+# The model-monitoring drift metric applied to the event stream: per
+# event type, compare the `value` distribution in the EARLY half of
+# the time range against the LATE half over 10 fixed equi-width bins;
+# PSI = Σ (p_i - q_i)·ln(p_i / q_i) with Laplace smoothing so empty
+# bins can't produce ±inf.  Everything is one scan + bounded-side
+# joins: the global (min day, max day, min value, max value) stats
+# are a 1-row broadcast, the per-(type, bin, half) counts are a hash
+# agg over ≤ |types|·10·2 groups, and the PSI fold runs over that
+# bounded grid — never a corpus-side window.  The early/late split is
+# INTEGER day arithmetic (dayno*2 <= min+max), so bucket membership
+# is bit-identical across engines.
+
+_PSI_NBINS = 10
+
+_PSI_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, value,
+         CAST(floor(epoch_ms(date_trunc('day', ts)) / 86400000) AS BIGINT)
+           AS dayno
+  FROM events
+),
+bounds AS (
+  SELECT min(dayno) AS d0, max(dayno) AS d1,
+         min(value) AS v0, max(value) AS v1
+  FROM ev
+),
+binned AS (
+  SELECT e.event_type,
+         CASE WHEN e.dayno * 2 <= b.d0 + b.d1 THEN 'early' ELSE 'late' END
+           AS half,
+         CAST(least(floor((e.value - b.v0) / ((b.v1 - b.v0) / {_PSI_NBINS})),
+                    {_PSI_NBINS - 1}) AS BIGINT) AS bin
+  FROM ev e CROSS JOIN bounds b
+),
+grid AS (
+  SELECT event_type, half, bin, count(*) AS n
+  FROM binned GROUP BY event_type, half, bin
+),
+tot AS (
+  SELECT event_type, half, sum(n) AS tot FROM grid GROUP BY event_type, half
+),
+bins AS (SELECT unnest(generate_series(0, {_PSI_NBINS - 1})) AS bin),
+types AS (SELECT DISTINCT event_type FROM ev),
+dense AS (
+  SELECT t.event_type, b.bin,
+         coalesce(ge.n, 0) AS n_early, coalesce(gl.n, 0) AS n_late
+  FROM types t CROSS JOIN bins b
+  LEFT JOIN grid ge ON ge.event_type = t.event_type AND ge.bin = b.bin
+                    AND ge.half = 'early'
+  LEFT JOIN grid gl ON gl.event_type = t.event_type AND gl.bin = b.bin
+                    AND gl.half = 'late'
+),
+smoothed AS (
+  SELECT d.event_type,
+         (d.n_early + 0.5)
+           / (te.tot + 0.5 * {_PSI_NBINS}) AS p,
+         (d.n_late + 0.5)
+           / (tl.tot + 0.5 * {_PSI_NBINS}) AS q,
+         d.n_early, d.n_late
+  FROM dense d
+  JOIN tot te ON te.event_type = d.event_type AND te.half = 'early'
+  JOIN tot tl ON tl.event_type = d.event_type AND tl.half = 'late'
+)
+SELECT event_type,
+       round(sum((p - q) * ln(p / q)), 6) AS psi,
+       CAST(sum(n_early) AS BIGINT) AS n_early,
+       CAST(sum(n_late) AS BIGINT) AS n_late
+FROM smoothed GROUP BY event_type
+"""
+
+
+@register(
+    "psi_value_drift",
+    _PSI_ORACLE,
+    doc="population stability index per event type: early-half vs "
+    "late-half value distribution over 10 fixed equi-width bins with "
+    "Laplace smoothing — global bounds broadcast as a 1-row table, "
+    "the PSI fold runs over the bounded (type x bin) grid, integer-day "
+    "split arithmetic; the model-monitoring drift metric as one scan",
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.floor(
+            F.unix_millis(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+            / F.lit(86400000)
+        )
+        .cast("long")
+        .alias("dayno"),
+    )
+    bounds = ev.agg(
+        F.min("dayno").alias("d0"),
+        F.max("dayno").alias("d1"),
+        F.min("value").alias("v0"),
+        F.max("value").alias("v1"),
+    )
+    width = (F.col("v1") - F.col("v0")) / F.lit(_PSI_NBINS)
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(
+            F.col("dayno") * 2 <= F.col("d0") + F.col("d1"), F.lit("early")
+        )
+        .otherwise(F.lit("late"))
+        .alias("half"),
+        F.least(
+            F.floor((F.col("value") - F.col("v0")) / width),
+            F.lit(_PSI_NBINS - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    grid = binned.groupBy("event_type", "half", "bin").agg(
+        F.count("*").alias("n")
+    )
+    tot = grid.groupBy("event_type", "half").agg(F.sum("n").alias("tot"))
+    bins = spark.range(_PSI_NBINS).select(F.col("id").alias("bin"))
+    types = ev.select("event_type").distinct()
+    ge = grid.filter(F.col("half") == "early").select(
+        "event_type", "bin", F.col("n").alias("n_early")
+    )
+    gl = grid.filter(F.col("half") == "late").select(
+        "event_type", "bin", F.col("n").alias("n_late")
+    )
+    dense = (
+        types.crossJoin(F.broadcast(bins))
+        .join(ge, ["event_type", "bin"], "left")
+        .join(gl, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("n_early", F.lit(0)).alias("n_early"),
+            F.coalesce("n_late", F.lit(0)).alias("n_late"),
+        )
+    )
+    te = tot.filter(F.col("half") == "early").select(
+        "event_type", F.col("tot").alias("tot_e")
+    )
+    tl = tot.filter(F.col("half") == "late").select(
+        "event_type", F.col("tot").alias("tot_l")
+    )
+    sm = (
+        dense.join(te, "event_type")
+        .join(tl, "event_type")
+        .select(
+            "event_type",
+            "n_early",
+            "n_late",
+            (
+                (F.col("n_early") + 0.5)
+                / (F.col("tot_e") + 0.5 * _PSI_NBINS)
+            ).alias("p"),
+            (
+                (F.col("n_late") + 0.5)
+                / (F.col("tot_l") + 0.5 * _PSI_NBINS)
+            ).alias("q"),
+        )
+    )
+    return sm.groupBy("event_type").agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+            6,
+        ).alias("psi"),
+        F.sum("n_early").cast("long").alias("n_early"),
+        F.sum("n_late").cast("long").alias("n_late"),
+    )
+
+
+# -- mutual information: event_type x hour-of-day ---------------------------
+#
+# How much the event mix depends on time of day: MI(T; H) =
+# Σ p(t,h)·ln(p(t,h)/(p(t)p(h))) over the bounded |types|x24 grid,
+# with the marginal entropies for context (MI=0 ⇒ mix is time-
+# independent; MI≈H ⇒ hour determines type).  One count scan; the
+# joint and marginal tables are grid-bounded; every probability
+# divides the same exact-integer counts, so terms are bit-identical
+# before the final round.
+
+_MI_ORACLE = """
+WITH joint AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT sum(n) AS total FROM joint),
+mt AS (SELECT event_type, sum(n) AS nt FROM joint GROUP BY 1),
+mh AS (SELECT hr, sum(n) AS nh FROM joint GROUP BY 1),
+terms AS (
+  SELECT (j.n / t.total)
+           * ln((j.n / t.total)
+                / ((mt.nt / t.total) * (mh.nh / t.total))) AS mi_term
+  FROM joint j
+  CROSS JOIN tot t
+  JOIN mt ON mt.event_type = j.event_type
+  JOIN mh ON mh.hr = j.hr
+),
+ent_t AS (
+  SELECT -sum((mt.nt / t.total) * ln(mt.nt / t.total)) AS h_type
+  FROM mt CROSS JOIN tot t
+),
+ent_h AS (
+  SELECT -sum((mh.nh / t.total) * ln(mh.nh / t.total)) AS h_hour
+  FROM mh CROSS JOIN tot t
+)
+SELECT round(sum(mi_term), 6) AS mi,
+       round(any_value(h_type), 6) AS h_type,
+       round(any_value(h_hour), 6) AS h_hour
+FROM terms CROSS JOIN ent_t CROSS JOIN ent_h
+"""
+
+
+@register(
+    "type_hour_mutual_info",
+    _MI_ORACLE,
+    doc="mutual information between event type and hour-of-day plus "
+    "both marginal entropies — the time-dependence audit of the event "
+    "mix; one count scan, all folds over the bounded |types|x24 grid",
+)
+def q_type_hour_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    joint = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    tot = joint.agg(F.sum("n").alias("total"))
+    mt = joint.groupBy("event_type").agg(F.sum("n").alias("nt"))
+    mh = joint.groupBy("hr").agg(F.sum("n").alias("nh"))
+    terms = (
+        joint.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(mt), "event_type")
+        .join(F.broadcast(mh), "hr")
+        .select(
+            (
+                (F.col("n") / F.col("total"))
+                * F.log(
+                    (F.col("n") / F.col("total"))
+                    / (
+                        (F.col("nt") / F.col("total"))
+                        * (F.col("nh") / F.col("total"))
+                    )
+                )
+            ).alias("mi_term")
+        )
+    )
+    ent_t = mt.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("nt") / F.col("total")) * F.log(F.col("nt") / F.col("total"))))
+        .alias("h_type")
+    )
+    ent_h = mh.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("nh") / F.col("total")) * F.log(F.col("nh") / F.col("total"))))
+        .alias("h_hour")
+    )
+    return (
+        terms.agg(F.sum("mi_term").alias("mi_raw"))
+        .crossJoin(F.broadcast(ent_t))
+        .crossJoin(F.broadcast(ent_h))
+        .select(
+            F.round("mi_raw", 6).alias("mi"),
+            F.round("h_type", 6).alias("h_type"),
+            F.round("h_hour", 6).alias("h_hour"),
+        )
+    )

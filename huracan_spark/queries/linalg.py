@@ -269,3 +269,119 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("nrm") / F.col("n"), 6).alias("eigenvalue"),
         )
     )
+
+
+# -- Johnson–Lindenstrauss random projection + distortion audit -------------
+#
+# Project d=64 -> K=16 with a deterministic ±1 sign matrix (same
+# md5-derived construction as the LSH hyperplanes in
+# queries/similarity.py — components are PLAN-TIME literals, so the
+# projection is K per-row folds with zero shuffle and zero per-row
+# hashing).  y_k = (1/sqrt(K)) Σ_d R[k][d]·x_d preserves squared
+# distances in expectation; the audit measures realized distortion
+# ||y_a - y_b||² / ||x_a - x_b||² on a FIXED bounded probe subset
+# (vec_id < 40 -> 780 pairs) — the quadratic part never touches the
+# corpus, the projection itself is the linear 100 TB path.
+
+import hashlib
+
+JL_K = 16
+N_JL_PROBE = 40
+
+
+def _jl_row(k: int) -> list[float]:
+    return [
+        1.0
+        if int(hashlib.md5(f"jl:{k}:{d}".encode()).hexdigest()[:15], 16) & 1
+        else -1.0
+        for d in range(DIM)
+    ]
+
+
+_JL_ROWS = [_jl_row(k) for k in range(JL_K)]
+_JL_SCALE = 1.0 / 4.0  # 1/sqrt(16), exact in binary
+
+
+def _jl_project(col):
+    """array<double> d=64 -> array<double> K=16 via plan-time literals."""
+    comps = []
+    for row in _JL_ROWS:
+        plane = F.array(*[F.lit(c) for c in row])
+        prods = F.zip_with(col, plane, lambda x, s: x * s)
+        comps.append(
+            F.aggregate(prods, F.lit(0.0), lambda a, x: a + x) * F.lit(_JL_SCALE)
+        )
+    return F.array(*comps)
+
+
+def _jl_project_sql(col: str) -> str:
+    terms = []
+    for row in _JL_ROWS:
+        lits = ", ".join(repr(c) for c in row)
+        terms.append(
+            f"list_reduce(list_transform(generate_series(1, {DIM}), "
+            f"i -> {col}[i] * ([{lits}])[i]), (a, x) -> a + x) * {_JL_SCALE!r}"
+        )
+    return "[" + ", ".join(terms) + "]"
+
+
+def _sqdist_sql(a: str, b: str, n: int) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {n}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+
+
+_JL_ORACLE = f"""
+WITH probe AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+  FROM embeddings WHERE vec_id < {N_JL_PROBE}
+),
+proj AS (SELECT vec_id, x, {_jl_project_sql('x')} AS y FROM probe)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_sqdist_sql('a.x', 'b.x', 64)}, 6) AS d2_full,
+       round({_sqdist_sql('a.y', 'b.y', 16)}, 6) AS d2_proj,
+       round({_sqdist_sql('a.y', 'b.y', 16)}
+             / {_sqdist_sql('a.x', 'b.x', 64)}, 6) AS distortion
+FROM proj a JOIN proj b ON b.vec_id > a.vec_id
+"""
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+@register(
+    "jl_projection_distortion",
+    _JL_ORACLE,
+    doc=f"Johnson-Lindenstrauss ±1 projection {DIM}->{JL_K} (plan-time "
+    "literal sign matrix, zero shuffle) with realized pairwise-distance "
+    f"distortion on the fixed {N_JL_PROBE}-vector probe set — the "
+    "dimensionality-reduction feasibility audit; the quadratic audit "
+    "is probe-bounded, the projection is the linear scale path",
+)
+def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") < N_JL_PROBE).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("x"),
+    )
+    proj = probe.select("vec_id", "x", _jl_project(F.col("x")).alias("y")).persist()
+    a = proj.select(
+        F.col("vec_id").alias("vec_a"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = proj.select(
+        F.col("vec_id").alias("vec_b"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("vec_b") > F.col("vec_a"))
+    d2f = _sqdist(F.col("xa"), F.col("xb"))
+    d2p = _sqdist(F.col("ya"), F.col("yb"))
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(d2f, 6).alias("d2_full"),
+        F.round(d2p, 6).alias("d2_proj"),
+        F.round(d2p / d2f, 6).alias("distortion"),
+    )

@@ -238,3 +238,37 @@ def test_funnel_is_hash_join_not_nested_loop(spark, sf_dir):
     p = _plan(spark, sf_dir, "click_purchase_funnel")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_pca_matvec_is_partial_agg_broadcast(spark, sf_dir):
+    """Each power-iteration pass must be partial-agg sums with the
+    64-row vector broadcast — never a corpus-side window or cartesian."""
+    p = _plan(spark, sf_dir, "pca_power_iteration")
+    assert "partial_sum" in p
+    assert "BroadcastHashJoin" in p  # v joined onto the long form by pos
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+
+
+def test_jl_probe_filter_pushed_to_scan(spark, sf_dir):
+    """The JL distortion audit reads only the probe subset: the
+    vec_id bound must reach the parquet scan on BOTH join legs."""
+    p = _plan(spark, sf_dir, "jl_projection_distortion")
+    assert "LessThan(vec_id,40)" in p
+    assert "CartesianProduct" not in p
+
+
+def test_int8_quant_scale_join_broadcast(spark, sf_dir):
+    p = _plan(spark, sf_dir, "embedding_int8_quant")
+    assert "BroadcastHashJoin" in p
+    assert "partial_max" in p  # scale pass is map-side combined
+
+
+def test_psi_grid_folds_are_hash_aggs(spark, sf_dir):
+    """PSI must fold over the bounded (type x bin) grid with hash
+    aggregation — no windows, no cartesian on the corpus side (the
+    1-row bounds crossJoin plans as BNLJ and is allowed)."""
+    p = _plan(spark, sf_dir, "psi_value_drift")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p or "partial_sum" in p
