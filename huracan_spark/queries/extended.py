@@ -1578,3 +1578,84 @@ def q_type_hour_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("h_hour", 6).alias("h_hour"),
         )
     )
+
+
+# -- referential-integrity audit across the star schema ---------------------
+#
+# The cross-table conformance check the single-table rule engine
+# (operators/dq.py) deliberately leaves out: orphaned foreign keys
+# per relationship, as LEFT ANTI joins that never materialize the
+# match (at 100 TB the child side streams once per relationship and
+# the parent key set rides the join hash table; AQE picks
+# broadcast-anti where the parent fits).  DISTINCT child keys first —
+# the anti-join then runs on the deduplicated key set, not raw rows.
+
+_FK_ORACLE = """
+WITH checks AS (
+  SELECT 'lineitem.l_orderkey->orders' AS relationship,
+         CAST((SELECT count(DISTINCT l.l_orderkey) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+              AS BIGINT) AS n_orphan_keys,
+         CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem)
+              AS BIGINT) AS n_child_keys
+  UNION ALL
+  SELECT 'orders.o_custkey->customer',
+         CAST((SELECT count(DISTINCT o.o_custkey) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+              AS BIGINT),
+         CAST((SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT)
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation',
+         CAST((SELECT count(DISTINCT c.c_nationkey) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                 WHERE n.n_nationkey = c.c_nationkey))
+              AS BIGINT),
+         CAST((SELECT count(DISTINCT c_nationkey) FROM customer) AS BIGINT)
+)
+SELECT relationship, n_orphan_keys, n_child_keys,
+       round(CAST(n_orphan_keys AS DOUBLE) / n_child_keys, 6)
+         AS orphan_frac
+FROM checks
+"""
+
+
+@register(
+    "fk_orphan_report",
+    _FK_ORACLE,
+    doc="referential-integrity audit: orphaned-FK key counts for the "
+    "three star-schema relationships via LEFT ANTI joins over DISTINCT "
+    "child keys — child scans once per relationship, parents ride the "
+    "join hash table (broadcast-anti when they fit)",
+)
+def q_fk_orphan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def _check(rel: str, child, ckey: str, parent, pkey: str) -> DataFrame:
+        keys = child.select(F.col(ckey).alias("k")).distinct()
+        orphans = keys.join(
+            parent.select(F.col(pkey).alias("k")), "k", "left_anti"
+        )
+        return (
+            orphans.agg(F.count("*").alias("n_orphan_keys"))
+            .crossJoin(keys.agg(F.count("*").alias("n_child_keys")))
+            .select(
+                F.lit(rel).alias("relationship"),
+                F.col("n_orphan_keys").cast("long").alias("n_orphan_keys"),
+                F.col("n_child_keys").cast("long").alias("n_child_keys"),
+                F.round(
+                    F.col("n_orphan_keys").cast("double")
+                    / F.col("n_child_keys"),
+                    6,
+                ).alias("orphan_frac"),
+            )
+        )
+
+    a = _check("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey")
+    b = _check("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey")
+    c = _check("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey")
+    return a.unionByName(b).unionByName(c)

@@ -50,8 +50,27 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
-        builder = builder.master(f"local[{cpus}]").config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g")
+        builder = (
+            builder.master(f"local[{cpus}]")
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"),
+            )
+            # Whole-stage codegen emits a fresh class per plan; a long
+            # session running hundreds of distinct queries fills the
+            # default 240 MB JIT code cache, after which HotSpot stops
+            # compiling and EVERY subsequent query runs interpreted
+            # (~2-3x slower — measured on the 188-query bench suite).
+            # A 1 GB reserve keeps the JIT alive for the whole suite.
+            # Driver == executor in local mode; on a cluster set the
+            # same via spark.executor.extraJavaOptions.
+            .config(
+                "spark.driver.extraJavaOptions",
+                os.environ.get(
+                    "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                    "-XX:ReservedCodeCacheSize=1g",
+                ),
+            )
         )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -303,3 +303,45 @@ def test_silver_diff_change_data_feed(spark, tmp_path):
     if gen3 != gen2:
         d = silver.diff(gen2, gen3)
         assert d is None or d.count() == 0
+
+
+def test_incremental_view_matches_full_recompute(spark, tmp_path):
+    """Materialized grouped view folded forward from the change feed
+    must equal a full recompute after every merge — inserts, updates,
+    and tombstones included (incremental view maintenance over CDF)."""
+    from huracan_spark.pipeline.incr_view import grouped_view, refresh_view
+
+    silver = SilverTable(spark, str(tmp_path / "s"), n_buckets=8)
+    schema = "_id string, version_ long, deleted boolean, grp string, v double"
+    silver.merge(
+        spark.createDataFrame(
+            [(f"k{i}", 1, False, f"g{i % 3}", float(i)) for i in range(40)],
+            schema,
+        )
+    )
+    gen1 = silver.current_generation()
+    view = grouped_view(silver.read(), "grp", "v").persist()
+
+    batches = [
+        # updates move value mass between nothing (same grp), plus inserts
+        [("k0", 2, False, "g0", 100.0), ("new1", 1, False, "g1", 7.0)],
+        # tombstone k3 (was g0, v=3), update k4 upward
+        [("k3", 5, True, None, None), ("k4", 3, False, "g1", 9.0)],
+        # stale row (ignored) + fresh insert
+        [("k4", 2, False, "g1", 1.0), ("new2", 1, False, "g2", 2.5)],
+    ]
+    gen_prev = gen1
+    for rows in batches:
+        silver.merge(spark.createDataFrame(rows, schema))
+        gen_now = silver.current_generation()
+        if gen_now != gen_prev:
+            view = refresh_view(
+                view, silver, gen_prev, gen_now, "grp", "v"
+            ).persist()
+            gen_prev = gen_now
+        got = {r.grp: (r.n_rows, round(r.sum_value, 6)) for r in view.collect()}
+        want = {
+            r.grp: (r.n_rows, round(r.sum_value, 6))
+            for r in grouped_view(silver.read(), "grp", "v").collect()
+        }
+        assert got == want
