@@ -237,6 +237,44 @@ class SilverTable:
 
     # -- compaction (OPTIMIZE analog) -----------------------------------
 
+    def clone(self, dest_path: str) -> "SilverTable":
+        """Zero-copy snapshot export (the SHALLOW CLONE analog): the
+        current generation's manifest is copied to a fresh table root
+        and every referenced data file is HARDLINKED (byte-copy only
+        when linking fails, e.g. across filesystems).  The clone is a
+        fully independent table — source merges/vacuum/compact never
+        disturb it, because vacuum unlinks the source's names while the
+        clone's links keep the inodes alive.  Cost is O(#files)
+        metadata, not O(data) — the cheap dev/test/backup fork of a
+        100 TB table."""
+        import shutil
+
+        gen = self.current_generation()
+        if gen is None:
+            raise ValueError("cannot clone an empty silver table")
+        manifest = self.manifest(gen)
+        os.makedirs(os.path.join(dest_path, gen), exist_ok=True)
+        for rel in set(manifest.values()):
+            src_dir = os.path.join(self.path, rel)
+            dst_dir = os.path.join(dest_path, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fn in os.listdir(src_dir):
+                s = os.path.join(src_dir, fn)
+                d = os.path.join(dst_dir, fn)
+                if os.path.isfile(s) and not os.path.exists(d):
+                    try:
+                        os.link(s, d)
+                    except OSError:  # cross-device: fall back to copy
+                        shutil.copy2(s, d)
+        with open(os.path.join(dest_path, gen, "manifest.json"), "w") as f:
+            json.dump({"buckets": manifest}, f)
+        clone = SilverTable(self.spark, dest_path, n_buckets=self.n_buckets)
+        tmp = clone._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"generation": gen}, f)
+        os.replace(tmp, clone._pointer)
+        return clone
+
     def compact(self) -> str | None:
         """Rewrite the current state into one fully self-contained
         generation (every bucket materialized locally, no cross-

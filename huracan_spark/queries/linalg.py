@@ -385,3 +385,127 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d2p, 6).alias("d2_proj"),
         F.round(d2p / d2f, 6).alias("distortion"),
     )
+
+
+# -- top-2 principal components via deflation -------------------------------
+#
+# Component 2 = power iteration on the DEFLATED long form
+# xc2 = xc - (xc·c1)·c1 — the projection removal is two more linear
+# passes over (vec, dim), so the whole top-2 extraction stays O(n·d)
+# per pass with O(d) broadcast state; no Gram/covariance matrix, no
+# orthogonalization matrix — deflation IS the orthogonality
+# guarantee (up to convergence).  Oracle unrolls all four matvec
+# passes + the deflation as CTEs.
+
+_PCA2_ORACLE = f"""
+WITH {_VECDIM_SQL},
+means AS (SELECT dim, avg(x) AS m FROM vd GROUP BY dim),
+cent AS (
+  SELECT vd.vec_id, vd.dim, vd.x - mm.m AS xc
+  FROM vd JOIN means mm ON mm.dim = vd.dim
+),
+t1 AS (SELECT vec_id, sum(xc * {V0!r}) AS t FROM cent GROUP BY vec_id),
+y1 AS (SELECT c.dim, sum(c.xc * t1.t) AS y
+       FROM cent c JOIN t1 ON t1.vec_id = c.vec_id GROUP BY c.dim),
+n1 AS (SELECT sqrt(sum(y * y)) AS nrm FROM y1),
+v1 AS (SELECT dim, y / nrm AS v FROM y1 CROSS JOIN n1),
+t2 AS (SELECT c.vec_id, sum(c.xc * v1.v) AS t
+       FROM cent c JOIN v1 ON v1.dim = c.dim GROUP BY c.vec_id),
+y2 AS (SELECT c.dim, sum(c.xc * t2.t) AS y
+       FROM cent c JOIN t2 ON t2.vec_id = c.vec_id GROUP BY c.dim),
+n2 AS (SELECT sqrt(sum(y * y)) AS nrm FROM y2),
+c1 AS (SELECT dim, y / nrm AS v FROM y2 CROSS JOIN n2),
+tproj AS (SELECT c.vec_id, sum(c.xc * c1.v) AS t
+          FROM cent c JOIN c1 ON c1.dim = c.dim GROUP BY c.vec_id),
+cent2 AS (
+  SELECT c.vec_id, c.dim, c.xc - tp.t * c1.v AS xc
+  FROM cent c
+  JOIN tproj tp ON tp.vec_id = c.vec_id
+  JOIN c1 ON c1.dim = c.dim
+),
+s1 AS (SELECT vec_id, sum(xc * {V0!r}) AS t FROM cent2 GROUP BY vec_id),
+z1 AS (SELECT c.dim, sum(c.xc * s1.t) AS y
+       FROM cent2 c JOIN s1 ON s1.vec_id = c.vec_id GROUP BY c.dim),
+m1 AS (SELECT sqrt(sum(y * y)) AS nrm FROM z1),
+w1 AS (SELECT dim, y / nrm AS v FROM z1 CROSS JOIN m1),
+s2 AS (SELECT c.vec_id, sum(c.xc * w1.v) AS t
+       FROM cent2 c JOIN w1 ON w1.dim = c.dim GROUP BY c.vec_id),
+z2 AS (SELECT c.dim, sum(c.xc * s2.t) AS y
+       FROM cent2 c JOIN s2 ON s2.vec_id = c.vec_id GROUP BY c.dim),
+m2 AS (SELECT sqrt(sum(y * y)) AS nrm FROM z2),
+nvec AS (SELECT count(*) AS n FROM embeddings)
+SELECT c1.dim,
+       round(c1.v, 6) AS comp1,
+       round(z2.y / m2.nrm, 6) AS comp2,
+       round(n2.nrm / nvec.n, 6) AS eig1,
+       round(m2.nrm / nvec.n, 6) AS eig2
+FROM c1 JOIN z2 ON z2.dim = c1.dim
+CROSS JOIN n2 CROSS JOIN m2 CROSS JOIN nvec
+"""
+
+
+@register(
+    "pca_deflation_top2",
+    _PCA2_ORACLE,
+    doc="top-2 principal components: 2 power-iteration passes for c1, "
+    "projection deflation xc - (xc.c1)c1 (two more linear passes), "
+    "2 passes for c2 — still O(n.d) rows per pass, O(d) broadcast "
+    "state, covariance never materialized; oracle unrolls everything",
+)
+def q_pca_deflation_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vd = _vecdim(spark, sf_dir)
+    means = vd.groupBy("pos").agg(F.avg("x").alias("m"))
+    cent = (
+        vd.join(F.broadcast(means), "pos")
+        .select("vec_id", "pos", (F.col("x") - F.col("m")).alias("xc"))
+        .persist()
+    )
+    t1 = cent.groupBy("vec_id").agg(F.sum(F.col("xc") * F.lit(V0)).alias("t"))
+    y1 = (
+        cent.join(t1, "vec_id")
+        .groupBy("pos")
+        .agg(F.sum(F.col("xc") * F.col("t")).alias("y"))
+    )
+    v1 = _normalize_vec(y1)
+    y2 = _matvec(cent, v1)
+    nrm2 = y2.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+    c1 = _normalize_vec(y2).withColumnRenamed("v", "c1v")
+
+    tproj = (
+        cent.join(F.broadcast(c1), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("xc") * F.col("c1v")).alias("t"))
+    )
+    cent2 = (
+        cent.join(tproj, "vec_id")
+        .join(F.broadcast(c1), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            (F.col("xc") - F.col("t") * F.col("c1v")).alias("xc"),
+        )
+        .persist()
+    )
+    s1 = cent2.groupBy("vec_id").agg(F.sum(F.col("xc") * F.lit(V0)).alias("t"))
+    z1 = (
+        cent2.join(s1, "vec_id")
+        .groupBy("pos")
+        .agg(F.sum(F.col("xc") * F.col("t")).alias("y"))
+    )
+    w1 = _normalize_vec(z1)
+    z2 = _matvec(cent2, w1)
+    m2 = z2.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+    nvec = load_table(spark, sf_dir, "embeddings").agg(F.count("*").alias("n"))
+    return (
+        c1.join(z2, "pos")
+        .crossJoin(F.broadcast(nrm2.withColumnRenamed("nrm", "nrm1")))
+        .crossJoin(F.broadcast(m2))
+        .crossJoin(F.broadcast(nvec))
+        .select(
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.round(F.col("c1v"), 6).alias("comp1"),
+            F.round(F.col("y") / F.col("nrm"), 6).alias("comp2"),
+            F.round(F.col("nrm1") / F.col("n"), 6).alias("eig1"),
+            F.round(F.col("nrm") / F.col("n"), 6).alias("eig2"),
+        )
+    )

@@ -302,3 +302,91 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_units").over(cum).cast("long").alias("n_units_cum"),
         F.sum("n_new").over(cum).cast("long").alias("n_vocab_cum"),
     )
+
+
+# -- AMS (Alon–Matias–Szegedy) F2 sketch ------------------------------------
+#
+# The second frequency moment Σ f_k² — the self-join size of the
+# stream on its key, and THE statistic a cost-based optimizer wants
+# before committing to a shuffle strategy.  The AMS estimator keeps
+# R independent ±1-signed counters: c_r = Σ_k s_r(k)·f_k where
+# s_r(k) = ±1 from hash60(key, seed_r); each c_r² is an unbiased
+# estimate of F2, and the mean over R counters concentrates.  One
+# scan, R·|partition| partial counters merged by sum — mergeable
+# across shards/days by construction (signs depend only on the key),
+# bounded state, no distinct, no join.  Exact F2 alongside for the
+# driver-checked error (exact side is a |keys|-bounded agg).
+
+AMS_R = 64
+
+
+def _ams_counters(ev, key_col: str):
+    """R signed counters in one pass: explode the fixed seed range,
+    sign from hash60(key, 'ams:<r>') parity."""
+    seeds = F.array(*[F.lit(r) for r in range(AMS_R)])
+    ex = ev.select(F.col(key_col).cast("string").alias("k")).select(
+        "k", F.explode(seeds).alias("r")
+    )
+    sign = F.when(
+        hash60(
+            F.concat(F.col("r").cast("string"), F.lit("|"), F.col("k")),
+            "ams",
+        )
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    return ex.groupBy("r").agg(F.sum(sign).cast("long").alias("c"))
+
+
+_AMS_ORACLE = f"""
+WITH seeds AS (SELECT unnest(generate_series(0, {AMS_R - 1})) AS r),
+ex AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, s.r
+  FROM events CROSS JOIN seeds s
+),
+counters AS (
+  SELECT r,
+         CAST(sum(CASE WHEN {hash60_sql("r::VARCHAR || '|' || k", 'ams')} % 2 = 0
+                       THEN 1 ELSE -1 END) AS BIGINT) AS c
+  FROM ex GROUP BY r
+),
+est AS (
+  SELECT avg(CAST(c AS DOUBLE) * c) AS f2_est FROM counters
+),
+exact AS (
+  SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact
+  FROM (SELECT count(*) AS f FROM events GROUP BY user_id)
+)
+SELECT CAST(round(e.f2_est, 0) AS BIGINT) AS f2_est,
+       x.f2_exact,
+       round(e.f2_est / x.f2_exact, 4) AS est_ratio
+FROM est e CROSS JOIN exact x
+"""
+
+
+@register(
+    "ams_f2_estimate",
+    _AMS_ORACLE,
+    doc=f"AMS second-frequency-moment sketch ({AMS_R} ±1-signed "
+    "counters, signs from the shared hash60 primitive): self-join-size "
+    "estimation in one scan with mergeable bounded state — the "
+    "shuffle-strategy planning statistic; exact F2 alongside for the "
+    "driver-checked estimator quality",
+)
+def q_ams_f2_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counters = _ams_counters(ev, "user_id")
+    est = counters.agg(
+        F.avg(F.col("c").cast("double") * F.col("c")).alias("f2_est")
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("f2_exact"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.round("f2_est", 0).cast("long").alias("f2_est"),
+        "f2_exact",
+        F.round(F.col("f2_est") / F.col("f2_exact"), 4).alias("est_ratio"),
+    )

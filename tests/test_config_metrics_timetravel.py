@@ -345,3 +345,83 @@ def test_incremental_view_matches_full_recompute(spark, tmp_path):
             for r in grouped_view(silver.read(), "grp", "v").collect()
         }
         assert got == want
+
+
+def test_silver_clone_is_zero_copy_and_independent(spark, tmp_path):
+    """clone(): hardlinked snapshot — same data, no byte duplication;
+    source merges and vacuum afterwards must not disturb the clone."""
+    import os
+
+    silver = SilverTable(spark, str(tmp_path / "s"), n_buckets=4)
+    silver.merge(
+        spark.createDataFrame(
+            [(f"k{i}", 1, False) for i in range(32)],
+            "_id string, version_ long, deleted boolean",
+        )
+    )
+    clone = silver.clone(str(tmp_path / "c"))
+    snap = {(r._id, r.version_) for r in clone.read().collect()}
+    assert snap == {(f"k{i}", 1) for i in range(32)}
+
+    # zero-copy: cloned files share inodes with the source
+    gen = clone.current_generation()
+    rel = next(iter(clone.manifest(gen).values()))
+    src_dir, dst_dir = (
+        os.path.join(str(tmp_path / "s"), rel),
+        os.path.join(str(tmp_path / "c"), rel),
+    )
+    f = next(f for f in os.listdir(dst_dir) if f.endswith(".parquet"))
+    assert os.stat(os.path.join(src_dir, f)).st_ino == os.stat(
+        os.path.join(dst_dir, f)
+    ).st_ino
+
+    # source evolves + compacts + vacuums hard; the clone must not move
+    silver.merge(
+        spark.createDataFrame(
+            [("k0", 9, False)], "_id string, version_ long, deleted boolean"
+        )
+    )
+    silver.compact()
+    silver.vacuum(keep=1)
+    assert {(r._id, r.version_) for r in clone.read().collect()} == snap
+
+
+def test_silver_forget_flow_removes_all_physical_trace(spark, tmp_path):
+    """Right-to-be-forgotten: tombstone the subject's keys, compact,
+    vacuum(keep=1) — afterwards NO retained parquet file contains the
+    forgotten ids (tombstones keep the key envelope only, payload
+    nulled), and reads exclude them."""
+    import glob
+    import os
+
+    silver = SilverTable(spark, str(tmp_path / "s"), n_buckets=4)
+    schema = "_id string, version_ long, deleted boolean, payload string"
+    silver.merge(
+        spark.createDataFrame(
+            [(f"u{i}", 1, False, f"secret-{i}") for i in range(16)], schema
+        )
+    )
+    # forget u3 and u7: tombstones with payload nulled (K2 shape)
+    silver.merge(
+        spark.createDataFrame(
+            [("u3", 2, True, None), ("u7", 2, True, None)], schema
+        )
+    )
+    silver.compact()
+    silver.vacuum(keep=1)
+
+    state = silver.read()
+    live = state.filter(~state.deleted)
+    assert live.filter(live._id.isin("u3", "u7")).count() == 0
+    assert live.count() == 14
+
+    # physical audit: the forgotten payloads exist in NO retained file
+    files = glob.glob(
+        os.path.join(str(tmp_path / "s"), "**", "*.parquet"), recursive=True
+    )
+    assert files
+    remaining = spark.read.parquet(*files)
+    hits = remaining.filter(
+        remaining.payload.isin("secret-3", "secret-7")
+    ).count()
+    assert hits == 0

@@ -65,3 +65,30 @@ def test_jl_distortion_concentrates_near_one(spark, sf_dir):
     ratios = np.array([r.distortion for r in rows])
     assert 0.8 < ratios.mean() < 1.25
     assert (ratios > 0).all()
+
+
+def test_pca_deflation_matches_numpy_and_is_orthogonal(spark, sf_dir):
+    X = _embeddings_np(spark, sf_dir)
+    Xc = X - X.mean(axis=0)
+    v0 = np.full(64, 1.0 / 8.0)
+
+    def two_steps(M, v):
+        y = M.T @ (M @ v)
+        v1 = y / np.linalg.norm(y)
+        y2 = M.T @ (M @ v1)
+        return y2 / np.linalg.norm(y2), np.linalg.norm(y2)
+
+    c1, nrm1 = two_steps(Xc, v0)
+    Xc2 = Xc - np.outer(Xc @ c1, c1)
+    c2, nrm2 = two_steps(Xc2, v0)
+
+    rows = REGISTRY["pca_deflation_top2"].fn(spark, sf_dir).collect()
+    got1 = np.array([r.comp1 for r in sorted(rows, key=lambda r: r.dim)])
+    got2 = np.array([r.comp2 for r in sorted(rows, key=lambda r: r.dim)])
+    assert np.allclose(got1, c1, atol=2e-6)
+    assert np.allclose(got2, c2, atol=2e-6)
+    assert abs(float(got1 @ got2)) < 1e-3  # deflation => near-orthogonal
+    r0 = rows[0]
+    assert abs(r0.eig1 - nrm1 / len(X)) < 2e-6
+    assert abs(r0.eig2 - nrm2 / len(X)) < 2e-6
+    assert r0.eig1 >= r0.eig2 > 0
