@@ -275,13 +275,17 @@ class SilverTable:
         os.replace(tmp, clone._pointer)
         return clone
 
-    def compact(self) -> str | None:
+    def compact(self, max_records_per_file: int | None = None) -> str | None:
         """Rewrite the current state into one fully self-contained
         generation (every bucket materialized locally, no cross-
         generation references).  The Delta OPTIMIZE analog: after many
         incremental merges the current manifest references many old
         generations, which reference-aware vacuum must then retain;
         compacting makes them garbage so ``vacuum`` can reclaim them.
+        ``max_records_per_file`` bounds output file size (the OPTIMIZE
+        target-file-size knob): Spark rolls to a new file within the
+        task once the cap is hit, so buckets split into uniformly
+        sized files instead of one giant file per bucket.
         Returns the new generation name (None on an empty table)."""
         current_gen = self.current_generation()
         if current_gen is None:
@@ -293,12 +297,10 @@ class SilverTable:
             seq += 1
             gen = f"gen-{ts}-{seq:03d}"
         out = os.path.join(self.path, gen)
-        (
-            state.repartition(self.n_buckets, "_bucket")
-            .write.partitionBy("_bucket")
-            .mode("overwrite")
-            .parquet(out)
-        )
+        writer = state.repartition(self.n_buckets, "_bucket").write
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.partitionBy("_bucket").mode("overwrite").parquet(out)
         buckets = {
             d.split("=", 1)[1]: os.path.join(gen, d)
             for d in os.listdir(out)
