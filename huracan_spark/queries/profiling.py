@@ -1,0 +1,316 @@
+"""Data-profiling / segmentation queries over the corpus and the
+order history (beyond-reference extensions per the build brief).
+
+- ``doclen_lognormal_fit`` — per-source log-normal MLE of the
+  document-length distribution (mu/sigma of ln n_chars) + moment
+  check.  The one-line generative model of a text corpus; a source
+  whose lengths stop being log-normal usually changed extraction
+  pipelines.  Single scan, |sources|-bounded output.
+- ``vocab_coverage_curve`` — how many vocabulary types cover 90% of
+  the token mass.  The cumulative mass runs through the distributed
+  prefix-sum operator (``operators/prefix_sum.py::global_cumsum`` —
+  range partition + per-partition window + offset merge, NEVER a
+  single-partition window over the vocabulary, which at 100 TB has
+  hundreds of millions of types).
+- ``bigram_conditional_entropy`` — H(next|prev) = H(bigram) -
+  H(unigram) over adjacent-token pairs: the sequence-predictability
+  number (how much a 1-gram LM is leaving on the table).  Long-form
+  adjacency join on (doc_id, pos+1); entropy folds over type-bounded
+  count tables.
+- ``customer_rfm_segments`` — classic recency/frequency/monetary
+  segmentation: per-customer stats -> tercile boundaries
+  (percentile_cont over EXACT integer inputs — monetary is integer
+  cents so cross-engine interpolation is deterministic) -> 1..3
+  scores -> bounded 27-segment rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from huracan_spark.functions.textfns import tokens, tokens_sql
+from huracan_spark.queries.registry import register
+from huracan_spark.sources.tables import load_table
+
+COVERAGE_Q = 0.9
+
+
+# -- per-source log-normal fit of document lengths --------------------------
+
+_LOGNORM_ORACLE = """
+WITH d AS (
+  SELECT source, ln(CAST(n_chars AS DOUBLE)) AS l, n_chars
+  FROM documents WHERE n_chars > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(l), 6) AS mu,
+       round(stddev_pop(l), 6) AS sigma,
+       round(exp(avg(l)), 2) AS geo_mean_chars,
+       round(avg(n_chars), 2) AS arith_mean_chars
+FROM d GROUP BY source
+"""
+
+
+@register(
+    "doclen_lognormal_fit",
+    _LOGNORM_ORACLE,
+    doc="per-source log-normal MLE (mu/sigma of ln n_chars) with "
+    "geometric vs arithmetic mean — the corpus length-distribution "
+    "model; one scan, |sources|-bounded output",
+)
+def q_doclen_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("source", "n_chars", F.log(F.col("n_chars").cast("double")).alias("l"))
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("l"), 6).alias("mu"),
+        F.round(F.stddev_pop("l"), 6).alias("sigma"),
+        F.round(F.exp(F.avg("l")), 2).alias("geo_mean_chars"),
+        F.round(F.avg("n_chars"), 2).alias("arith_mean_chars"),
+    )
+
+
+# -- vocabulary coverage via distributed prefix sum -------------------------
+
+_COVERAGE_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({tokens_sql('text')}) AS token FROM documents
+),
+freq AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+tot AS (SELECT sum(n) AS total, count(*) AS vocab FROM freq),
+ordered AS (
+  SELECT n,
+         sum(n) OVER (ORDER BY n DESC, token
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM freq
+)
+SELECT CAST(t.vocab AS BIGINT) AS vocab_size,
+       CAST(t.total AS BIGINT) AS total_tokens,
+       CAST((SELECT count(*) FROM ordered o, tot tt
+             WHERE o.cum < {COVERAGE_Q} * tt.total) + 1 AS BIGINT)
+         AS k_{int(COVERAGE_Q * 100)}
+FROM tot t
+"""
+
+
+@register(
+    "vocab_coverage_curve",
+    _COVERAGE_ORACLE,
+    doc=f"types needed to cover {int(COVERAGE_Q*100)}% of token mass — "
+    "the cumulative mass runs through the distributed prefix-sum "
+    "operator (range partition + local window + offset merge), never "
+    "a single-partition window over the vocabulary; k is derived as "
+    "count(cum < q*total)+1, so no rank column is needed",
+)
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.operators.prefix_sum import global_cumsum
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = freq.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    # unique ascending order key realizing (freq desc, token asc):
+    # zero-padded (max_n - n) then the token string
+    maxn = freq.agg(F.max("n").alias("maxn"))
+    keyed = freq.crossJoin(F.broadcast(maxn)).select(
+        "n",
+        F.format_string("%019d|%s", F.col("maxn") - F.col("n"), F.col("token")).alias(
+            "okey"
+        ),
+    )
+    cum = global_cumsum(keyed, "n", "okey", out_col="cum")
+    below = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") < F.lit(COVERAGE_Q) * F.col("total"))
+        .agg(F.count("*").alias("n_below"))
+    )
+    return tot.crossJoin(F.broadcast(below)).select(
+        F.col("vocab").alias("vocab_size"),
+        F.col("total").alias("total_tokens"),
+        (F.col("n_below") + 1).cast("long").alias(f"k_{int(COVERAGE_Q * 100)}"),
+    )
+
+
+# -- bigram conditional entropy ---------------------------------------------
+
+_CONDENT_ORACLE = f"""
+WITH tokpos AS (
+  SELECT doc_id, t.token, t.pos
+  FROM documents,
+       LATERAL (SELECT unnest({tokens_sql('text')}) AS token,
+                       generate_subscripts({tokens_sql('text')}, 1) AS pos) t
+),
+uni AS (SELECT token, count(*) AS n FROM tokpos GROUP BY token),
+utot AS (SELECT sum(n) AS t FROM uni),
+big AS (
+  SELECT a.token AS x, b.token AS y, count(*) AS n
+  FROM tokpos a JOIN tokpos b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.token, b.token
+),
+btot AS (SELECT sum(n) AS t FROM big),
+h1 AS (SELECT -sum((n / t.t) * ln(n / t.t)) AS h FROM uni CROSS JOIN utot t),
+h2 AS (SELECT -sum((n / t.t) * ln(n / t.t)) AS h FROM big CROSS JOIN btot t)
+SELECT round(h1.h, 6) AS h_unigram,
+       round(h2.h, 6) AS h_bigram,
+       round(h2.h - h1.h, 6) AS h_conditional
+FROM h1 CROSS JOIN h2
+"""
+
+
+@register(
+    "bigram_conditional_entropy",
+    _CONDENT_ORACLE,
+    doc="H(next|prev) = H(bigram) - H(unigram) over adjacent token "
+    "pairs — sequence predictability; adjacency via equi-join on "
+    "(doc_id, pos+1), entropy folds over type-bounded count tables",
+)
+def q_bigram_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tokpos = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    uni = tokpos.groupBy("token").agg(F.count("*").alias("n"))
+    utot = uni.agg(F.sum("n").alias("t"))
+    nxt = tokpos.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("token").alias("y"),
+    )
+    big = (
+        tokpos.join(
+            nxt,
+            (F.col("doc_id_b") == F.col("doc_id"))
+            & (F.col("pos_b") == F.col("pos") + 1),
+        )
+        .groupBy(F.col("token").alias("x"), "y")
+        .agg(F.count("*").alias("n"))
+    )
+    btot = big.agg(F.sum("n").alias("t"))
+    h1 = (
+        uni.crossJoin(F.broadcast(utot))
+        .agg((-F.sum((F.col("n") / F.col("t")) * F.log(F.col("n") / F.col("t")))).alias("h"))
+    )
+    h2 = (
+        big.crossJoin(F.broadcast(btot))
+        .agg((-F.sum((F.col("n") / F.col("t")) * F.log(F.col("n") / F.col("t")))).alias("h"))
+    )
+    return (
+        h1.select(F.col("h").alias("h1"))
+        .crossJoin(F.broadcast(h2.select(F.col("h").alias("h2"))))
+        .select(
+            F.round("h1", 6).alias("h_unigram"),
+            F.round("h2", 6).alias("h_bigram"),
+            F.round(F.col("h2") - F.col("h1"), 6).alias("h_conditional"),
+        )
+    )
+
+
+# -- customer RFM segmentation ----------------------------------------------
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey AS c,
+         date_diff('day', max(o_orderdate),
+                   (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+b AS (
+  SELECT quantile_cont(recency_days, [1.0/3, 2.0/3]) AS rb,
+         quantile_cont(frequency, [1.0/3, 2.0/3]) AS fb,
+         quantile_cont(monetary_cents, [1.0/3, 2.0/3]) AS mb
+  FROM per_cust
+),
+scored AS (
+  SELECT
+    CASE WHEN recency_days <= rb[1] THEN 3
+         WHEN recency_days <= rb[2] THEN 2 ELSE 1 END AS r_score,
+    CASE WHEN frequency <= fb[1] THEN 1
+         WHEN frequency <= fb[2] THEN 2 ELSE 3 END AS f_score,
+    CASE WHEN monetary_cents <= mb[1] THEN 1
+         WHEN monetary_cents <= mb[2] THEN 2 ELSE 3 END AS m_score,
+    monetary_cents
+  FROM per_cust CROSS JOIN b
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+FROM scored GROUP BY r_score, f_score, m_score
+"""
+
+
+@register(
+    "customer_rfm_segments",
+    _RFM_ORACLE,
+    doc="RFM segmentation: per-customer recency/frequency/monetary "
+    "(monetary as EXACT integer cents so tercile interpolation is "
+    "engine-deterministic), tercile scores from a 1-row broadcast "
+    "boundary table, bounded 27-segment rollup",
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("dmax"))
+    per_cust = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("dmax"), F.max("o_orderdate")).alias(
+                "recency_days"
+            ),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+    )
+    b = per_cust.agg(
+        F.percentile("recency_days", F.lit(1.0 / 3)).alias("r1"),
+        F.percentile("recency_days", F.lit(2.0 / 3)).alias("r2"),
+        F.percentile("frequency", F.lit(1.0 / 3)).alias("f1"),
+        F.percentile("frequency", F.lit(2.0 / 3)).alias("f2"),
+        F.percentile("monetary_cents", F.lit(1.0 / 3)).alias("m1"),
+        F.percentile("monetary_cents", F.lit(2.0 / 3)).alias("m2"),
+    )
+    s = per_cust.crossJoin(F.broadcast(b))
+    r_score = (
+        F.when(F.col("recency_days") <= F.col("r1"), 3)
+        .when(F.col("recency_days") <= F.col("r2"), 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("frequency") <= F.col("f1"), 1)
+        .when(F.col("frequency") <= F.col("f2"), 2)
+        .otherwise(3)
+    )
+    m_score = (
+        F.when(F.col("monetary_cents") <= F.col("m1"), 1)
+        .when(F.col("monetary_cents") <= F.col("m2"), 2)
+        .otherwise(3)
+    )
+    return (
+        s.select(
+            r_score.alias("r_score"),
+            f_score.alias("f_score"),
+            m_score.alias("m_score"),
+            "monetary_cents",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("monetary_cents").cast("long").alias("segment_cents"),
+        )
+    )

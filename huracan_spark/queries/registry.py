@@ -69,6 +69,7 @@ def _load_all_modules() -> None:
         media,
         objects,
         pq,
+        profiling,
         ranking,
         relational,
         similarity,
