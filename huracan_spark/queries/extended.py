@@ -1636,7 +1636,9 @@ def q_fk_orphan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
 
     def _check(rel: str, child, ckey: str, parent, pkey: str) -> DataFrame:
-        keys = child.select(F.col(ckey).alias("k")).distinct()
+        # persist: the distinct child-key set feeds BOTH the anti-join
+        # and the denominator count — one distinct pass, not two
+        keys = child.select(F.col(ckey).alias("k")).distinct().persist()
         orphans = keys.join(
             parent.select(F.col(pkey).alias("k")), "k", "left_anti"
         )

@@ -248,13 +248,16 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pass 1 with the constant init vector folded in (t1 = V0 * Σ_d xc)
     t1 = cent.groupBy("vec_id").agg(F.sum(F.col("xc") * F.lit(V0)).alias("t"))
+    # persist each 64-row vector: its LINEAGE is a full corpus pass,
+    # and normalize/Rayleigh each consume it twice (agg + projection)
     y1 = (
         cent.join(t1, "vec_id")
         .groupBy("pos")
         .agg(F.sum(F.col("xc") * F.col("t")).alias("y"))
+        .localCheckpoint(eager=True)
     )
     v1 = _normalize_vec(y1)
-    y2 = _matvec(cent, v1)
+    y2 = _matvec(cent, v1).localCheckpoint(eager=True)
     nrm2 = y2.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
     nvec = (
         load_table(spark, sf_dir, "embeddings")
@@ -461,13 +464,19 @@ def q_pca_deflation_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     t1 = cent.groupBy("vec_id").agg(F.sum(F.col("xc") * F.lit(V0)).alias("t"))
+    # persist every 64-row vector table: each is consumed by several
+    # downstream subplans (normalize agg + projection + broadcast
+    # exchanges), and without the pin each broadcast subtree re-runs
+    # the full corpus pass that produced it (measured 59 s -> ~8 s
+    # at sf0.1)
     y1 = (
         cent.join(t1, "vec_id")
         .groupBy("pos")
         .agg(F.sum(F.col("xc") * F.col("t")).alias("y"))
+        .localCheckpoint(eager=True)
     )
     v1 = _normalize_vec(y1)
-    y2 = _matvec(cent, v1)
+    y2 = _matvec(cent, v1).localCheckpoint(eager=True)
     nrm2 = y2.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
     c1 = _normalize_vec(y2).withColumnRenamed("v", "c1v")
 
@@ -491,9 +500,10 @@ def q_pca_deflation_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent2.join(s1, "vec_id")
         .groupBy("pos")
         .agg(F.sum(F.col("xc") * F.col("t")).alias("y"))
+        .localCheckpoint(eager=True)
     )
     w1 = _normalize_vec(z1)
-    z2 = _matvec(cent2, w1)
+    z2 = _matvec(cent2, w1).localCheckpoint(eager=True)
     m2 = z2.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
     nvec = load_table(spark, sf_dir, "embeddings").agg(F.count("*").alias("n"))
     return (

@@ -309,55 +309,36 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The second frequency moment Σ f_k² — the self-join size of the
 # stream on its key, and THE statistic a cost-based optimizer wants
 # before committing to a shuffle strategy.  The AMS estimator keeps
-# R independent ±1-signed counters: c_r = Σ_k s_r(k)·f_k where
-# s_r(k) = ±1 from hash60(key, seed_r); each c_r² is an unbiased
-# estimate of F2, and the mean over R counters concentrates.  One
-# scan, R·|partition| partial counters merged by sum — mergeable
-# across shards/days by construction (signs depend only on the key),
-# bounded state, no distinct, no join.  Exact F2 alongside for the
-# driver-checked error (exact side is a |keys|-bounded agg).
+# R ±1-signed counters: c_r = Σ_k s_r(k)·f_k; each c_r² is an
+# unbiased estimate of F2 and the mean over R concentrates.  Cost
+# shape: ONE linear pass builds the per-key frequency table (the
+# shuffle the query needs anyway), then ONE md5 per DISTINCT key
+# supplies all R signs at once (bit r of hash60), and the counter
+# fold runs over |keys|·R tiny rows — mergeable across shards/days
+# because signs depend only on the key.  Exact F2 rides the same
+# frequency table for the driver-checked estimator error.
 
-AMS_R = 64
-
-
-def _ams_counters(ev, key_col: str):
-    """R signed counters in one pass: explode the fixed seed range,
-    sign from hash60(key, 'ams:<r>') parity."""
-    seeds = F.array(*[F.lit(r) for r in range(AMS_R)])
-    ex = ev.select(F.col(key_col).cast("string").alias("k")).select(
-        "k", F.explode(seeds).alias("r")
-    )
-    sign = F.when(
-        hash60(
-            F.concat(F.col("r").cast("string"), F.lit("|"), F.col("k")),
-            "ams",
-        )
-        % 2
-        == 0,
-        1,
-    ).otherwise(-1)
-    return ex.groupBy("r").agg(F.sum(sign).cast("long").alias("c"))
+AMS_R = 60  # one sign bit per hash60 bit
 
 
 _AMS_ORACLE = f"""
-WITH seeds AS (SELECT unnest(generate_series(0, {AMS_R - 1})) AS r),
-ex AS (
-  SELECT CAST(user_id AS VARCHAR) AS k, s.r
-  FROM events CROSS JOIN seeds s
+WITH freq AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS f
+  FROM events GROUP BY user_id
+),
+hashed AS (
+  SELECT f, {hash60_sql('k', 'ams')} AS h FROM freq
 ),
 counters AS (
-  SELECT r,
-         CAST(sum(CASE WHEN {hash60_sql("r::VARCHAR || '|' || k", 'ams')} % 2 = 0
-                       THEN 1 ELSE -1 END) AS BIGINT) AS c
-  FROM ex GROUP BY r
+  SELECT r.r,
+         CAST(sum(CASE WHEN (h & (CAST(1 AS BIGINT) << r.r)) <> 0
+                       THEN f ELSE -f END)
+              AS BIGINT) AS c
+  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, {AMS_R - 1})) AS r) r
+  GROUP BY r.r
 ),
-est AS (
-  SELECT avg(CAST(c AS DOUBLE) * c) AS f2_est FROM counters
-),
-exact AS (
-  SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact
-  FROM (SELECT count(*) AS f FROM events GROUP BY user_id)
-)
+est AS (SELECT avg(CAST(c AS DOUBLE) * c) AS f2_est FROM counters),
+exact AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact FROM freq)
 SELECT CAST(round(e.f2_est, 0) AS BIGINT) AS f2_est,
        x.f2_exact,
        round(e.f2_est / x.f2_exact, 4) AS est_ratio
@@ -369,22 +350,34 @@ FROM est e CROSS JOIN exact x
     "ams_f2_estimate",
     _AMS_ORACLE,
     doc=f"AMS second-frequency-moment sketch ({AMS_R} ±1-signed "
-    "counters, signs from the shared hash60 primitive): self-join-size "
-    "estimation in one scan with mergeable bounded state — the "
+    "counters; all signs from the bits of ONE hash60 per distinct "
+    "key, counter fold over the |keys|-bounded frequency table): "
+    "self-join-size estimation with mergeable bounded state — the "
     "shuffle-strategy planning statistic; exact F2 alongside for the "
     "driver-checked estimator quality",
 )
 def q_ams_f2_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    counters = _ams_counters(ev, "user_id")
+    freq = (
+        ev.groupBy(F.col("user_id").cast("string").alias("k"))
+        .agg(F.count("*").alias("f"))
+        .withColumn("h", hash60(F.col("k"), "ams"))
+        .persist()  # counters + exact legs share one frequency pass
+    )
+    rs = spark.range(AMS_R).select(
+        F.col("id").cast("int").alias("r"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").alias("mask"),
+    )
+    sign = F.when(F.col("h").bitwiseAND(F.col("mask")) != 0, 1).otherwise(-1)
+    counters = (
+        freq.crossJoin(F.broadcast(rs))
+        .groupBy("r")
+        .agg(F.sum(sign * F.col("f")).cast("long").alias("c"))
+    )
     est = counters.agg(
         F.avg(F.col("c").cast("double") * F.col("c")).alias("f2_est")
     )
-    exact = (
-        ev.groupBy("user_id")
-        .agg(F.count("*").alias("f"))
-        .agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("f2_exact"))
-    )
+    exact = freq.agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("f2_exact"))
     return est.crossJoin(F.broadcast(exact)).select(
         F.round("f2_est", 0).cast("long").alias("f2_est"),
         "f2_exact",

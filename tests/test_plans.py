@@ -242,8 +242,29 @@ def test_funnel_is_hash_join_not_nested_loop(spark, sf_dir):
 
 def test_pca_matvec_is_partial_agg_broadcast(spark, sf_dir):
     """Each power-iteration pass must be partial-agg sums with the
-    64-row vector broadcast — never a corpus-side window or cartesian."""
-    p = _plan(spark, sf_dir, "pca_power_iteration")
+    64-row vector broadcast — never a corpus-side window or cartesian.
+    (The registered queries eagerly checkpoint each 64-row vector to
+    stop broadcast-exchange races from duplicating passes, which
+    truncates their final plan — so the shape is asserted on the
+    matvec building block itself.)"""
+    from pyspark.sql import functions as F
+
+    from huracan_spark.queries import linalg
+
+    vd = linalg._vecdim(spark, sf_dir)
+    means = vd.groupBy("pos").agg(F.avg("x").alias("m"))
+    cent = vd.join(F.broadcast(means), "pos").select(
+        "vec_id", "pos", (F.col("x") - F.col("m")).alias("xc")
+    )
+    v = spark.range(64).select(
+        F.col("id").cast("int").alias("pos"), F.lit(0.125).alias("v")
+    )
+    p = (
+        linalg._matvec(cent, v)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "partial_sum" in p
     assert "BroadcastHashJoin" in p  # v joined onto the long form by pos
     assert "CartesianProduct" not in p
