@@ -314,3 +314,178 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("monetary_cents").cast("long").alias("segment_cents"),
         )
     )
+
+
+# -- shipping delay by order priority ---------------------------------------
+
+_SHIPDELAY_ORACLE = """
+WITH j AS (
+  SELECT o.o_orderpriority AS priority,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(avg(delay_days), 4) AS avg_delay_days,
+       CAST(quantile_cont(delay_days, 0.5) AS DOUBLE) AS p50_delay,
+       CAST(quantile_cont(delay_days, 0.95) AS DOUBLE) AS p95_delay,
+       CAST(max(delay_days) AS BIGINT) AS max_delay
+FROM j GROUP BY priority
+"""
+
+
+@register(
+    "ship_delay_by_priority",
+    _SHIPDELAY_ORACLE,
+    doc="order-to-ship latency distribution per order priority — the "
+    "SLA audit: one fact-to-fact equi-join (orders side prunable to "
+    "two columns), exact integer-day percentiles per bounded priority "
+    "group",
+)
+def q_ship_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").alias("delay_days"),
+    )
+    return j.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(F.avg("delay_days"), 4).alias("avg_delay_days"),
+        F.percentile("delay_days", F.lit(0.5)).alias("p50_delay"),
+        F.percentile("delay_days", F.lit(0.95)).alias("p95_delay"),
+        F.max("delay_days").cast("long").alias("max_delay"),
+    )
+
+
+# -- burst (bot) detection: max events per user-minute ----------------------
+
+_BURST_ORACLE = """
+WITH per_min AS (
+  SELECT user_id, date_trunc('minute', ts) AS m, count(*) AS n
+  FROM events GROUP BY user_id, m
+),
+peaks AS (
+  SELECT user_id,
+         max(n) AS peak_per_min,
+         CAST(count(*) AS BIGINT) AS active_minutes,
+         CAST(sum(n) AS BIGINT) AS total_events
+  FROM per_min GROUP BY user_id
+)
+SELECT user_id, CAST(peak_per_min AS BIGINT) AS peak_per_min,
+       active_minutes, total_events
+FROM peaks
+WHERE peak_per_min >= 2
+"""
+
+
+@register(
+    "user_burst_detection",
+    _BURST_ORACLE,
+    doc="abuse/bot heuristic: per-user peak events-per-minute via a "
+    "(user, minute) hash agg then a per-user rollup — two linear "
+    "partial aggs, no windows; flags users with bursty request rates",
+)
+def q_user_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("m")
+    ).agg(F.count("*").alias("n"))
+    peaks = per_min.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("peak_per_min"),
+        F.count("*").cast("long").alias("active_minutes"),
+        F.sum("n").cast("long").alias("total_events"),
+    )
+    return peaks.filter(F.col("peak_per_min") >= 2)
+
+
+# -- per-source exact-duplicate rate ----------------------------------------
+
+_DUPRATE_ORACLE = """
+WITH fp AS (
+  SELECT source, md5(text) AS fp FROM documents
+),
+grp AS (
+  SELECT fp, count(*) AS n FROM fp GROUP BY fp
+),
+flagged AS (
+  SELECT f.source, CASE WHEN g.n > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM fp f JOIN grp g ON g.fp = f.fp
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_dup) AS BIGINT) AS n_in_dup_groups,
+       round(CAST(sum(is_dup) AS DOUBLE) / count(*), 6) AS dup_frac
+FROM flagged GROUP BY source
+"""
+
+
+@register(
+    "source_dup_rate",
+    _DUPRATE_ORACLE,
+    doc="per-source exact-duplicate exposure: fraction of docs whose "
+    "content fingerprint repeats corpus-wide — the source-quality "
+    "ranking input for mixture decisions; fingerprint groupBy + one "
+    "equi-join back, both corpus-linear",
+)
+def q_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("source", F.md5(F.col("text")).alias("fp"))
+    grp = fp.groupBy("fp").agg(F.count("*").alias("n"))
+    flagged = fp.join(grp, "fp").select(
+        "source", (F.col("n") > 1).cast("int").alias("is_dup")
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_in_dup_groups"),
+        F.round(F.sum("is_dup").cast("double") / F.count("*"), 6).alias(
+            "dup_frac"
+        ),
+    )
+
+
+# -- hour-of-week seasonality profile ---------------------------------------
+
+_HOW_ORACLE = """
+WITH grid AS (
+  SELECT (CAST(isodow(ts) AS BIGINT) - 1) * 24 + CAST(hour(ts) AS BIGINT)
+           AS how,
+         count(*) AS n
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(n) AS t, avg(n) AS mean_n, stddev_samp(n) AS sd FROM grid)
+SELECT g.how, CAST(g.n AS BIGINT) AS n,
+       round(g.n / t.t, 6) AS share,
+       round((g.n - t.mean_n) / t.sd, 4) AS z
+FROM grid g CROSS JOIN tot t
+"""
+
+
+@register(
+    "hour_of_week_profile",
+    _HOW_ORACLE,
+    doc="168-slot hour-of-week seasonality profile with share and "
+    "z-score per slot — the traffic-shape fingerprint; one count "
+    "scan, stats broadcast over the bounded grid",
+)
+def q_hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    how = (
+        (F.dayofweek(F.col("ts")) + 5) % 7
+    ) * 24 + F.hour("ts")  # Mon=0 ... Sun=6, matching isodow-1
+    grid = ev.groupBy(how.cast("long").alias("how")).agg(
+        F.count("*").alias("n")
+    )
+    tot = grid.agg(
+        F.sum("n").alias("t"),
+        F.avg("n").alias("mean_n"),
+        F.stddev_samp("n").alias("sd"),
+    )
+    return grid.crossJoin(F.broadcast(tot)).select(
+        "how",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("t"), 6).alias("share"),
+        F.round((F.col("n") - F.col("mean_n")) / F.col("sd"), 4).alias("z"),
+    )
