@@ -575,3 +575,81 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+# -- language-ID confidence margin ------------------------------------------
+#
+# Quality refinement on the n-gram language classifier: how decisive
+# was the argmax?  margin = best_score - runner_up_score (0 on ties
+# and on unknown), rel_margin = margin / best.  Low-margin docs are
+# the code-switched / ambiguous tail a mixture pipeline routes to a
+# heavier classifier.  Pure column expressions from the SAME marker
+# constants as doc_langid, so the twins can't drift.
+
+from huracan_spark.functions.textfns import (  # noqa: E402
+    LANG_MARKERS,
+    lang_score_sql,
+    lang_scores,
+    predicted_lang,
+    predicted_lang_sql,
+)
+
+
+def _margin_cols():
+    scores = lang_scores(F.col("text"))
+    best = F.greatest(*scores.values())
+    pred = predicted_lang(F.col("text"))
+    second = F.greatest(
+        *[
+            F.when(F.lit(lang) == pred, F.lit(-1)).otherwise(scores[lang])
+            for lang in LANG_MARKERS
+        ]
+    )
+    margin = F.when(best == 0, F.lit(0)).otherwise(best - second)
+    rel = F.when(best == 0, F.lit(0.0)).otherwise(
+        margin.cast("double") / best
+    )
+    return pred, best, margin, rel
+
+
+_MARGIN_ORACLE_PARTS = {
+    lang: lang_score_sql("text", lang) for lang in LANG_MARKERS
+}
+_MARGIN_BEST = "greatest(" + ", ".join(_MARGIN_ORACLE_PARTS.values()) + ")"
+_MARGIN_PRED = predicted_lang_sql("text")
+_MARGIN_SECOND = "greatest(" + ", ".join(
+    f"CASE WHEN '{lang}' = {_MARGIN_PRED} THEN -1 ELSE {expr} END"
+    for lang, expr in _MARGIN_ORACLE_PARTS.items()
+) + ")"
+
+_LANGID_MARGIN_ORACLE = f"""
+SELECT doc_id,
+       {_MARGIN_PRED} AS pred_lang,
+       CAST({_MARGIN_BEST} AS BIGINT) AS best_score,
+       CAST(CASE WHEN {_MARGIN_BEST} = 0 THEN 0
+                 ELSE {_MARGIN_BEST} - {_MARGIN_SECOND} END AS BIGINT)
+         AS margin,
+       round(CASE WHEN {_MARGIN_BEST} = 0 THEN 0.0
+                  ELSE CAST({_MARGIN_BEST} - {_MARGIN_SECOND} AS DOUBLE)
+                       / {_MARGIN_BEST} END, 6) AS rel_margin
+FROM documents
+"""
+
+
+@register(
+    "doc_langid_margin",
+    _LANGID_MARGIN_ORACLE,
+    doc="language-ID decisiveness: best-vs-runner-up marker-score "
+    "margin per doc (0 on ties/unknown) — routes the ambiguous tail "
+    "to a heavier classifier; pure column expressions from the shared "
+    "marker constants, one scan",
+)
+def q_doc_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred, best, margin, rel = _margin_cols()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        best.cast("long").alias("best_score"),
+        margin.cast("long").alias("margin"),
+        F.round(rel, 6).alias("rel_margin"),
+    )

@@ -425,3 +425,65 @@ def test_silver_forget_flow_removes_all_physical_trace(spark, tmp_path):
         remaining.payload.isin("secret-3", "secret-7")
     ).count()
     assert hits == 0
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=7),   # key index
+                st.integers(min_value=1, max_value=9),   # version
+                st.booleans(),                            # tombstone?
+                st.integers(min_value=0, max_value=2),   # group index
+                st.integers(min_value=0, max_value=100),  # value
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_incremental_view_property(spark, tmp_path_factory, batches):
+    """PROPERTY: for ANY merge sequence (duplicate keys, stale
+    versions, tombstones, group moves), the CDF-folded view equals the
+    full recompute after every generation."""
+    from huracan_spark.pipeline.incr_view import grouped_view, refresh_view
+
+    tmp = tmp_path_factory.mktemp("ivp")
+    silver = SilverTable(spark, str(tmp / "s"), n_buckets=4)
+    schema = "_id string, version_ long, deleted boolean, grp string, v double"
+    view = None
+    gen_prev = None
+    for rows in batches:
+        df = spark.createDataFrame(
+            [
+                (
+                    f"k{ki}",
+                    ver,
+                    dead,
+                    None if dead else f"g{gi}",
+                    None if dead else float(val),
+                )
+                for ki, ver, dead, gi, val in rows
+            ],
+            schema,
+        )
+        silver.merge(df)
+        gen_now = silver.current_generation()
+        if view is None:
+            view = grouped_view(silver.read(), "grp", "v").persist()
+        elif gen_now != gen_prev:
+            view = refresh_view(
+                view, silver, gen_prev, gen_now, "grp", "v"
+            ).persist()
+        gen_prev = gen_now
+        got = {
+            r.grp: (r.n_rows, round(r.sum_value, 6)) for r in view.collect()
+        }
+        want = {
+            r.grp: (r.n_rows, round(r.sum_value, 6))
+            for r in grouped_view(silver.read(), "grp", "v").collect()
+        }
+        assert got == want
