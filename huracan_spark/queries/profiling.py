@@ -489,3 +489,79 @@ def q_hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.col("t"), 6).alias("share"),
         F.round((F.col("n") - F.col("mean_n")) / F.col("sd"), 4).alias("z"),
     )
+
+
+# -- higher-moment value statistics per type --------------------------------
+#
+# Skewness / excess kurtosis per event type, computed EXPLICITLY from
+# raw power sums (one partial-agg scan).  Deliberately not the
+# engines' built-in skewness()/kurtosis(): Spark returns population
+# g1/g2 while DuckDB returns sample-corrected G1/G2 — the explicit
+# central-moment formulas are the only cross-engine-stable shape, and
+# they're also the mergeable form a distributed profiler wants
+# (power sums combine across shards by addition).
+
+_MOMENTS_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(value) AS s1,
+         sum(value * value) AS s2,
+         sum(value * value * value) AS s3,
+         sum(value * value * value * value) AS s4
+  FROM events GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n,
+         s1 / n AS mean,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3) AS m3,
+         s4 / n - 4 * (s1 / n) * (s3 / n)
+           + 6 * (s1 / n) * (s1 / n) * (s2 / n) - 3 * pow(s1 / n, 4) AS m4
+  FROM s
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       round(mean, 6) AS mean_value,
+       round(sqrt(m2), 6) AS std_pop,
+       round(m3 / pow(m2, 1.5), 6) AS skewness_g1,
+       round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis_g2
+FROM m
+"""
+
+
+@register(
+    "value_moments_per_type",
+    _MOMENTS_ORACLE,
+    doc="population skewness + excess kurtosis per event type from raw "
+    "power sums (one partial-agg scan; mergeable across shards by "
+    "addition) — explicit central-moment formulas because the engines' "
+    "built-in skewness/kurtosis use different sample corrections",
+)
+def q_value_moments_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    mean = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mean * mean
+    m3 = F.col("s3") / F.col("n") - 3 * mean * (F.col("s2") / F.col("n")) + 2 * F.pow(mean, 3)
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mean * (F.col("s3") / F.col("n"))
+        + 6 * mean * mean * (F.col("s2") / F.col("n"))
+        - 3 * F.pow(mean, 4)
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 6).alias("mean_value"),
+        F.round(F.sqrt(m2), 6).alias("std_pop"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness_g1"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis_g2"),
+    )
