@@ -88,6 +88,7 @@ def merge_into(
     batch: DataFrame,
     key: str | Sequence[str],
     version: str | Sequence[str],
+    deleted: str | None = "deleted",
 ) -> DataFrame:
     """Versioned MERGE (K1/K2): combine existing silver state with a new
     batch; per key the highest version wins, regardless of which side
@@ -103,5 +104,31 @@ def merge_into(
 
     The union-reduce keeps the exact same order-independence and
     idempotence contract (etl.rs:1245-1247) without requiring Delta.
+
+    EQUAL-VERSION ties are resolved deterministically (the bare version
+    column is not a total order when producers re-emit a version):
+
+    - if a ``deleted`` column exists, a tombstone beats a live row at
+      the same version — "delete is final" (etl.rs:1238-1247) must hold
+      even when the late live row carries the tombstone's version;
+    - otherwise the STORED side wins, matching the Delta condition
+      ``b.version_ > s.version_`` (strictly greater, so an equal-version
+      arrival is a no-op, not an arbitrary overwrite).
+
+    Both rules fold into one ``max_by`` ordering struct
+    ``(version..., tombstone-precedence, stored-precedence)``, so the
+    in-batch pre-reduce and the cross-side reduce obey the same total
+    order and replays converge regardless of batch boundaries.
     """
-    return latest_state(current.unionByName(batch), key, version)
+    versions = [version] if isinstance(version, str) else list(version)
+    unioned = current.withColumn("_stored_prec", F.lit(1)).unionByName(
+        batch.withColumn("_stored_prec", F.lit(0))
+    )
+    order = list(versions)
+    if deleted is not None and deleted in unioned.columns:
+        unioned = unioned.withColumn(
+            "_del_prec", F.coalesce(F.col(deleted).cast("int"), F.lit(0))
+        )
+        order.append("_del_prec")
+    order.append("_stored_prec")
+    return latest_state(unioned, key, order).drop("_del_prec", "_stored_prec")

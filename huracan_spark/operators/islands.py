@@ -6,18 +6,22 @@ checkpoint ids -> maximal consecutive runs, emitted as (end, start)
 descending.  utils.rs:44-47 asserts ``[3,1,2,7,9,11,10]`` ->
 ``[(11,9),(7,7),(3,1)]``.
 
-Spark formulation: the classic ``id - row_number()`` island key.  The
-single window sort is global, but the input is a *checkpoint id set* —
-tiny relative to the data (one row per checkpoint, not per object), so
-a single-partition window is fine even at 100 TB scale; for a truly
-huge id universe, pre-aggregate per range-bucket first.
+Spark formulation: the classic ``id - row_number()`` island key, but
+with the row number computed by the distributed two-phase prefix sum
+(``operators/prefix_sum.py::global_cumsum`` of 1 over the id order)
+instead of a global ``Window.orderBy`` — no single-partition funnel,
+so the operator survives a checkpoint log that outgrows one partition
+(the reference instead collects the whole id set into driver RAM,
+main/src/etl.rs:607-635).  The ids are distinct by construction, which
+satisfies global_cumsum's unique-order-key contract.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+from huracan_spark.operators.prefix_sum import global_cumsum
 
 __all__ = ["descending_ranges"]
 
@@ -29,8 +33,8 @@ def descending_ranges(df: DataFrame, id_col: str = "checkpoint_id") -> DataFrame
     descending — the reference's exact output order (utils.rs:24-25).
     """
     ids = df.select(F.col(id_col).cast("long").alias("_id_")).distinct()
-    w = Window.orderBy("_id_")
-    islands = ids.withColumn("_island", F.col("_id_") - F.row_number().over(w))
+    numbered = global_cumsum(ids, F.lit(1), "_id_", out_col="_rn")
+    islands = numbered.withColumn("_island", F.col("_id_") - F.col("_rn"))
     return (
         islands.groupBy("_island")
         .agg(

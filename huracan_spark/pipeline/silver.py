@@ -62,8 +62,21 @@ class SilverTable:
     def __init__(self, spark: SparkSession, path: str, n_buckets: int = 32):
         self.spark = spark
         self.path = path
-        self.n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
+        # an existing table's bucket count is part of its on-disk layout:
+        # honor the persisted value, or merges would misbucket keys
+        persisted = self._persisted_n_buckets()
+        self.n_buckets = persisted if persisted is not None else n_buckets
+
+    def _persisted_n_buckets(self) -> int | None:
+        gen = self.current_generation()
+        if gen is None:
+            return None
+        try:
+            with open(os.path.join(self.path, gen, "manifest.json")) as f:
+                return json.load(f).get("n_buckets")
+        except FileNotFoundError:
+            return None
 
     # -- pointers / manifests -------------------------------------------
 
@@ -165,6 +178,10 @@ class SilverTable:
                 F.col("old_version").isNull()
                 | F.col("new_version").isNull()
                 | (F.col("new_version") != F.col("old_version"))
+                # an equal-version tombstone flip (late delete carrying
+                # the stored version) changes state without changing the
+                # version — the CDF must not be blind to it
+                | ~F.col("new_deleted").eqNullSafe(F.col("old_deleted"))
             )
             .select("_id", change.alias("change_type"), "old_version", "new_version")
         )
@@ -266,8 +283,18 @@ class SilverTable:
                         os.link(s, d)
                     except OSError:  # cross-device: fall back to copy
                         shutil.copy2(s, d)
+        # every generation dir the clone materializes must carry its own
+        # manifest (with n_buckets), or generations()/vacuum()/time-travel
+        # on the clone hit manifest-less dirs and crash; referenced older
+        # generations get their source manifest copied verbatim
         with open(os.path.join(dest_path, gen, "manifest.json"), "w") as f:
-            json.dump({"buckets": manifest}, f)
+            json.dump({"buckets": manifest, "n_buckets": self.n_buckets}, f)
+        for rel in set(manifest.values()):
+            ref_gen = rel.split(os.sep, 1)[0]
+            dst_mf = os.path.join(dest_path, ref_gen, "manifest.json")
+            src_mf = os.path.join(self.path, ref_gen, "manifest.json")
+            if not os.path.exists(dst_mf) and os.path.exists(src_mf):
+                shutil.copy2(src_mf, dst_mf)
         clone = SilverTable(self.spark, dest_path, n_buckets=self.n_buckets)
         tmp = clone._pointer + ".tmp"
         with open(tmp, "w") as f:

@@ -327,8 +327,8 @@ WITH j AS (
 SELECT priority,
        CAST(count(*) AS BIGINT) AS n_lines,
        round(avg(delay_days), 4) AS avg_delay_days,
-       CAST(quantile_cont(delay_days, 0.5) AS DOUBLE) AS p50_delay,
-       CAST(quantile_cont(delay_days, 0.95) AS DOUBLE) AS p95_delay,
+       round(CAST(quantile_cont(delay_days, 0.5) AS DOUBLE), 6) AS p50_delay,
+       round(CAST(quantile_cont(delay_days, 0.95) AS DOUBLE), 6) AS p95_delay,
        CAST(max(delay_days) AS BIGINT) AS max_delay
 FROM j GROUP BY priority
 """
@@ -354,8 +354,8 @@ def q_ship_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("priority").agg(
         F.count("*").cast("long").alias("n_lines"),
         F.round(F.avg("delay_days"), 4).alias("avg_delay_days"),
-        F.percentile("delay_days", F.lit(0.5)).alias("p50_delay"),
-        F.percentile("delay_days", F.lit(0.95)).alias("p95_delay"),
+        F.round(F.percentile("delay_days", F.lit(0.5)), 6).alias("p50_delay"),
+        F.round(F.percentile("delay_days", F.lit(0.95)), 6).alias("p95_delay"),
         F.max("delay_days").cast("long").alias("max_delay"),
     )
 

@@ -56,8 +56,22 @@ def _binned(df: DataFrame, v0: float, v1: float) -> DataFrame:
 
 
 def build_reference(train: DataFrame) -> ReferenceHist:
-    """One pass over the training window -> broadcastable reference."""
+    """One pass over the training window -> broadcastable reference.
+
+    Degenerate training windows fail loudly instead of propagating
+    nulls: an empty window has no range to bin, and an all-equal
+    window's zero-width range is widened to a unit bin so downstream
+    PSI stays finite."""
     b = train.agg(F.min("value").alias("v0"), F.max("value").alias("v1")).first()
+    if b.v0 is None or b.v1 is None:
+        raise ValueError(
+            "drift reference: training window is empty — cannot derive "
+            "binning bounds"
+        )
+    if b.v1 == b.v0:
+        # constant-valued window: widen to a unit-width range so the
+        # bin width is nonzero (all mass lands in bin 0 either way)
+        b = type(b)(v0=b.v0, v1=b.v0 + 1.0)
     grid = _binned(train, b.v0, b.v1).collect()
     totals: dict[str, int] = {}
     for r in grid:

@@ -386,6 +386,40 @@ def test_silver_clone_is_zero_copy_and_independent(spark, tmp_path):
     assert {(r._id, r.version_) for r in clone.read().collect()} == snap
 
 
+def test_silver_clone_of_noncompacted_source_timetravels(spark, tmp_path):
+    """A clone taken while the source manifest references OLDER
+    generations must copy those generations' manifests too: the clone's
+    generations()/vacuum()/time-travel all operate on manifest-bearing
+    dirs (the r4 ADVICE FileNotFoundError class), and the clone
+    reopened from disk must inherit the source's bucket count."""
+    silver = SilverTable(spark, str(tmp_path / "s"), n_buckets=4)
+    schema = "_id string, version_ long, deleted boolean"
+    silver.merge(
+        spark.createDataFrame([(f"k{i}", 1, False) for i in range(32)], schema)
+    )
+    # second merge touches a strict subset of buckets -> current
+    # manifest references gen-1 dirs (non-compacted source)
+    silver.merge(spark.createDataFrame([("k0", 2, False)], schema))
+    assert len(silver.generations()) == 2
+
+    clone = silver.clone(str(tmp_path / "c"))
+    gens = clone.generations()
+    assert len(gens) >= 1
+    # every clone generation dir must carry a readable manifest
+    for g in gens:
+        assert clone.manifest(g)
+    # vacuum on the clone must not crash and must keep the current gen
+    clone.vacuum(keep=1)
+    assert {(r._id, r.version_) for r in clone.read().collect()} == {
+        ("k0", 2), *{(f"k{i}", 1) for i in range(1, 32)}
+    }
+    # reopening the clone from disk inherits the persisted bucket count
+    reopened = SilverTable(spark, str(tmp_path / "c"))
+    assert reopened.n_buckets == 4
+    reopened_src = SilverTable(spark, str(tmp_path / "s"))
+    assert reopened_src.n_buckets == 4
+
+
 def test_silver_forget_flow_removes_all_physical_trace(spark, tmp_path):
     """Right-to-be-forgotten: tombstone the subject's keys, compact,
     vacuum(keep=1) — afterwards NO retained parquet file contains the

@@ -74,3 +74,20 @@ def test_batch_psi_null_on_unknown_category(spark, sf_dir):
     novel = ev.limit(100).withColumn("event_type", F.lit("brand_new_type"))
     rows = batch_psi(novel, ref).collect()
     assert len(rows) == 1 and rows[0].psi is None  # new-category alarm
+
+
+def test_build_reference_degenerate_windows(spark):
+    """Empty training window -> loud ValueError; constant-valued window
+    -> unit-width bin, finite PSI (no silent null propagation)."""
+    import pytest
+
+    empty = spark.createDataFrame([], _SCHEMA)
+    with pytest.raises(ValueError, match="empty"):
+        build_reference(empty)
+
+    const = spark.createDataFrame([("click", 5.0)] * 20, _SCHEMA)
+    ref = build_reference(const)
+    assert ref.v1 > ref.v0  # widened range
+    rows = batch_psi(const, ref).collect()
+    assert len(rows) == 1
+    assert rows[0].psi is not None and abs(rows[0].psi) < 0.01

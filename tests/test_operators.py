@@ -115,6 +115,73 @@ def test_merge_tombstone_then_stale_update(spark):
     assert out[0].deleted is True and out[0].payload is None
 
 
+def test_merge_equal_version_truth_table(spark):
+    """Equal-version tie-break truth table (the r4 hypothesis
+    counterexample class): a bare version column is not a total order,
+    so MERGE resolves ties deterministically — tombstone beats live at
+    the same version ("delete is final", etl.rs:1238-1247), and stored
+    beats incoming otherwise (Delta's strictly-greater guard).
+
+    Cases (stored vs incoming at the SAME version):
+      live    vs live'     -> stored live wins (no arbitrary overwrite)
+      tomb    vs live      -> tombstone survives (no resurrection)
+      live    vs tomb      -> tombstone wins (late delete lands)
+      tomb    vs tomb      -> tombstone (idempotent replay)
+    And strictly-higher versions still win regardless of deleted flag.
+    """
+    current = _change_stream(
+        spark,
+        [
+            ("ll", 6, False, "stored"),
+            ("tl", 6, True, None),
+            ("lt", 6, False, "stored"),
+            ("tt", 6, True, None),
+            ("hi", 6, True, None),  # higher live version must resurrect
+        ],
+    )
+    batch = _change_stream(
+        spark,
+        [
+            ("ll", 6, False, "incoming"),
+            ("tl", 6, False, "resurrect-attempt"),
+            ("lt", 6, True, None),
+            ("tt", 6, True, None),
+            ("hi", 7, False, "reborn"),
+        ],
+    )
+    out = {
+        r.id: (r.version, r.deleted, r.payload)
+        for r in merge_into(current, batch, "id", "version").collect()
+    }
+    assert out == {
+        "ll": (6, False, "stored"),
+        "tl": (6, True, None),
+        "lt": (6, True, None),
+        "tt": (6, True, None),
+        "hi": (7, False, "reborn"),
+    }
+
+
+def test_merge_equal_version_in_batch_and_order_independent(spark):
+    """The same tie-break must hold WITHIN a batch (pre-reduce) and be
+    independent of which batch boundary splits the tie."""
+    empty = _change_stream(spark, []).limit(0)
+    tomb = ("x", 6, True, None)
+    live = ("x", 6, False, "late-live")
+
+    # in one batch: tombstone wins the tie
+    both = _change_stream(spark, [tomb, live])
+    out = merge_into(empty, both, "id", "version").collect()
+    assert len(out) == 1 and out[0].deleted is True
+
+    # split across batches, both orders: converge to the tombstone
+    for first, second in [(tomb, live), (live, tomb)]:
+        s1 = merge_into(empty, _change_stream(spark, [first]), "id", "version")
+        s2 = merge_into(s1, _change_stream(spark, [second]), "id", "version")
+        rows = s2.collect()
+        assert len(rows) == 1 and rows[0].deleted is True, (first, second)
+
+
 def test_paginate_deterministic(spark):
     df = spark.range(100).withColumnRenamed("id", "k")
     page = [r.k for r in paginate(df, "k", limit=10, offset=25).collect()]

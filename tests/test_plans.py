@@ -293,3 +293,15 @@ def test_psi_grid_folds_are_hash_aggs(spark, sf_dir):
     assert "Window" not in p
     assert "CartesianProduct" not in p
     assert "partial_count" in p or "partial_sum" in p
+
+
+def test_completed_ranges_no_single_partition_window(spark, sf_dir):
+    """A7 gaps-and-islands must row-number via the distributed prefix
+    sum — a checkpoint log that outgrows one partition would otherwise
+    funnel through Exchange SinglePartition (the r4 verdict's last
+    single-partition window)."""
+    p = _plan(spark, sf_dir, "completed_ranges")
+    assert "SinglePartition" not in p
+    # the island row-number window must be partitioned (by _pid)
+    for frag in p.split("windowspecdefinition(")[1:]:
+        assert frag.split(",")[0].strip().startswith("_pid"), frag[:80]
