@@ -122,9 +122,16 @@ def enrich(
 def build_silver_batch(enriched: DataFrame) -> DataFrame:
     """K1/K2: per object id keep the max-version change; shape into the
     silver envelope (etl.rs:1222-1268).  Tombstones keep null payload
-    ("delete is final" — the doc stays, etl.rs:1227-1243)."""
+    ("delete is final" — the doc stays, etl.rs:1227-1243).
+
+    The reduce order is ``(version, deletion, ts_first_seen)``: at an
+    equal version a tombstone beats a live row — the SAME precedence
+    ``merge_into`` applies across batches — so the silver state is
+    invariant to how the change stream is split into micro-batches
+    (a same-version delete/live flip converges to the tombstone
+    whether the two rows share a batch or not)."""
     latest = latest_state(
-        enriched, key="object_id", version=("version", "ts_first_seen")
+        enriched, key="object_id", version=("version", "deletion", "ts_first_seen")
     )
     return latest.select(
         F.col("object_id").alias("_id"),

@@ -72,6 +72,7 @@ def _load_all_modules() -> None:
         profiling,
         ranking,
         relational,
+        silverq,
         similarity,
         sketches,
         text,

@@ -1,0 +1,140 @@
+"""Driver-visible exercise of the silver MERGE / change-feed / IVM path.
+
+The r4 round's only bug hid exactly here (equal-version tie-break +
+CDF blindness to tombstone flips), and the path had zero CORRECTNESS
+exposure — pytest only.  This query closes that gap: it derives a
+deterministic two-batch change stream from the ``events`` fixture,
+drives the REAL on-disk machinery (``SilverTable.merge`` twice ->
+``diff`` between the two generations -> ``refresh_view`` folding the
+change feed into the batch-1 materialized view), and returns the
+incrementally-maintained grouped view.  The DuckDB oracle computes the
+same result declaratively — final state per key via the documented
+total order ``(version, tombstone-precedence, stored-precedence)``,
+then a plain grouped aggregate — so a parity hash proves
+incremental == recompute end-to-end, including K1/K2 tie semantics
+(reference contract: main/src/etl.rs:1238-1267).
+
+Change-stream derivation (all arithmetic identical on both engines):
+
+- ``_id``      = 'u' || user_id                  (one key per user)
+- ``version_`` = event_id % 7                    (dense -> many ties)
+- ``deleted``  = event_id % 11 = 0               (tombstones, incl.
+                                                  same-version flips)
+- ``grp``/``v``= event_type / round(value, 6), nulled on tombstones
+                 (K2 payload shape)
+- batch split  = event_id % 2 (batch 0 merged first = stored side)
+
+Each batch is pre-reduced to one row per (_id, version_) by max
+event_id — the unique tie-break the ``latest_state`` contract
+requires WITHIN a version — after which every remaining tie crosses
+versions or sides and is resolved by the deterministic MERGE order.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from huracan_spark.queries.registry import register
+from huracan_spark.sources.tables import load_table
+
+# one silver build per (applicationId, sf_dir) — repeated calls (plan
+# tests, harness, bench) reuse the finished view
+_SF_MATERIALIZED: dict[tuple[str, str], DataFrame] = {}
+
+_CDF_VIEW_ORACLE = """
+WITH raw AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS _id,
+         event_id % 7 AS version_,
+         (event_id % 11 = 0) AS deleted,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS grp,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE round(value, 6) END AS v,
+         event_id % 2 AS batch,
+         event_id
+  FROM events
+),
+prereduced AS (
+  SELECT _id, version_, deleted, grp, v, batch FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY _id, batch, version_ ORDER BY event_id DESC
+    ) AS rn FROM raw
+  ) WHERE rn = 1
+),
+final AS (
+  SELECT _id, deleted, grp, v FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY _id
+      ORDER BY version_ DESC, CAST(deleted AS INT) DESC, batch ASC
+    ) AS rn2 FROM prereduced
+  ) WHERE rn2 = 1
+)
+SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(v), 4) AS sum_value
+FROM final WHERE NOT deleted GROUP BY grp
+"""
+
+
+@register(
+    "silver_cdf_view",
+    _CDF_VIEW_ORACLE,
+    doc="silver MERGE x2 -> generation diff (CDF) -> incremental view "
+    "refresh, vs a declarative final-state recompute: proves the "
+    "change feed and IVM fold reproduce the batch aggregate exactly, "
+    "tie-break semantics included (K1/K2; etl.rs:1238-1267)",
+)
+def q_silver_cdf_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SF_MATERIALIZED.get(key)
+    if cached is not None:
+        return cached
+
+    from huracan_spark.pipeline.incr_view import grouped_view, refresh_view
+    from huracan_spark.pipeline.silver import SilverTable
+
+    dead = F.col("event_id") % 11 == 0
+    raw = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("_id"),
+        (F.col("event_id") % 7).alias("version_"),
+        dead.alias("deleted"),
+        F.when(dead, F.lit(None)).otherwise(F.col("event_type")).alias("grp"),
+        F.when(dead, F.lit(None)).otherwise(F.round("value", 6)).alias("v"),
+        (F.col("event_id") % 2).alias("batch"),
+        F.col("event_id"),
+    )
+    pre = (
+        raw.groupBy("_id", "batch", "version_")
+        .agg(
+            F.max_by(
+                F.struct("deleted", "grp", "v"), F.col("event_id")
+            ).alias("_w")
+        )
+        .select(
+            "_id",
+            "batch",
+            "version_",
+            F.col("_w.deleted").alias("deleted"),
+            F.col("_w.grp").alias("grp"),
+            F.col("_w.v").alias("v"),
+        )
+    )
+    b0 = pre.filter(F.col("batch") == 0).drop("batch")
+    b1 = pre.filter(F.col("batch") == 1).drop("batch")
+
+    silver = SilverTable(
+        spark, tempfile.mkdtemp(prefix="hs_silver_cdf_"), n_buckets=8
+    )
+    silver.merge(b0)
+    gen1 = silver.current_generation()
+    view = grouped_view(silver.read(), "grp", "v")
+    silver.merge(b1)
+    gen2 = silver.current_generation()
+    refreshed = refresh_view(view, silver, gen1, gen2, "grp", "v")
+    out = refreshed.select(
+        "grp",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round("sum_value", 4).alias("sum_value"),
+    ).localCheckpoint()
+    _SF_MATERIALIZED[key] = out
+    return out

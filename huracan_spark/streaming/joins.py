@@ -38,16 +38,18 @@ def interval_join_streams(
     time lies in ``[left.ts + lower, left.ts + upper]``.
 
     Output columns: key, l_ts, r_ts, plus every non-key/non-ts column
-    of each side prefixed ``l_`` / ``r_``.  ``how`` may be ``inner`` or
-    ``left_outer`` (outer emits the unmatched left row once the right
-    watermark passes the upper bound — Spark's supported outer interval
-    join; other modes are refused rather than silently degenerating,
-    same policy as operators/range_join.py).
+    of each side prefixed ``l_`` / ``r_``.  ``how`` may be ``inner``,
+    ``left_outer``, ``right_outer``, or ``full_outer`` — all four are
+    watermark-bounded: an unmatched row emits with nulls on the other
+    side once BOTH watermarks pass its interval bound, so state stays
+    O(keys x interval) in every mode.  Anything else (semi/anti/cross)
+    is refused rather than silently degenerating, same policy as
+    operators/range_join.py.
     """
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
         raise ValueError(
-            f"interval_join_streams supports inner/left_outer, got {how!r}: "
-            "an unbounded outer side would need infinite state"
+            f"interval_join_streams supports inner/left_outer/right_outer/"
+            f"full_outer, got {how!r}"
         )
     l = left.withWatermark(ts, left_watermark).select(
         F.col(key).alias("_lk"),
@@ -74,6 +76,7 @@ def interval_join_streams(
     )
     return (
         l.join(r, cond, how)
-        .withColumn(key, F.col("_lk"))
+        # outer rows carry the key only on their populated side
+        .withColumn(key, F.coalesce(F.col("_lk"), F.col("_rk")))
         .drop("_lk", "_rk")
     )

@@ -4,14 +4,23 @@ The reference's backfill dedup (RocksDB guard, etl.rs:963-975) has a
 known FIXME (etl.rs:967-969): it stores only the object id, so a NEWER
 version of an already-seen object is wrongly skipped within one run.
 This operator is the corrected semantics as a Structured Streaming
-stateful transform: per object id, keep the highest version seen so
-far across micro-batches and emit a row only when its version STRICTLY
-EXCEEDS that state — the streaming twin of the K1 MERGE guard
+stateful transform: per object id, keep the highest (version,
+tombstone) mark seen so far across micro-batches and emit a row only
+when it advances that mark — the streaming twin of the K1 MERGE guard
 (etl.rs:1259-1261), pushed upstream so stale rows never reach the sink.
 
+The mark is (version, deleted) ordered lexicographically, matching the
+equal-version precedence of ``operators/compaction.py::merge_into`` and
+``pipeline/ingest.py::build_silver_batch``: a tombstone carrying an
+already-seen version still passes (it flips state — "delete is final",
+etl.rs:1238-1247), while a live row at the mark's version is shed.
+This keeps stream output convergent with the batch golden for ANY
+micro-batch split of the change stream, including same-version
+delete/live flips.
+
 Implementation: ``applyInPandasWithState`` (Arrow-batched, grouped by
-object id). State is one int64 per live object id, partitioned by the
-grouping key, so it scales horizontally with executors and can be
+object id). State is (int64, bool) per live object id, partitioned by
+the grouping key, so it scales horizontally with executors and can be
 backed by the RocksDB state store
 (``spark.sql.streaming.stateStore.providerClass``) at 100 TB — the
 direct analog of the reference's RocksDB, managed by Spark instead of
@@ -59,9 +68,11 @@ _COLS = [
 def _emit_newer(
     pdfs: Iterable[pd.DataFrame],
     floor_version: int | None,
+    floor_deleted: bool = False,
     winner_only: bool = False,
-) -> tuple[list[pd.DataFrame], int | None]:
-    """Rows beating ``floor_version``; returns (chunks, new max).
+) -> tuple[list[pd.DataFrame], int | None, bool]:
+    """Rows beating the ``(floor_version, floor_deleted)`` mark;
+    returns (chunks, new floor version, new floor deleted).
 
     Streaming mode (``winner_only=False``) emits EVERY distinct version
     above the floor, not just the batch max: a higher version can still
@@ -70,9 +81,14 @@ def _emit_newer(
     cascade here would lose that fallback. The floor only protects
     against REPLAYED versions (at-least-once delivery), mirroring the
     reference's RocksDB guard with the version fix (etl.rs:967-969).
+    A tombstone AT the floor version still passes when the floor is not
+    already tombstoned (equal-version delete/live flip — the tombstone
+    must win regardless of which micro-batch carries it); within a
+    batch, the per-version dedup prefers the tombstone for the same
+    reason, instead of keeping an arbitrary arrival.
 
     Batch mode (``winner_only=True``) is a pure compaction: one
-    max-version winner per key.
+    max-(version, tombstone) winner per key.
 
     Every chunk is filtered against the floor captured at BATCH entry
     — never against a floor advanced mid-batch.  A micro-batch's rows
@@ -84,15 +100,32 @@ def _emit_newer(
     chunks.
     """
     floor = -1 if floor_version is None else floor_version
-    kept = [pdf[pdf["version"] > floor] for pdf in pdfs]
-    kept = [k for k in kept if len(k)]
+    fdel = bool(floor_deleted)
+    kept = []
+    for pdf in pdfs:
+        isdel = pdf["change_type"].eq("deleted")
+        mask = (pdf["version"] > floor) | (
+            (pdf["version"] == floor) & isdel & (not fdel)
+        )
+        k = pdf[mask]
+        if len(k):
+            kept.append(k)
     if not kept:
-        return [], floor_version
+        return [], floor_version, fdel
     allk = pd.concat(kept) if len(kept) > 1 else kept[0]
-    allk = allk.sort_values("version").drop_duplicates("version", keep="last")
+    allk = allk.assign(_d=allk["change_type"].eq("deleted"))
+    # per version keep one row, tombstone-preferred (deterministic —
+    # not arrival order)
+    allk = allk.sort_values(["version", "_d"], kind="stable").drop_duplicates(
+        "version", keep="last"
+    )
     if winner_only:
-        allk = allk.loc[[allk["version"].idxmax()]]
-    return [allk[_COLS]], int(allk["version"].max())
+        allk = allk.tail(1)  # max (version, tombstone) after the sort
+    high = int(allk["version"].max())
+    high_del = bool(allk.loc[allk["version"] == high, "_d"].iloc[-1])
+    if high == floor:
+        high_del = high_del or fdel
+    return [allk[_COLS]], high, high_del
 
 
 def dedup_latest_version_stream(
@@ -101,7 +134,7 @@ def dedup_latest_version_stream(
     state_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming version-aware dedup (M3 corrected): emit a change only
-    when its version beats the per-id high-water mark.
+    when it advances the per-id (version, tombstone) high-water mark.
 
     ``state_timeout_ms`` enables processing-time state GC (the 120-cp
     analog) for CONTINUOUS streams. Leave it None for availableNow /
@@ -113,10 +146,18 @@ def dedup_latest_version_stream(
     def _fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        floor_version = state.get[0] if state.exists else None
-        chunks, high = _emit_newer(pdfs, floor_version)
-        if high is not None and (floor_version is None or high > floor_version):
-            state.update((high,))
+        if state.exists:
+            floor_version, floor_deleted = state.get
+        else:
+            floor_version, floor_deleted = None, False
+        chunks, high, high_del = _emit_newer(pdfs, floor_version, floor_deleted)
+        advanced = high is not None and (
+            floor_version is None
+            or high > floor_version
+            or (high == floor_version and high_del and not floor_deleted)
+        )
+        if advanced:
+            state.update((high, high_del))
         if state_timeout_ms is not None:
             state.setTimeoutDuration(state_timeout_ms)
         yield from chunks
@@ -124,7 +165,7 @@ def dedup_latest_version_stream(
     return changes.groupBy(key_col).applyInPandasWithState(
         _fn,
         outputStructType=_OUT_SCHEMA,
-        stateStructType="high_version long",
+        stateStructType="high_version long, high_deleted boolean",
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.NoTimeout
@@ -140,7 +181,7 @@ def dedup_latest_version_batch(
     """Batch twin: same per-id winner selection in one pass."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        chunks, _ = _emit_newer([pdf], None, winner_only=True)
+        chunks, _, _ = _emit_newer([pdf], None, winner_only=True)
         return chunks[0] if chunks else pdf.iloc[0:0][_COLS]
 
     return changes.groupBy(key_col).applyInPandas(fn, schema=_OUT_SCHEMA)

@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 
 import pytest
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from huracan_spark.pipeline.backfill import run_backfill
@@ -519,5 +521,172 @@ def test_stream_stream_interval_join(spark, tmp_path):
         interval_join_streams(
             spark.readStream.schema(schema).parquet(lfeed),
             spark.readStream.schema(schema).parquet(rfeed),
-            how="full_outer",
+            how="left_semi",
         )
+
+
+def test_stream_stream_outer_interval_joins_match_batch_golden(spark, tmp_path):
+    """right_outer and full_outer stream-stream interval joins converge
+    to the identical batch outer join on the same rows — unmatched rows
+    exist on BOTH sides (a late purchase outside every click's interval,
+    and clicks with no purchase at all)."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from huracan_spark.streaming.joins import interval_join_streams
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+    lfeed, rfeed = str(tmp_path / "clicks"), str(tmp_path / "purch")
+
+    def _rows(*specs):
+        return spark.createDataFrame(
+            [(datetime(2024, 1, 1, 10, m, s), u, v) for m, s, u, v in specs], schema
+        )
+
+    # clicks: u1@10:00 (matches), u1@10:05 + u2@10:02 (unmatched);
+    # purchases: u1@10:03 (matches), u2@10:30 (outside interval ->
+    # unmatched right); far-future rows on both sides advance the
+    # watermark past every earlier row's bound so outers finalize
+    lrows = [(0, 0, 1, 1.0), (5, 0, 1, 2.0), (2, 0, 2, 3.0), (59, 0, 9, 0.0)]
+    rrows = [(3, 0, 1, 9.0), (30, 0, 2, 8.0), (59, 0, 9, 0.0)]
+    _rows(*lrows).coalesce(1).write.mode("append").parquet(lfeed)
+    _rows(*rrows).coalesce(1).write.mode("append").parquet(rfeed)
+
+    for how in ("right_outer", "full_outer"):
+        out = str(tmp_path / f"out_{how}")
+        q = (
+            interval_join_streams(
+                spark.readStream.schema(schema).parquet(lfeed),
+                spark.readStream.schema(schema).parquet(rfeed),
+                how=how,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ck_{how}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, r.l_ts and r.l_ts.minute, r.r_ts and r.r_ts.minute)
+            for r in spark.read.parquet(out).collect()
+        }
+        golden = interval_join_streams(_rows(*lrows), _rows(*rrows), how=how)
+        want = {
+            (r.user_id, r.l_ts and r.l_ts.minute, r.r_ts and r.r_ts.minute)
+            for r in golden.collect()
+        }
+        assert got == want, how
+        # unmatched rows really exist on the expected side(s)
+        assert (2, None, 30) in got, how  # late purchase, null left
+        if how == "full_outer":
+            assert {(1, 5, None), (2, 2, None)} <= got  # unmatched clicks
+
+
+# --- tombstone-cascade convergence property (r4 counterexample class) ------
+
+_PT_KEYS = ["0xobjA", "0xobjB", "0xobjC"]
+
+_pt_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),   # key index
+        st.integers(1, 4),   # version (dense -> same-version collisions)
+        st.booleans(),       # deleted?
+        st.integers(0, 2),   # which micro-batch carries the row
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+def _pt_changes(spark, rows):
+    """rows: [(key, version, deleted, ts_first_seen)] -> change frame."""
+    from huracan_spark.schemas import OBJECT_CHANGE_SCHEMA
+
+    data = [
+        (1, f"tx{i}", "deleted" if dead else "mutated", k, v, 1000, ts, "poll")
+        for i, (k, v, dead, ts) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, OBJECT_CHANGE_SCHEMA)
+
+
+def _pt_content(spark):
+    """Deterministic content: every (key, version) EXCEPT version 3 —
+    version-3 live changes always DLQ, so the sink must fall back to
+    the best lower version (the M3 cascade contract)."""
+    from huracan_spark.schemas import OBJECT_CONTENT_SCHEMA
+
+    data = [
+        (k, v, "0x2::coin::Coin", "AddressOwner", f"0xaddr{i}", None,
+         f"dg{i}{v}", f"ptx{i}{v}", "100", True, "{}", None, None)
+        for i, k in enumerate(_PT_KEYS)
+        for v in (1, 2, 4)
+    ]
+    return spark.createDataFrame(data, OBJECT_CONTENT_SCHEMA)
+
+
+@given(rows=_pt_rows, version_aware=st.booleans())
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@example(
+    # the r4 counterexample class, pinned: tombstone v2 and live v2 for
+    # the same key land in DIFFERENT micro-batches (both orders), plus
+    # a DLQ'd v3 above them forcing the cascade fallback
+    rows=[(0, 2, True, 0), (0, 2, False, 1), (0, 3, False, 2),
+          (1, 2, False, 0), (1, 2, True, 1)],
+    version_aware=False,
+)
+@example(
+    rows=[(0, 2, True, 0), (0, 2, False, 1), (0, 3, False, 2),
+          (1, 2, False, 0), (1, 2, True, 1)],
+    version_aware=True,
+)
+def test_streaming_tombstone_cascade_property(spark, tmp_path_factory, rows, version_aware):
+    """PROPERTY: for ANY interleaving of versioned changes — duplicate
+    versions, same-version delete/live flips split across micro-batches,
+    enrichment failures (DLQ) at the top of a cascade — the streamed
+    silver state equals the single-shot batch golden, in BOTH dedup
+    modes (watermark and version-aware stateful)."""
+    base = tmp_path_factory.mktemp("cascade")
+    content = _pt_content(spark)
+
+    # stamp deterministic, unique ts_first_seen by row index
+    stamped = [
+        (_PT_KEYS[k], v, dead, 2000 + i) for i, (k, v, dead, _) in enumerate(rows)
+    ]
+    all_changes = _pt_changes(spark, stamped)
+
+    golden = SilverTable(spark, str(base / "golden"), n_buckets=4)
+    run_backfill(spark, all_changes, content, golden)
+    want = sorted(map(tuple, golden.read().collect()))
+
+    feed = str(base / "feed")
+    os.makedirs(feed)
+    batches = [
+        [(_PT_KEYS[k], v, dead, 2000 + i)
+         for i, (k, v, dead, b) in enumerate(rows) if b == bi]
+        for bi in range(3)
+    ]
+    for b in batches:
+        if b:
+            _pt_changes(spark, b).coalesce(1).write.mode("append").parquet(feed)
+
+    streamed = SilverTable(spark, str(base / "stream"), n_buckets=4)
+    cfg = StreamConfig(
+        checkpoint_dir=str(base / "ckpt"),
+        dlq_dir=str(base / "dlq"),
+        version_aware_dedup=version_aware,
+    )
+    q = run_stream(
+        spark, changes_file_stream(spark, feed, 1), content, streamed, cfg
+    )
+    _await(q)
+    got = sorted(map(tuple, streamed.read().collect()))
+    assert got == want, (rows, version_aware)
