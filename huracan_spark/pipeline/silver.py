@@ -38,7 +38,12 @@ from pyspark.sql import functions as F
 
 from huracan_spark.operators.compaction import merge_into
 
-__all__ = ["SilverTable", "MergeMetrics"]
+__all__ = ["SilverTable", "MergeMetrics", "CommitConflict"]
+
+
+class CommitConflict(RuntimeError):
+    """A writer lost the optimistic-commit race too many times in a row
+    (Delta's ConcurrentModificationException analog)."""
 
 
 class MergeMetrics:
@@ -83,6 +88,61 @@ class SilverTable:
     @property
     def _pointer(self) -> str:
         return os.path.join(self.path, "_CURRENT")
+
+    # -- optimistic concurrency (Delta-style commit protocol) -----------
+    #
+    # Data files are written OUTSIDE any lock (concurrent writers never
+    # block each other's Spark jobs); only the pointer swap is guarded:
+    # an exclusive on-disk lock (O_CREAT|O_EXCL — atomic on POSIX) plus
+    # a compare-and-swap against the generation the writer read at
+    # entry.  A writer that lost the race rolls back its orphan
+    # generation dir and retries its merge against the new state —
+    # exactly Delta's optimistic protocol, where conflicting commits
+    # re-resolve against the winner's snapshot.
+
+    # generous: a live pessimistic writer legitimately holds the lock
+    # across a whole Spark merge — only a truly dead writer's lock may
+    # be broken
+    _LOCK_STALE_SECS = 600.0
+
+    def _acquire_commit_lock(self, timeout: float = 120.0) -> str:
+        lock = os.path.join(self.path, "_COMMIT_LOCK")
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:  # break locks abandoned by a dead writer
+                    if time.time() - os.path.getmtime(lock) > self._LOCK_STALE_SECS:
+                        os.unlink(lock)
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"commit lock busy: {lock}")
+                time.sleep(0.02)
+
+    def _try_commit(
+        self, expected_gen: str | None, new_gen: str, locked: bool = False
+    ) -> bool:
+        """Atomically swap ``_CURRENT`` to ``new_gen`` iff it still
+        points at ``expected_gen``.  Returns False on a lost race.
+        ``locked=True`` means the caller already holds the commit lock
+        (the pessimistic fallback path)."""
+        lock = None if locked else self._acquire_commit_lock()
+        try:
+            if self.current_generation() != expected_gen:
+                return False
+            tmp = self._pointer + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"generation": new_gen}, f)
+            os.replace(tmp, self._pointer)
+            return True
+        finally:
+            if lock is not None:
+                os.unlink(lock)
 
     def current_generation(self) -> str | None:
         if not os.path.exists(self._pointer):
@@ -242,7 +302,13 @@ class SilverTable:
         work = list(kept)
         while work:
             g = work.pop()
-            for rel in self.manifest(g).values():
+            try:
+                refs = self.manifest(g)
+            except FileNotFoundError:
+                # an in-flight generation claimed by a concurrent writer
+                # has no manifest yet — keep it, reference nothing
+                continue
+            for rel in refs.values():
                 ref_gen = rel.split(os.sep, 1)[0]
                 if ref_gen not in kept:
                     kept.add(ref_gen)
@@ -313,44 +379,111 @@ class SilverTable:
         target-file-size knob): Spark rolls to a new file within the
         task once the cap is hit, so buckets split into uniformly
         sized files instead of one giant file per bucket.
-        Returns the new generation name (None on an empty table)."""
-        current_gen = self.current_generation()
-        if current_gen is None:
-            return None
-        state = self.read().withColumn("_bucket", self._bucket_col())
+        Returns the new generation name (None on an empty table).
+
+        Commits through the same optimistic CAS as ``merge``: a
+        compaction racing a merge retries against the merged state
+        instead of silently discarding the merge (Delta's OPTIMIZE
+        conflict behavior)."""
+        import shutil
+
+        for attempt in range(6):
+            locked = attempt == 5  # final attempt: pessimistic
+            lock = self._acquire_commit_lock(timeout=300.0) if locked else None
+            try:
+                current_gen = self.current_generation()
+                if current_gen is None:
+                    return None
+                state = self.read().withColumn("_bucket", self._bucket_col())
+                gen, out = self._claim_generation()
+                writer = state.repartition(self.n_buckets, "_bucket").write
+                if max_records_per_file is not None:
+                    writer = writer.option(
+                        "maxRecordsPerFile", max_records_per_file
+                    )
+                writer.partitionBy("_bucket").mode("overwrite").parquet(out)
+                buckets = {
+                    d.split("=", 1)[1]: os.path.join(gen, d)
+                    for d in os.listdir(out)
+                    if d.startswith("_bucket=")
+                }
+                with open(os.path.join(out, "manifest.json"), "w") as f:
+                    json.dump(
+                        {"buckets": buckets, "n_buckets": self.n_buckets}, f
+                    )
+                if self._try_commit(current_gen, gen, locked=locked):
+                    return gen
+                shutil.rmtree(out, ignore_errors=True)
+            finally:
+                if lock is not None:
+                    os.unlink(lock)
+        raise CommitConflict("compact lost the commit race 6 times")
+
+    def _claim_generation(self) -> tuple[str, str]:
+        """Reserve a fresh generation dir name.  ``mkdir`` is the atomic
+        claim — concurrent writers in the same millisecond get distinct
+        names instead of clobbering each other's data."""
         ts = int(time.time() * 1000)
-        gen, seq = f"gen-{ts}", 0
-        while os.path.exists(os.path.join(self.path, gen)):
-            seq += 1
-            gen = f"gen-{ts}-{seq:03d}"
-        out = os.path.join(self.path, gen)
-        writer = state.repartition(self.n_buckets, "_bucket").write
-        if max_records_per_file is not None:
-            writer = writer.option("maxRecordsPerFile", max_records_per_file)
-        writer.partitionBy("_bucket").mode("overwrite").parquet(out)
-        buckets = {
-            d.split("=", 1)[1]: os.path.join(gen, d)
-            for d in os.listdir(out)
-            if d.startswith("_bucket=")
-        }
-        with open(os.path.join(out, "manifest.json"), "w") as f:
-            json.dump({"buckets": buckets, "n_buckets": self.n_buckets}, f)
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"generation": gen}, f)
-        os.replace(tmp, self._pointer)
-        return gen
+        seq = 0
+        while True:
+            gen = f"gen-{ts}" if seq == 0 else f"gen-{ts}-{seq:03d}"
+            out = os.path.join(self.path, gen)
+            try:
+                os.makedirs(out)
+                return gen, out
+            except FileExistsError:
+                seq += 1
 
     # -- merge ----------------------------------------------------------
 
-    def merge(self, batch: DataFrame, collect_metrics: bool = False) -> MergeMetrics | None:
+    def merge(
+        self,
+        batch: DataFrame,
+        collect_metrics: bool = False,
+        max_commit_attempts: int = 6,
+    ) -> MergeMetrics | None:
         """Versioned MERGE of a batch of silver-shaped rows (K1/K2).
 
         The batch may contain multiple versions per _id and duplicate
         rows — ``merge_into`` pre-reduces, exactly as K1 requires
         unique source keys (SURVEY §7.2).  Only buckets containing
-        batch keys are read and rewritten."""
-        batch = batch.withColumn("_bucket", self._bucket_col())
+        batch keys are read and rewritten.
+
+        CONCURRENT writers are safe: the commit is an optimistic
+        compare-and-swap on the ``_CURRENT`` pointer.  A writer that
+        loses the race removes its orphan generation and re-merges
+        against the winner's state (versioned MERGE is commutative, so
+        the retry converges).  Optimistic losers escalate: the final
+        attempt holds the commit lock for its whole read-merge-commit
+        span, so heavy write contention degrades to serialized merges
+        instead of livelocking (the Delta protocol's conflict-retry,
+        with a pessimistic backstop)."""
+        batch = batch.withColumn("_bucket", self._bucket_col()).persist()
+        try:
+            for _ in range(max(max_commit_attempts - 1, 0)):
+                done, metrics = self._merge_attempt(batch, collect_metrics)
+                if done:
+                    return metrics
+            lock = self._acquire_commit_lock(timeout=300.0)
+            try:
+                done, metrics = self._merge_attempt(
+                    batch, collect_metrics, locked=True
+                )
+            finally:
+                os.unlink(lock)
+            if done:
+                return metrics
+            raise CommitConflict(
+                f"merge lost the commit race {max_commit_attempts} times"
+            )
+        finally:
+            batch.unpersist()
+
+    def _merge_attempt(
+        self, batch: DataFrame, collect_metrics: bool, locked: bool = False
+    ) -> tuple[bool, MergeMetrics | None]:
+        import shutil
+
         current_gen = self.current_generation()
         prev_manifest = self.manifest(current_gen) if current_gen else {}
 
@@ -396,14 +529,7 @@ class SilverTable:
                     inserted=merged.count(), modified=0, unchanged=0
                 )
 
-        ts = int(time.time() * 1000)
-        gen, seq = f"gen-{ts}", 0
-        # same-millisecond merges must not clobber an existing
-        # generation (overwrite mode would silently replace it)
-        while os.path.exists(os.path.join(self.path, gen)):
-            seq += 1
-            gen = f"gen-{ts}-{seq:03d}"
-        out = os.path.join(self.path, gen)
+        gen, out = self._claim_generation()
         # one shuffle on the bucket id clusters the write so partitionBy
         # emits a contiguous file group per bucket; untouched buckets
         # never move
@@ -424,8 +550,10 @@ class SilverTable:
         buckets.update(written)
         with open(os.path.join(out, "manifest.json"), "w") as f:
             json.dump({"buckets": buckets, "n_buckets": self.n_buckets}, f)
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"generation": gen}, f)
-        os.replace(tmp, self._pointer)  # atomic swap
-        return metrics
+        if self._try_commit(current_gen, gen, locked=locked):
+            return True, metrics
+        # lost the race: another writer advanced _CURRENT since we read
+        # it — roll back our orphan generation and re-merge on top of
+        # the winner's state
+        shutil.rmtree(out, ignore_errors=True)
+        return False, None
