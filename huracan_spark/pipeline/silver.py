@@ -164,6 +164,24 @@ class SilverTable:
         with open(os.path.join(self.path, generation, "manifest.json")) as f:
             return json.load(f)["buckets"]
 
+    def history(self) -> list[dict]:
+        """Commit log, newest first (the DESCRIBE HISTORY analog): one
+        entry per on-disk generation with the operation that produced
+        it and its commit metadata.  Generations from before this
+        feature (or claimed but uncommitted) report operation
+        "unknown"."""
+        out = []
+        for g in reversed(self.generations()):
+            try:
+                with open(os.path.join(self.path, g, "manifest.json")) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                continue
+            entry = {"generation": g}
+            entry.update(m.get("commit", {"operation": "unknown"}))
+            out.append(entry)
+        return out
+
     def changed_buckets(self, gen_old: str, gen_new: str) -> list[str]:
         """Bucket ids whose data file differs between two generations.
 
@@ -257,11 +275,61 @@ class SilverTable:
             return None
         return self._read_buckets(self.manifest(gen).values())
 
+    def read_as_of(self, ts_ms: int) -> DataFrame | None:
+        """Timestamp time travel (``AS OF TIMESTAMP``): read the newest
+        generation committed at or before ``ts_ms``.  Generations
+        predating commit metadata fall back to their name's embedded
+        millisecond timestamp.  Returns None if nothing was committed
+        that early."""
+        best = None
+        for e in self.history():
+            t = e.get("ts_ms")
+            if t is None:
+                stem = e["generation"].split("-", 1)[1].split("-")[0]
+                t = int(stem) if stem.isdigit() else None
+            if t is not None and t <= ts_ms:
+                best = e["generation"]
+                break  # history is newest-first
+        return self.read(generation=best) if best else None
+
+    def restore(self, generation: str) -> str:
+        """RESTORE analog: make ``generation`` the current state again
+        by committing a NEW generation whose manifest mirrors it (data
+        is referenced, not copied — O(metadata)).  History stays
+        monotonic, so the undone merges remain inspectable and
+        reference-aware vacuum keeps every file the restored state
+        needs.  Commits through the optimistic CAS like any writer."""
+        target = self.manifest(generation)  # raises if unknown
+        for _ in range(6):
+            current_gen = self.current_generation()
+            gen, out = self._claim_generation()
+            with open(os.path.join(out, "manifest.json"), "w") as f:
+                json.dump(
+                    {
+                        "buckets": target,
+                        "n_buckets": self.n_buckets,
+                        "commit": {
+                            "operation": "RESTORE",
+                            "ts_ms": int(time.time() * 1000),
+                            "restored": generation,
+                        },
+                    },
+                    f,
+                )
+            if self._try_commit(current_gen, gen):
+                return gen
+            import shutil
+
+            shutil.rmtree(out, ignore_errors=True)
+        raise CommitConflict("restore lost the commit race 6 times")
+
     def _read_buckets(self, rel_paths) -> DataFrame:
         paths = [os.path.join(self.path, p) for p in rel_paths]
         if not paths:
             raise ValueError("empty silver manifest has no schema to read")
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: after schema evolution, buckets written before a
+        # column existed read it back as null (Delta's read behavior)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def read_key_bucket(self, _id: str, generation: str | None = None) -> DataFrame | None:
         """Point-lookup fast path: read ONLY the bucket that can contain
@@ -354,7 +422,18 @@ class SilverTable:
         # on the clone hit manifest-less dirs and crash; referenced older
         # generations get their source manifest copied verbatim
         with open(os.path.join(dest_path, gen, "manifest.json"), "w") as f:
-            json.dump({"buckets": manifest, "n_buckets": self.n_buckets}, f)
+            json.dump(
+                {
+                    "buckets": manifest,
+                    "n_buckets": self.n_buckets,
+                    "commit": {
+                        "operation": "CLONE",
+                        "ts_ms": int(time.time() * 1000),
+                        "source": self.path,
+                    },
+                },
+                f,
+            )
         for rel in set(manifest.values()):
             ref_gen = rel.split(os.sep, 1)[0]
             dst_mf = os.path.join(dest_path, ref_gen, "manifest.json")
@@ -409,7 +488,16 @@ class SilverTable:
                 }
                 with open(os.path.join(out, "manifest.json"), "w") as f:
                     json.dump(
-                        {"buckets": buckets, "n_buckets": self.n_buckets}, f
+                        {
+                            "buckets": buckets,
+                            "n_buckets": self.n_buckets,
+                            "commit": {
+                                "operation": "OPTIMIZE",
+                                "ts_ms": int(time.time() * 1000),
+                                "touched_buckets": len(buckets),
+                            },
+                        },
+                        f,
                     )
                 if self._try_commit(current_gen, gen, locked=locked):
                     return gen
@@ -418,6 +506,23 @@ class SilverTable:
                 if lock is not None:
                     os.unlink(lock)
         raise CommitConflict("compact lost the commit race 6 times")
+
+    @staticmethod
+    def _align_schemas(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Schema evolution (Delta ``mergeSchema`` semantics): each
+        side's missing columns are added as typed nulls so stored state
+        and an evolved batch union under one merged schema — a batch
+        may ADD columns (old rows read them as null) or OMIT columns
+        (an old writer; its rows get nulls).  Changing an existing
+        column's type is not supported, as in Delta."""
+        at, bt = dict(a.dtypes), dict(b.dtypes)
+        for c, t in bt.items():
+            if c not in at:
+                a = a.withColumn(c, F.lit(None).cast(t))
+        for c, t in at.items():
+            if c not in bt:
+                b = b.withColumn(c, F.lit(None).cast(t))
+        return a, b
 
     def _claim_generation(self) -> tuple[str, str]:
         """Reserve a fresh generation dir name.  ``mkdir`` is the atomic
@@ -498,6 +603,7 @@ class SilverTable:
             state = self._read_buckets(touched_rel).withColumn(
                 "_bucket", self._bucket_col()
             )
+            state, batch = self._align_schemas(state, batch)
             merged = merge_into(state, batch, key="_id", version="version_")
             if collect_metrics:
                 old = state.select("_id", F.col("version_").alias("_old_v"))
@@ -549,7 +655,18 @@ class SilverTable:
         }
         buckets.update(written)
         with open(os.path.join(out, "manifest.json"), "w") as f:
-            json.dump({"buckets": buckets, "n_buckets": self.n_buckets}, f)
+            json.dump(
+                {
+                    "buckets": buckets,
+                    "n_buckets": self.n_buckets,
+                    "commit": {
+                        "operation": "MERGE",
+                        "ts_ms": int(time.time() * 1000),
+                        "touched_buckets": len(touched),
+                    },
+                },
+                f,
+            )
         if self._try_commit(current_gen, gen, locked=locked):
             return True, metrics
         # lost the race: another writer advanced _CURRENT since we read

@@ -605,3 +605,107 @@ def test_silver_compact_racing_merge_preserves_all_writes(spark, tmp_path):
     assert {f"k{i}" for i in range(16)} <= ids
     for r in range(3):
         assert {f"m{r}k{k}" for k in range(4)} <= ids, r
+
+
+def test_silver_schema_evolution_on_merge(spark, tmp_path):
+    """Delta mergeSchema semantics: a batch may ADD a column (rows in
+    untouched buckets read it back as null) or OMIT one (an old
+    writer's rows get nulls); compact() materializes the merged schema
+    everywhere."""
+    from huracan_spark.pipeline.silver import SilverTable
+
+    silver = SilverTable(spark, str(tmp_path / "s"), n_buckets=4)
+    silver.merge(
+        spark.createDataFrame(
+            [(f"k{i}", 1, False) for i in range(16)],
+            "_id string, version_ long, deleted boolean",
+        )
+    )
+    # evolved batch: adds `quality`, touches only k0's bucket
+    silver.merge(
+        spark.createDataFrame(
+            [("k0", 2, False, 0.9)],
+            "_id string, version_ long, deleted boolean, quality double",
+        )
+    )
+    state = silver.read()
+    assert "quality" in state.columns
+    rows = {r._id: r.asDict().get("quality") for r in state.collect()}
+    assert rows["k0"] == 0.9
+    assert rows["k1"] is None  # untouched bucket reads the column as null
+    assert len(rows) == 16
+
+    # old-schema writer: omits `quality`; its rows get nulls, existing
+    # quality values in other keys survive
+    silver.merge(
+        spark.createDataFrame(
+            [("k1", 2, False)], "_id string, version_ long, deleted boolean"
+        )
+    )
+    rows = {r._id: (r.version_, r.asDict().get("quality")) for r in silver.read().collect()}
+    assert rows["k1"] == (2, None)
+    assert rows["k0"] == (2, 0.9)
+
+    # compact materializes one schema across all buckets
+    silver.compact()
+    state = silver.read()
+    assert "quality" in state.columns and state.count() == 16
+
+
+def test_silver_history_log(spark, tmp_path):
+    """DESCRIBE HISTORY analog: every generation records the operation
+    that produced it, newest first."""
+    from huracan_spark.pipeline.silver import SilverTable
+
+    silver = SilverTable(spark, str(tmp_path / "s"), n_buckets=4)
+    schema = "_id string, version_ long, deleted boolean"
+    silver.merge(spark.createDataFrame([("a", 1, False)], schema))
+    silver.merge(spark.createDataFrame([("b", 1, False)], schema))
+    silver.compact()
+    h = silver.history()
+    assert [e["operation"] for e in h] == ["OPTIMIZE", "MERGE", "MERGE"]
+    assert all("ts_ms" in e for e in h)
+    assert h[1]["touched_buckets"] >= 1
+
+    clone = silver.clone(str(tmp_path / "c"))
+    ch = clone.history()
+    assert ch[0]["operation"] == "CLONE"
+    assert ch[0]["source"] == str(tmp_path / "s")
+
+
+def test_silver_restore_and_timestamp_time_travel(spark, tmp_path):
+    """RESTORE rolls the table back by committing a manifest-only
+    generation mirroring the target (no data copy); read_as_of picks
+    the newest generation committed at or before a timestamp; vacuum
+    after a restore keeps everything the restored state references."""
+    import time as _t
+
+    from huracan_spark.pipeline.silver import SilverTable
+
+    silver = SilverTable(spark, str(tmp_path / "s"), n_buckets=4)
+    schema = "_id string, version_ long, deleted boolean"
+    silver.merge(spark.createDataFrame([("a", 1, False)], schema))
+    gen1 = silver.current_generation()
+    t_after_gen1 = int(_t.time() * 1000)
+    _t.sleep(0.002)
+    silver.merge(spark.createDataFrame([("a", 2, False), ("b", 1, False)], schema))
+
+    # AS OF: a timestamp between the two commits resolves to gen1
+    asof = silver.read_as_of(t_after_gen1)
+    assert {(r._id, r.version_) for r in asof.collect()} == {("a", 1)}
+    assert silver.read_as_of(0) is None  # before the first commit
+
+    # RESTORE to gen1: current state mirrors it, history shows the op
+    silver.restore(gen1)
+    assert {(r._id, r.version_) for r in silver.read().collect()} == {("a", 1)}
+    h = silver.history()
+    assert h[0]["operation"] == "RESTORE" and h[0]["restored"] == gen1
+
+    # vacuum keeps the restored state readable (data referenced by the
+    # new current generation's manifest survives)
+    silver.vacuum(keep=1)
+    assert {(r._id, r.version_) for r in silver.read().collect()} == {("a", 1)}
+
+    # the table keeps working after a restore: a fresh merge wins again
+    silver.merge(spark.createDataFrame([("a", 3, False)], schema))
+    assert {(r._id, r.version_) for r in silver.read().collect()} == {("a", 3)}
