@@ -74,11 +74,12 @@ def refresh_view(
     changed = silver.changed_buckets(gen_old, gen_new)
     mo, mn = silver.manifest(gen_old), silver.manifest(gen_new)
     new_state = silver._read_buckets(
-        [mn[b] for b in changed if b in mn]
+        [mn[b] for b in changed if b in mn],
+        schema=silver.table_schema(gen_new),
     ).select(*cols)
     old_rel = [mo[b] for b in changed if b in mo]
     old_state = (
-        silver._read_buckets(old_rel).select(*cols)
+        silver._read_buckets(old_rel, schema=silver.table_schema(gen_old)).select(*cols)
         if old_rel
         else new_state.limit(0)
     )

@@ -212,19 +212,24 @@ class SilverTable:
         if not changed:
             return None
         mo, mn = self.manifest(gen_old), self.manifest(gen_new)
+        so, sn = self.table_schema(gen_old), self.table_schema(gen_new)
         old_rel = [mo[b] for b in changed if b in mo]
         new_rel = [mn[b] for b in changed if b in mn]
         cols = ["_id", "version_", "deleted"]
         empty = None
         if old_rel:
-            old = self._read_buckets(old_rel).select(*cols)
+            old = self._read_buckets(old_rel, schema=so).select(*cols)
         else:
-            empty = self._read_buckets(new_rel).select(*cols).limit(0)
+            empty = self._read_buckets(new_rel, schema=sn).select(*cols).limit(0)
             old = empty
-        new = self._read_buckets(new_rel).select(*cols) if new_rel else (
-            empty
-            if empty is not None
-            else self._read_buckets(old_rel).select(*cols).limit(0)
+        new = (
+            self._read_buckets(new_rel, schema=sn).select(*cols)
+            if new_rel
+            else (
+                empty
+                if empty is not None
+                else self._read_buckets(old_rel, schema=so).select(*cols).limit(0)
+            )
         )
         o = old.select(
             F.col("_id"),
@@ -273,7 +278,9 @@ class SilverTable:
         gen = generation or self.current_generation()
         if gen is None:
             return None
-        return self._read_buckets(self.manifest(gen).values())
+        return self._read_buckets(
+            self.manifest(gen).values(), schema=self.table_schema(gen)
+        )
 
     def read_as_of(self, ts_ms: int) -> DataFrame | None:
         """Timestamp time travel (``AS OF TIMESTAMP``): read the newest
@@ -299,23 +306,23 @@ class SilverTable:
         monotonic, so the undone merges remain inspectable and
         reference-aware vacuum keeps every file the restored state
         needs.  Commits through the optimistic CAS like any writer."""
-        target = self.manifest(generation)  # raises if unknown
+        target = self._manifest_raw(generation)  # raises if unknown
         for _ in range(6):
             current_gen = self.current_generation()
             gen, out = self._claim_generation()
+            mf = {
+                "buckets": target["buckets"],
+                "n_buckets": self.n_buckets,
+                "commit": {
+                    "operation": "RESTORE",
+                    "ts_ms": int(time.time() * 1000),
+                    "restored": generation,
+                },
+            }
+            if "schema" in target:
+                mf["schema"] = target["schema"]
             with open(os.path.join(out, "manifest.json"), "w") as f:
-                json.dump(
-                    {
-                        "buckets": target,
-                        "n_buckets": self.n_buckets,
-                        "commit": {
-                            "operation": "RESTORE",
-                            "ts_ms": int(time.time() * 1000),
-                            "restored": generation,
-                        },
-                    },
-                    f,
-                )
+                json.dump(mf, f)
             if self._try_commit(current_gen, gen):
                 return gen
             import shutil
@@ -323,12 +330,34 @@ class SilverTable:
             shutil.rmtree(out, ignore_errors=True)
         raise CommitConflict("restore lost the commit race 6 times")
 
-    def _read_buckets(self, rel_paths) -> DataFrame:
+    def table_schema(self, generation: str | None = None):
+        """The generation's committed table schema (StructType), or
+        None for pre-feature manifests."""
+        gen = generation or self.current_generation()
+        if gen is None:
+            return None
+        try:
+            with open(os.path.join(self.path, gen, "manifest.json")) as f:
+                sj = json.load(f).get("schema")
+        except FileNotFoundError:
+            return None
+        if sj is None:
+            return None
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(json.loads(sj))
+
+    def _read_buckets(self, rel_paths, schema=None) -> DataFrame:
         paths = [os.path.join(self.path, p) for p in rel_paths]
         if not paths:
             raise ValueError("empty silver manifest has no schema to read")
-        # mergeSchema: after schema evolution, buckets written before a
-        # column existed read it back as null (Delta's read behavior)
+        if schema is not None:
+            # the committed table schema is authoritative: buckets
+            # written before a column evolved in read it back as null,
+            # without the per-read footer-merge job mergeSchema costs
+            return self.spark.read.schema(schema).parquet(*paths)
+        # pre-schema-manifest fallback: merge footers across buckets so
+        # evolved columns still surface (Delta's read behavior)
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def read_key_bucket(self, _id: str, generation: str | None = None) -> DataFrame | None:
@@ -346,7 +375,9 @@ class SilverTable:
         rel = self.manifest(gen).get(str(bucket))
         if rel is None:
             return None
-        return self._read_buckets([rel]).filter(F.col("_id") == _id)
+        return self._read_buckets(
+            [rel], schema=self.table_schema(gen)
+        ).filter(F.col("_id") == _id)
 
     def _bucket_col_for(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
@@ -421,19 +452,20 @@ class SilverTable:
         # manifest (with n_buckets), or generations()/vacuum()/time-travel
         # on the clone hit manifest-less dirs and crash; referenced older
         # generations get their source manifest copied verbatim
+        clone_mf = {
+            "buckets": manifest,
+            "n_buckets": self.n_buckets,
+            "commit": {
+                "operation": "CLONE",
+                "ts_ms": int(time.time() * 1000),
+                "source": self.path,
+            },
+        }
+        src_raw = self._manifest_raw(gen)
+        if "schema" in src_raw:
+            clone_mf["schema"] = src_raw["schema"]
         with open(os.path.join(dest_path, gen, "manifest.json"), "w") as f:
-            json.dump(
-                {
-                    "buckets": manifest,
-                    "n_buckets": self.n_buckets,
-                    "commit": {
-                        "operation": "CLONE",
-                        "ts_ms": int(time.time() * 1000),
-                        "source": self.path,
-                    },
-                },
-                f,
-            )
+            json.dump(clone_mf, f)
         for rel in set(manifest.values()):
             ref_gen = rel.split(os.sep, 1)[0]
             dst_mf = os.path.join(dest_path, ref_gen, "manifest.json")
@@ -491,6 +523,7 @@ class SilverTable:
                         {
                             "buckets": buckets,
                             "n_buckets": self.n_buckets,
+                            "schema": self._schema_json(state),
                             "commit": {
                                 "operation": "OPTIMIZE",
                                 "ts_ms": int(time.time() * 1000),
@@ -506,6 +539,19 @@ class SilverTable:
                 if lock is not None:
                     os.unlink(lock)
         raise CommitConflict("compact lost the commit race 6 times")
+
+    @staticmethod
+    def _schema_json(df: DataFrame) -> str:
+        """The table schema committed with a generation's manifest —
+        ``_bucket`` is the physical partition key, not a table column."""
+        from pyspark.sql.types import StructType
+
+        fields = [f for f in df.schema.fields if f.name != "_bucket"]
+        return json.dumps(StructType(fields).jsonValue())
+
+    def _manifest_raw(self, generation: str) -> dict:
+        with open(os.path.join(self.path, generation, "manifest.json")) as f:
+            return json.load(f)
 
     @staticmethod
     def _align_schemas(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -600,9 +646,9 @@ class SilverTable:
         ]
         metrics = None
         if touched_rel:
-            state = self._read_buckets(touched_rel).withColumn(
-                "_bucket", self._bucket_col()
-            )
+            state = self._read_buckets(
+                touched_rel, schema=self.table_schema(current_gen)
+            ).withColumn("_bucket", self._bucket_col())
             state, batch = self._align_schemas(state, batch)
             merged = merge_into(state, batch, key="_id", version="version_")
             if collect_metrics:
@@ -659,6 +705,7 @@ class SilverTable:
                 {
                     "buckets": buckets,
                     "n_buckets": self.n_buckets,
+                    "schema": self._schema_json(merged),
                     "commit": {
                         "operation": "MERGE",
                         "ts_ms": int(time.time() * 1000),
