@@ -690,3 +690,61 @@ def test_streaming_tombstone_cascade_property(spark, tmp_path_factory, rows, ver
     _await(q)
     got = sorted(map(tuple, streamed.read().collect()))
     assert got == want, (rows, version_aware)
+
+
+def test_streaming_maintained_materialized_view(spark, fx, tmp_path):
+    """A materialized grouped view maintained INSIDE the stream: each
+    micro-batch's merge folds its change feed into the persisted view
+    (first batch seeds via full recompute), so after the stream drains
+    the view equals a full recompute of the final silver state —
+    without any post-hoc rescan."""
+    from huracan_spark.pipeline.incr_view import grouped_view
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    chunks = str(tmp_path / "chunks")
+    fx["changes"].withColumn("_c", F.abs(F.hash("object_id")) % 3).write.partitionBy(
+        "_c"
+    ).mode("overwrite").parquet(chunks)
+    for c in range(3):
+        spark.read.parquet(f"{chunks}/_c={c}").write.mode("append").parquet(feed)
+
+    silver = SilverTable(spark, str(tmp_path / "silver"), n_buckets=4)
+    view_dir = str(tmp_path / "view")
+    cfg = StreamConfig(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,  # several micro-batches -> several folds
+        view_dir=view_dir,
+        view_group_col="owner_kind",
+        view_value_col="version_",
+    )
+    q = run_stream(
+        spark, changes_file_stream(spark, feed, 1), fx["content"], silver, cfg
+    )
+    _await(q)
+
+    got = {
+        r.owner_kind: (r.n_rows, r.sum_value)
+        for r in spark.read.parquet(f"{view_dir}/data").collect()
+    }
+    want = {
+        r.owner_kind: (r.n_rows, r.sum_value)
+        for r in grouped_view(silver.read(), "owner_kind", "version_").collect()
+    }
+    assert got == want and got
+
+    # restart with a replayed feed file: the view must not double-count
+    spark.read.parquet(f"{chunks}/_c=0").write.mode("append").parquet(feed)
+    q2 = run_stream(
+        spark, changes_file_stream(spark, feed, 1), fx["content"], silver, cfg
+    )
+    _await(q2)
+    got2 = {
+        r.owner_kind: (r.n_rows, r.sum_value)
+        for r in spark.read.parquet(f"{view_dir}/data").collect()
+    }
+    want2 = {
+        r.owner_kind: (r.n_rows, r.sum_value)
+        for r in grouped_view(silver.read(), "owner_kind", "version_").collect()
+    }
+    assert got2 == want2
