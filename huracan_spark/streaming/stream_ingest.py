@@ -74,11 +74,19 @@ def _maintain_view(silver: SilverTable, gen_before: str | None, cfg) -> None:
             view_gen = f.read().strip()
         if view_gen == gen_now:
             return  # replayed batch: the fold already committed
-        prev = spark.read.parquet(os.path.join(cfg.view_dir, "data"))
-        view = refresh_view(
-            prev, silver, view_gen, gen_now,
-            cfg.view_group_col, cfg.view_value_col,
-        )
+        try:
+            prev = spark.read.parquet(os.path.join(cfg.view_dir, "data"))
+            view = refresh_view(
+                prev, silver, view_gen, gen_now,
+                cfg.view_group_col, cfg.view_value_col,
+            )
+        except FileNotFoundError:
+            # the marker generation was vacuumed between folds — the
+            # delta is gone, so reseed from current state (correct,
+            # just pays one full recompute)
+            view = grouped_view(
+                silver.read(), cfg.view_group_col, cfg.view_value_col
+            )
     # localCheckpoint BEFORE the overwrite: the new view's lineage reads
     # the parquet dir it is about to replace — materialize it eagerly or
     # the write job would read from the path mid-delete
