@@ -116,7 +116,12 @@ class SilverTable:
             except FileExistsError:
                 try:  # break locks abandoned by a dead writer
                     if time.time() - os.path.getmtime(lock) > self._LOCK_STALE_SECS:
-                        os.unlink(lock)
+                        # rename, don't unlink: exactly one breaker wins
+                        # the rename; a second breaker must NOT unlink
+                        # the fresh lock the winner just recreated
+                        stale = f"{lock}.stale-{os.getpid()}-{time.monotonic_ns()}"
+                        os.rename(lock, stale)
+                        os.unlink(stale)
                         continue
                 except FileNotFoundError:
                     continue
@@ -641,6 +646,15 @@ class SilverTable:
         touched = sorted(
             r._bucket for r in batch.select("_bucket").distinct().collect()
         )
+        if not touched:
+            # empty batch (common for streaming micro-batches): nothing
+            # to merge — do NOT mint a no-op generation per trigger
+            metrics = (
+                MergeMetrics(inserted=0, modified=0, unchanged=0)
+                if collect_metrics
+                else None
+            )
+            return True, metrics
         touched_rel = [
             prev_manifest[str(b)] for b in touched if str(b) in prev_manifest
         ]

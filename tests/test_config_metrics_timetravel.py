@@ -709,3 +709,27 @@ def test_silver_restore_and_timestamp_time_travel(spark, tmp_path):
     # the table keeps working after a restore: a fresh merge wins again
     silver.merge(spark.createDataFrame([("a", 3, False)], schema))
     assert {(r._id, r.version_) for r in silver.read().collect()} == {("a", 3)}
+
+
+def test_silver_empty_batch_merge_is_a_noop(spark, tmp_path):
+    """An empty batch (a routine streaming micro-batch shape) must not
+    mint a no-op generation — pointer, history, and state all stay
+    put, and metrics report zeros."""
+    from huracan_spark.pipeline.silver import SilverTable
+
+    silver = SilverTable(spark, str(tmp_path / "s"), n_buckets=4)
+    schema = "_id string, version_ long, deleted boolean"
+    empty = spark.createDataFrame([], schema)
+
+    # empty merge on an EMPTY table: still no generation
+    m = silver.merge(empty, collect_metrics=True)
+    assert silver.current_generation() is None
+    assert m.as_dict() == {"inserted": 0, "modified": 0, "unchanged": 0}
+
+    silver.merge(spark.createDataFrame([("a", 1, False)], schema))
+    gen = silver.current_generation()
+    m = silver.merge(empty, collect_metrics=True)
+    assert silver.current_generation() == gen
+    assert len(silver.generations()) == 1
+    assert m.as_dict() == {"inserted": 0, "modified": 0, "unchanged": 0}
+    assert {(r._id, r.version_) for r in silver.read().collect()} == {("a", 1)}
