@@ -733,3 +733,69 @@ def test_silver_empty_batch_merge_is_a_noop(spark, tmp_path):
     assert len(silver.generations()) == 1
     assert m.as_dict() == {"inserted": 0, "modified": 0, "unchanged": 0}
     assert {(r._id, r.version_) for r in silver.read().collect()} == {("a", 1)}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("merge"),
+                st.integers(0, 2),   # key
+                st.integers(1, 4),   # version (dense -> ties)
+                st.booleans(),       # tombstone?
+            ),
+            st.tuples(st.just("compact"), st.none(), st.none(), st.none()),
+            st.tuples(st.just("vacuum"), st.integers(1, 3), st.none(), st.none()),
+            st.tuples(st.just("restore"), st.integers(0, 7), st.none(), st.none()),
+        ),
+        min_size=3,
+        max_size=8,
+    )
+)
+def test_silver_storage_ops_model_property(ops, tmp_path_factory):
+    """Model-based property over the FULL storage-op surface: any
+    interleaving of MERGE (with version ties and tombstones), OPTIMIZE,
+    reference-aware VACUUM, and RESTORE must keep the on-disk state
+    equal to a trivial in-memory model applying the documented K1/K2
+    semantics (higher version wins; tombstone wins an equal-version
+    tie; restore rolls back to the snapshot's state exactly)."""
+    from huracan_spark.session import get_spark
+
+    spark = get_spark("huracan-tests", shuffle_partitions=8)
+    tmp = tmp_path_factory.mktemp("silver_model")
+    silver = SilverTable(spark, str(tmp / "s"), n_buckets=2)
+    model: dict[str, tuple[int, bool]] = {}
+    snapshots: list[tuple[str, dict]] = []
+    for op, a, b, c in ops:
+        if op == "merge":
+            k, v, d = f"k{a}", b, c
+            silver.merge(
+                spark.createDataFrame(
+                    [(k, v, d)], "_id string, version_ long, deleted boolean"
+                )
+            )
+            s = model.get(k)
+            if s is None or v > s[0] or (v == s[0] and d and not s[1]):
+                model[k] = (v, d)
+        elif op == "compact":
+            silver.compact()
+        elif op == "vacuum":
+            removed = silver.vacuum(keep=a)
+            assert silver.current_generation() not in removed
+        else:  # restore to a surviving snapshot
+            live = [(g, m) for g, m in snapshots if g in silver.generations()]
+            if not live:
+                continue
+            g, m = live[a % len(live)]
+            silver.restore(g)
+            model = dict(m)
+        gen = silver.current_generation()
+        if gen is None:
+            assert not model
+            continue
+        snapshots.append((gen, dict(model)))
+        got = {
+            r._id: (r.version_, r.deleted) for r in silver.read().collect()
+        }
+        assert got == model, (op, a, b, c)
