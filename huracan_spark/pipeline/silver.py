@@ -187,6 +187,36 @@ class SilverTable:
             out.append(entry)
         return out
 
+    def detail(self) -> dict:
+        """Table-level metadata snapshot (the DESCRIBE DETAIL analog):
+        current generation, bucket/file/byte counts over the CURRENT
+        manifest's referenced data (not dead generations), committed
+        schema column names, and total commits on disk."""
+        gen = self.current_generation()
+        if gen is None:
+            return {"location": self.path, "current_generation": None}
+        manifest = self.manifest(gen)
+        n_files = 0
+        n_bytes = 0
+        for rel in set(manifest.values()):
+            d = os.path.join(self.path, rel)
+            for fn in os.listdir(d):
+                p = os.path.join(d, fn)
+                if os.path.isfile(p) and fn.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(p)
+        schema = self.table_schema(gen)
+        return {
+            "location": self.path,
+            "current_generation": gen,
+            "n_buckets": self.n_buckets,
+            "populated_buckets": len(manifest),
+            "num_files": n_files,
+            "size_bytes": n_bytes,
+            "columns": [f.name for f in schema.fields] if schema else None,
+            "num_commits": len(self.history()),
+        }
+
     def changed_buckets(self, gen_old: str, gen_new: str) -> list[str]:
         """Bucket ids whose data file differs between two generations.
 

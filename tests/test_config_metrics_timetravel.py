@@ -799,3 +799,24 @@ def test_silver_storage_ops_model_property(ops, tmp_path_factory):
             r._id: (r.version_, r.deleted) for r in silver.read().collect()
         }
         assert got == model, (op, a, b, c)
+
+
+def test_silver_detail(spark, tmp_path):
+    """DESCRIBE DETAIL analog: location, file/byte counts over the
+    current manifest, committed columns, and commit count."""
+    from huracan_spark.pipeline.silver import SilverTable
+
+    silver = SilverTable(spark, str(tmp_path / "s"), n_buckets=4)
+    assert silver.detail()["current_generation"] is None
+
+    schema = "_id string, version_ long, deleted boolean"
+    silver.merge(
+        spark.createDataFrame([(f"k{i}", 1, False) for i in range(16)], schema)
+    )
+    silver.merge(spark.createDataFrame([("k0", 2, False)], schema))
+    d = silver.detail()
+    assert d["current_generation"] == silver.current_generation()
+    assert d["populated_buckets"] >= 1 and d["num_files"] >= d["populated_buckets"]
+    assert d["size_bytes"] > 0
+    assert d["columns"] == ["_id", "version_", "deleted"]
+    assert d["num_commits"] == 2
