@@ -37,8 +37,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from huracan_spark.operators.compaction import merge_into
+from huracan_spark.pipeline import skipping
 
-__all__ = ["SilverTable", "MergeMetrics", "CommitConflict"]
+__all__ = ["SilverTable", "MergeMetrics", "CommitConflict", "ConstraintViolation"]
+
+
+class ConstraintViolation(ValueError):
+    """A merge batch failed a table CHECK constraint under
+    ``on_violation="fail"`` (Delta's InvariantViolationException
+    analog).  Carries per-constraint violation counts."""
+
+    def __init__(self, counts: dict[str, int]):
+        self.counts = counts
+        super().__init__(f"check constraint violations: {counts}")
 
 
 class CommitConflict(RuntimeError):
@@ -307,6 +318,167 @@ class SilverTable:
     def _bucket_col(self):
         return F.pmod(F.xxhash64(F.col("_id")), F.lit(self.n_buckets)).cast("int")
 
+    # -- data skipping (Delta file-stats analog) -------------------------
+
+    def bucket_stats(self, generation: str | None = None) -> dict[str, dict]:
+        """Per-bucket column {min,max,null_count,n_rows} harvested from
+        parquet footers at commit time.  Empty for pre-feature
+        generations (reads then never prune)."""
+        gen = generation or self.current_generation()
+        if gen is None:
+            return {}
+        return self._manifest_raw(gen).get("stats", {})
+
+    def prune_plan(
+        self, filters, generation: str | None = None
+    ) -> tuple[list[str], list[str]]:
+        """(kept bucket data dirs, skipped bucket ids) for a
+        conjunction of ``(col, op, value)`` filters — the observable
+        skipping decision ``read_where`` acts on."""
+        gen = generation or self.current_generation()
+        if gen is None:
+            return [], []
+        manifest = self.manifest(gen)
+        stats = self.bucket_stats(gen)
+        kept, skipped = [], []
+        for b, rel in sorted(manifest.items()):
+            if skipping.bucket_might_match(stats.get(b), filters):
+                kept.append(rel)
+            else:
+                skipped.append(b)
+        return kept, skipped
+
+    def read_where(
+        self, filters, generation: str | None = None
+    ) -> DataFrame | None:
+        """Stats-pruned read: buckets whose footer stats prove the
+        conjunction can't match are never opened (Delta data skipping);
+        the exact predicate is still applied to whatever is read, so
+        results equal ``read().filter(...)`` row-for-row."""
+        gen = generation or self.current_generation()
+        if gen is None:
+            return None
+        kept, _ = self.prune_plan(filters, gen)
+        schema = self.table_schema(gen)
+        if not kept:
+            if schema is None:
+                # pre-schema manifest with everything pruned cannot
+                # happen (no stats -> nothing prunes); guard anyway
+                return self.read(gen).filter(skipping.filters_to_column(filters))
+            return self.spark.createDataFrame([], schema)
+        return self._read_buckets(kept, schema=schema).filter(
+            skipping.filters_to_column(filters)
+        )
+
+    @staticmethod
+    def _harvest_stats(out_dir: str) -> dict[str, dict]:
+        """Footer stats for every ``_bucket=K`` dir under a freshly
+        written generation — metadata-only, no Spark job."""
+        import os as _os
+
+        stats: dict[str, dict] = {}
+        for d in _os.listdir(out_dir):
+            if not d.startswith("_bucket="):
+                continue
+            s = skipping.collect_dir_stats(_os.path.join(out_dir, d))
+            if s is not None:
+                stats[d.split("=", 1)[1]] = s
+        return stats
+
+    # -- CHECK constraints (Delta invariants / DLT expectations) ---------
+
+    @property
+    def _constraints_path(self) -> str:
+        return os.path.join(self.path, "_CONSTRAINTS")
+
+    def constraints(self) -> dict[str, str]:
+        """name -> SQL boolean expression every merged row must satisfy
+        (NULL passes, as in SQL CHECK)."""
+        try:
+            with open(self._constraints_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def add_check(self, name: str, expr: str) -> None:
+        """ALTER TABLE ADD CONSTRAINT analog.  Enforced on every
+        subsequent merge; persisted with the table so reopened handles
+        enforce it too."""
+        lock = self._acquire_commit_lock()
+        try:
+            cons = self.constraints()
+            cons[name] = expr
+            tmp = self._constraints_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(cons, f)
+            os.replace(tmp, self._constraints_path)
+        finally:
+            os.unlink(lock)
+
+    def drop_check(self, name: str) -> None:
+        lock = self._acquire_commit_lock()
+        try:
+            cons = self.constraints()
+            cons.pop(name, None)
+            tmp = self._constraints_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(cons, f)
+            os.replace(tmp, self._constraints_path)
+        finally:
+            os.unlink(lock)
+
+    def _enforce_constraints(self, batch: DataFrame, on_violation: str):
+        """Split a batch on the table's CHECK constraints.  Returns
+        (clean_batch, quarantined_df_or_None).  SQL CHECK semantics: a
+        row violates a constraint only when the expression is FALSE
+        (NULL/unknown passes).  All constraints evaluate in ONE pass —
+        no per-rule re-scan."""
+        cons = self.constraints()
+        if not cons:
+            return batch, None
+        viol_cols = {
+            name: ~F.coalesce(F.expr(expr), F.lit(True))
+            for name, expr in cons.items()
+        }
+        any_viol = F.array_compact(
+            F.array(
+                *[
+                    F.when(pred, F.lit(name))
+                    for name, pred in viol_cols.items()
+                ]
+            )
+        )
+        tagged = batch.withColumn("_violated", any_viol)
+        if on_violation == "fail":
+            counts = tagged.agg(
+                *[
+                    F.count(F.when(pred, 1)).alias(name)
+                    for name, pred in viol_cols.items()
+                ]
+            ).first()
+            bad = {n: counts[n] for n in cons if counts[n]}
+            if bad:
+                raise ConstraintViolation(bad)
+            return batch, None
+        clean = tagged.filter(F.size("_violated") == 0).drop("_violated")
+        if on_violation == "drop":
+            return clean, None
+        if on_violation == "quarantine":
+            quarantined = tagged.filter(F.size("_violated") > 0).withColumn(
+                "_quarantined_ts_ms", F.lit(int(time.time() * 1000))
+            )
+            return clean, quarantined
+        raise ValueError(f"unknown on_violation mode: {on_violation!r}")
+
+    def read_quarantine(self) -> DataFrame | None:
+        """Rows rejected by quarantine-mode merges, with the violated
+        constraint names (``_violated``) and rejection timestamp —
+        the DLT expectation-quarantine surface (K7 at the sink edge)."""
+        qdir = os.path.join(self.path, "_quarantine")
+        if not os.path.isdir(qdir) or not os.listdir(qdir):
+            return None
+        return self.spark.read.parquet(qdir)
+
     # -- reads ----------------------------------------------------------
 
     def read(self, generation: str | None = None) -> DataFrame | None:
@@ -354,8 +526,9 @@ class SilverTable:
                     "restored": generation,
                 },
             }
-            if "schema" in target:
-                mf["schema"] = target["schema"]
+            for carried in ("schema", "stats"):
+                if carried in target:
+                    mf[carried] = target[carried]
             with open(os.path.join(out, "manifest.json"), "w") as f:
                 json.dump(mf, f)
             if self._try_commit(current_gen, gen):
@@ -497,8 +670,9 @@ class SilverTable:
             },
         }
         src_raw = self._manifest_raw(gen)
-        if "schema" in src_raw:
-            clone_mf["schema"] = src_raw["schema"]
+        for carried in ("schema", "stats"):
+            if carried in src_raw:
+                clone_mf[carried] = src_raw[carried]
         with open(os.path.join(dest_path, gen, "manifest.json"), "w") as f:
             json.dump(clone_mf, f)
         for rel in set(manifest.values()):
@@ -559,6 +733,7 @@ class SilverTable:
                             "buckets": buckets,
                             "n_buckets": self.n_buckets,
                             "schema": self._schema_json(state),
+                            "stats": self._harvest_stats(out),
                             "commit": {
                                 "operation": "OPTIMIZE",
                                 "ts_ms": int(time.time() * 1000),
@@ -627,6 +802,7 @@ class SilverTable:
         batch: DataFrame,
         collect_metrics: bool = False,
         max_commit_attempts: int = 6,
+        on_violation: str = "fail",
     ) -> MergeMetrics | None:
         """Versioned MERGE of a batch of silver-shaped rows (K1/K2).
 
@@ -643,7 +819,19 @@ class SilverTable:
         attempt holds the commit lock for its whole read-merge-commit
         span, so heavy write contention degrades to serialized merges
         instead of livelocking (the Delta protocol's conflict-retry,
-        with a pessimistic backstop)."""
+        with a pessimistic backstop).
+
+        CHECK constraints (``add_check``) are enforced on the batch
+        once, before any commit attempt: ``on_violation`` is "fail"
+        (raise ConstraintViolation — Delta CHECK behavior), "drop"
+        (merge only passing rows), or "quarantine" (drop + append the
+        violations and their violated-constraint names to the
+        table-local quarantine, readable via ``read_quarantine``)."""
+        batch, quarantined = self._enforce_constraints(batch, on_violation)
+        if quarantined is not None:
+            quarantined.write.mode("append").parquet(
+                os.path.join(self.path, "_quarantine")
+            )
         batch = batch.withColumn("_bucket", self._bucket_col()).persist()
         try:
             for _ in range(max(max_commit_attempts - 1, 0)):
@@ -744,12 +932,26 @@ class SilverTable:
             b: rel for b, rel in prev_manifest.items() if int(b) not in set(touched)
         }
         buckets.update(written)
+        # stats maintenance is O(touched), like the merge: rewritten
+        # buckets harvest fresh footer stats, untouched buckets carry
+        # their previous entry (same bytes -> same stats)
+        prev_stats = (
+            self._manifest_raw(current_gen).get("stats", {}) if current_gen else {}
+        )
+        touched_set = {str(b) for b in touched}
+        stats = {
+            b: prev_stats[b]
+            for b in buckets
+            if b in prev_stats and b not in touched_set
+        }
+        stats.update(self._harvest_stats(out))
         with open(os.path.join(out, "manifest.json"), "w") as f:
             json.dump(
                 {
                     "buckets": buckets,
                     "n_buckets": self.n_buckets,
                     "schema": self._schema_json(merged),
+                    "stats": stats,
                     "commit": {
                         "operation": "MERGE",
                         "ts_ms": int(time.time() * 1000),

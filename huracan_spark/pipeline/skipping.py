@@ -1,0 +1,177 @@
+"""Data-skipping statistics over silver bucket files (Delta parity).
+
+Delta Lake records per-file column min/max/null-count in its
+transaction log and prunes files whose stats prove a predicate can
+never match.  SilverTable gets the same behavior over plain parquet:
+
+- at commit time, stats are harvested from the parquet FOOTERS of the
+  just-written bucket files (``pyarrow`` metadata read — no extra
+  Spark job, no data scan; the writer already paid for the footers);
+- the manifest carries ``stats: {bucket_id: {col: {min, max,
+  null_count, n_rows}}}``; untouched buckets inherit their previous
+  stats verbatim, so stat maintenance costs O(touched), like the
+  merge itself;
+- ``SilverTable.read_where`` evaluates conjunctive range predicates
+  against the stats and reads ONLY buckets that might match — at
+  100 TB a ``version_ > N`` incremental read touches the few buckets
+  with fresh data instead of the whole table.
+
+Pruning is conservative: buckets without stats (pre-feature
+generations, non-primitive columns) are always read, and the full
+predicate is re-applied as a Spark filter, so skipping can only
+remove provably-dead IO, never rows.
+
+Reference parity: the reference's Mongo indexes serve the same role
+for its conditional bulk updates (main/src/etl.rs:1244-1267); Delta's
+``stats`` JSON is the public design this follows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["collect_dir_stats", "merge_stats", "bucket_might_match", "filters_to_column"]
+
+# stats are kept only for types whose values are JSON-round-trippable
+# and totally ordered under Python comparison on both write and read
+_SUPPORTED = (bool, int, float, str)
+
+
+def _file_stats(path: str) -> dict[str, dict]:
+    """Per-column {min,max,null_count,n_rows} from ONE parquet file's
+    footer.  Nested/unsupported columns are omitted (never pruned)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaf — skip, never prunable
+                continue
+            st = col.statistics
+            if st is None:
+                # no stats for this chunk: poison the column — a
+                # partial min/max would wrongly prune rows from the
+                # statless chunk
+                out[name] = {"ok": False}
+                continue
+            ent = out.setdefault(
+                name,
+                {"ok": True, "min": None, "max": None, "null_count": 0, "n_rows": 0},
+            )
+            if not ent["ok"]:
+                continue
+            ent["n_rows"] += row_group.num_rows
+            if st.null_count is not None:
+                ent["null_count"] += st.null_count
+            if st.has_min_max:
+                mn, mx = st.min, st.max
+                if not (isinstance(mn, _SUPPORTED) and isinstance(mx, _SUPPORTED)):
+                    out[name] = {"ok": False}
+                    continue
+                ent["min"] = mn if ent["min"] is None else min(ent["min"], mn)
+                ent["max"] = mx if ent["max"] is None else max(ent["max"], mx)
+            elif st.null_count is None or st.null_count < row_group.num_rows:
+                # non-null values present but no min/max recorded
+                out[name] = {"ok": False}
+    return out
+
+
+def collect_dir_stats(data_dir: str) -> dict[str, dict] | None:
+    """Aggregate footer stats over every parquet file in a bucket data
+    dir.  Returns None when the dir has no parquet files."""
+    import os
+
+    merged: dict[str, dict] | None = None
+    for fn in sorted(os.listdir(data_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        fs = _file_stats(os.path.join(data_dir, fn))
+        merged = fs if merged is None else merge_stats(merged, fs)
+    if merged is None:
+        return None
+    # strip poisoned columns and the bookkeeping flag before persisting
+    return {
+        c: {k: v for k, v in ent.items() if k != "ok"}
+        for c, ent in merged.items()
+        if ent.get("ok")
+    }
+
+
+def merge_stats(a: dict[str, dict], b: dict[str, dict]) -> dict[str, dict]:
+    """Union of two per-column stat maps; a column missing or poisoned
+    on either side is poisoned (files disagree on its prunability)."""
+    out: dict[str, dict] = {}
+    for c in set(a) | set(b):
+        ea, eb = a.get(c), b.get(c)
+        if ea is None or eb is None or not (ea.get("ok") and eb.get("ok")):
+            out[c] = {"ok": False}
+            continue
+        mins = [v for v in (ea["min"], eb["min"]) if v is not None]
+        maxs = [v for v in (ea["max"], eb["max"]) if v is not None]
+        out[c] = {
+            "ok": True,
+            "min": min(mins) if mins else None,
+            "max": max(maxs) if maxs else None,
+            "null_count": ea["null_count"] + eb["null_count"],
+            "n_rows": ea["n_rows"] + eb["n_rows"],
+        }
+    return out
+
+
+def bucket_might_match(stats: dict[str, dict] | None, filters) -> bool:
+    """Conservative containment test: False ONLY when the stats prove
+    no row in the bucket can satisfy the conjunction.
+
+    ``filters`` is a list of ``(col, op, value)`` with op in
+    ``= < <= > >=`` and a non-null value.  SQL comparison semantics:
+    a null cell satisfies nothing, so a bucket whose column is all
+    null is skippable for any comparison on it.
+    """
+    if stats is None:
+        return True
+    for col, op, value in filters:
+        ent = stats.get(col)
+        if ent is None:
+            continue  # no stats for this column — cannot prune
+        mn, mx = ent.get("min"), ent.get("max")
+        n, nulls = ent.get("n_rows", 0), ent.get("null_count", 0)
+        if n > 0 and nulls >= n:
+            return False  # all null: no comparison can hold
+        if mn is None or mx is None:
+            continue
+        try:
+            if op == "=" and (value < mn or value > mx):
+                return False
+            if op == "<" and mn >= value:
+                return False
+            if op == "<=" and mn > value:
+                return False
+            if op == ">" and mx <= value:
+                return False
+            if op == ">=" and mx < value:
+                return False
+        except TypeError:
+            continue  # cross-type comparison — never prune on it
+    return True
+
+
+def filters_to_column(filters) -> Column:
+    """The exact Spark predicate for the same conjunction — re-applied
+    after pruning so skipping is an IO optimization, never a semantic
+    one."""
+    ops = {
+        "=": lambda c, v: c == v,
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+    }
+    pred = F.lit(True)
+    for col, op, value in filters:
+        pred = pred & ops[op](F.col(col), F.lit(value))
+    return pred

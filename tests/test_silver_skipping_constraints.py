@@ -1,0 +1,205 @@
+"""Data skipping (footer-stats file pruning) and CHECK constraints on
+SilverTable — the Delta stats-pruning and invariant/expectation
+surfaces over plain parquet manifests."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from huracan_spark.pipeline.silver import ConstraintViolation, SilverTable
+
+SCHEMA = "_id string, version_ long, deleted boolean, type_ string, val long"
+
+
+def _rows(spark, items):
+    return spark.createDataFrame(items, SCHEMA)
+
+
+def _seed(spark, path, n=40, n_buckets=8):
+    t = SilverTable(spark, path, n_buckets=n_buckets)
+    t.merge(
+        _rows(
+            spark,
+            [
+                (f"k{i:03d}", i, False, f"t{i % 4}", 100 + i)
+                for i in range(n)
+            ],
+        )
+    )
+    return t
+
+
+# -- data skipping -----------------------------------------------------
+
+
+def test_read_where_prunes_buckets_and_matches_full_scan(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "s"))
+    filters = [("version_", ">=", 39)]
+    kept, skipped = t.prune_plan(filters)
+    assert skipped, "a selective range predicate should prune some buckets"
+    assert kept, "the bucket holding version 39 must survive"
+    pruned = t.read_where(filters)
+    full = t.read().filter(F.col("version_") >= 39)
+    assert sorted(r._id for r in pruned.collect()) == sorted(
+        r._id for r in full.collect()
+    )
+    # the pruned plan opens strictly fewer files than the full scan
+    assert len(set(pruned.inputFiles())) < len(set(t.read().inputFiles()))
+
+
+def test_read_where_equality_on_string_column(spark, tmp_path):
+    t = SilverTable(spark, str(tmp_path / "s"), n_buckets=8)
+    # two disjoint type populations in disjoint key ranges
+    t.merge(
+        _rows(
+            spark,
+            [(f"a{i}", i, False, "alpha", i) for i in range(10)]
+            + [(f"b{i}", i, False, "beta", i) for i in range(10)],
+        )
+    )
+    got = {r._id for r in t.read_where([("type_", "=", "alpha")]).collect()}
+    want = {f"a{i}" for i in range(10)}
+    assert got == want
+
+
+def test_read_where_empty_result_when_everything_prunes(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "s"))
+    df = t.read_where([("version_", ">", 10_000)])
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        f.name for f in t.read().schema.fields
+    ]
+
+
+def test_merge_maintains_stats_incrementally(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "s"))
+    gen1 = t.current_generation()
+    stats1 = t.bucket_stats(gen1)
+    assert stats1 and all("version_" in s for s in stats1.values())
+    time.sleep(0.002)
+    # touch exactly one key
+    t.merge(_rows(spark, [("k000", 9_999, False, "t0", 1)]))
+    gen2 = t.current_generation()
+    stats2 = t.bucket_stats(gen2)
+    changed = t.changed_buckets(gen1, gen2)
+    assert len(changed) == 1
+    (b,) = changed
+    assert stats2[b]["version_"]["max"] == 9_999
+    for other in stats1:
+        if other != b:
+            assert stats2[other] == stats1[other], (
+                "untouched buckets must carry their previous stats verbatim"
+            )
+    # the new state is now reachable by a stats-pruned incremental read
+    fresh = t.read_where([("version_", ">", 5_000)])
+    assert [r._id for r in fresh.collect()] == ["k000"]
+
+
+def test_all_null_column_bucket_prunes(spark, tmp_path):
+    t = SilverTable(spark, str(tmp_path / "s"), n_buckets=1)
+    t.merge(
+        spark.createDataFrame(
+            [("a", 1, False, None)],
+            "_id string, version_ long, deleted boolean, val long",
+        )
+    )
+    kept, skipped = t.prune_plan([("val", ">", 0)])
+    assert skipped == ["0"] and kept == []
+    assert t.read_where([("val", ">", 0)]).count() == 0
+
+
+def test_pre_stats_generation_reads_unpruned_but_correct(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "s"))
+    gen = t.current_generation()
+    mf_path = os.path.join(t.path, gen, "manifest.json")
+    with open(mf_path) as f:
+        mf = json.load(f)
+    del mf["stats"]
+    with open(mf_path, "w") as f:
+        json.dump(mf, f)
+    filters = [("version_", ">=", 39)]
+    kept, skipped = t.prune_plan(filters)
+    assert skipped == [], "no stats -> nothing may prune"
+    assert t.read_where(filters).count() == 1
+
+
+def test_compact_restore_clone_carry_stats(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "s"))
+    time.sleep(0.002)
+    t.compact()
+    assert t.bucket_stats(), "OPTIMIZE must re-harvest stats"
+    _, skipped = t.prune_plan([("version_", ">=", 39)])
+    assert skipped
+    gen_compact = t.current_generation()
+    time.sleep(0.002)
+    t.restore(gen_compact)
+    assert t.bucket_stats() == t.bucket_stats(gen_compact)
+    clone = t.clone(str(tmp_path / "c"))
+    assert clone.bucket_stats() == t.bucket_stats(gen_compact)
+    _, skipped_clone = clone.prune_plan([("version_", ">=", 39)])
+    assert skipped_clone == skipped
+
+
+# -- CHECK constraints -------------------------------------------------
+
+
+def test_check_constraint_fail_mode_raises_with_counts(spark, tmp_path):
+    t = SilverTable(spark, str(tmp_path / "s"), n_buckets=4)
+    t.add_check("version_nonneg", "version_ >= 0")
+    t.add_check("typed", "type_ IS NOT NULL")
+    bad = _rows(
+        spark,
+        [("a", -1, False, "t0", 1), ("b", 2, False, None, 1), ("c", -3, False, None, 1)],
+    )
+    with pytest.raises(ConstraintViolation) as ei:
+        t.merge(bad)
+    assert ei.value.counts == {"version_nonneg": 2, "typed": 2}
+    assert t.read() is None, "a failed merge must not commit anything"
+
+
+def test_check_constraint_null_passes_like_sql(spark, tmp_path):
+    t = SilverTable(spark, str(tmp_path / "s"), n_buckets=4)
+    t.add_check("val_positive", "val > 0")
+    # val NULL -> expression UNKNOWN -> passes (SQL CHECK semantics)
+    t.merge(_rows(spark, [("a", 1, False, "t0", None)]))
+    assert t.read().count() == 1
+
+
+def test_check_constraint_drop_and_quarantine_modes(spark, tmp_path):
+    t = SilverTable(spark, str(tmp_path / "s"), n_buckets=4)
+    t.add_check("version_nonneg", "version_ >= 0")
+    t.merge(
+        _rows(spark, [("a", 1, False, "t", 1), ("bad1", -1, False, "t", 1)]),
+        on_violation="drop",
+    )
+    assert {r._id for r in t.read().collect()} == {"a"}
+    t.merge(
+        _rows(spark, [("b", 2, False, "t", 1), ("bad2", -2, False, "t", 1)]),
+        on_violation="quarantine",
+    )
+    assert {r._id for r in t.read().collect()} == {"a", "b"}
+    q = t.read_quarantine()
+    assert q is not None
+    qr = {r._id: r for r in q.collect()}
+    assert set(qr) == {"bad2"}
+    assert qr["bad2"]._violated == ["version_nonneg"]
+    assert qr["bad2"]._quarantined_ts_ms > 0
+
+
+def test_constraints_persist_across_table_handles(spark, tmp_path):
+    path = str(tmp_path / "s")
+    t = SilverTable(spark, path, n_buckets=4)
+    t.add_check("version_nonneg", "version_ >= 0")
+    reopened = SilverTable(spark, path)
+    assert reopened.constraints() == {"version_nonneg": "version_ >= 0"}
+    with pytest.raises(ConstraintViolation):
+        reopened.merge(_rows(spark, [("a", -1, False, "t", 1)]))
+    reopened.drop_check("version_nonneg")
+    assert SilverTable(spark, path).constraints() == {}
+    reopened.merge(_rows(spark, [("a", -1, False, "t", 1)]))
+    assert reopened.read().count() == 1
