@@ -42,14 +42,36 @@ def interval_join_streams(
     ``left_outer``, ``right_outer``, or ``full_outer`` — all four are
     watermark-bounded: an unmatched row emits with nulls on the other
     side once BOTH watermarks pass its interval bound, so state stays
-    O(keys x interval) in every mode.  Anything else (semi/anti/cross)
-    is refused rather than silently degenerating, same policy as
-    operators/range_join.py.
+    O(keys x interval) in every mode.
+
+    Two more modes complete the correlation family, both left-only
+    output (no ``r_ts``/``r_*`` columns):
+
+    - ``left_semi`` — left rows WITH a match in the interval
+      (Spark-native for stream-stream since 3.1; a matched row emits
+      as soon as its match arrives, state evicts on watermark);
+    - ``left_anti`` — left rows with NO match in the interval (the
+      absence-detection / unattributed-event shape).  Spark has no
+      native stream-stream anti join, so it is composed EXACTLY as
+      ``left_outer`` + null-right filter: an unmatched left row
+      finalizes once both watermarks pass its interval bound — same
+      state bound, provably identical semantics (a matched row always
+      carries a non-null ``r_ts``).
+
+    ``cross`` / unbounded joins are refused rather than silently
+    degenerating, same policy as operators/range_join.py.
     """
-    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
+    if how not in (
+        "inner",
+        "left_outer",
+        "right_outer",
+        "full_outer",
+        "left_semi",
+        "left_anti",
+    ):
         raise ValueError(
             f"interval_join_streams supports inner/left_outer/right_outer/"
-            f"full_outer, got {how!r}"
+            f"full_outer/left_semi/left_anti, got {how!r}"
         )
     l = left.withWatermark(ts, left_watermark).select(
         F.col(key).alias("_lk"),
@@ -74,6 +96,18 @@ def interval_join_streams(
         & (F.col("r_ts") >= F.expr(f"l_ts + {lower}"))
         & (F.col("r_ts") <= F.expr(f"l_ts + {upper}"))
     )
+    if how == "left_semi":
+        return (
+            l.join(r, cond, "left_semi")
+            .withColumnRenamed("_lk", key)
+        )
+    if how == "left_anti":
+        return (
+            l.join(r, cond, "left_outer")
+            .filter(F.col("r_ts").isNull())
+            .select("_lk", "l_ts", *[c for c in l.columns if c not in ("_lk", "l_ts")])
+            .withColumnRenamed("_lk", key)
+        )
     return (
         l.join(r, cond, how)
         # outer rows carry the key only on their populated side

@@ -521,7 +521,7 @@ def test_stream_stream_interval_join(spark, tmp_path):
         interval_join_streams(
             spark.readStream.schema(schema).parquet(lfeed),
             spark.readStream.schema(schema).parquet(rfeed),
-            how="left_semi",
+            how="cross",
         )
 
 
@@ -589,6 +589,81 @@ def test_stream_stream_outer_interval_joins_match_batch_golden(spark, tmp_path):
         assert (2, None, 30) in got, how  # late purchase, null left
         if how == "full_outer":
             assert {(1, 5, None), (2, 2, None)} <= got  # unmatched clicks
+
+
+def test_stream_stream_semi_and_anti_interval_joins(spark, tmp_path):
+    """left_semi (native stream-stream) and left_anti (composed as
+    left_outer + null-right filter) converge to genuine batch semi/anti
+    joins: matched clicks appear exactly once in semi, unmatched clicks
+    exactly once in anti, and the two partition the left stream."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from huracan_spark.streaming.joins import interval_join_streams
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+    lfeed, rfeed = str(tmp_path / "clicks"), str(tmp_path / "purch")
+
+    def _rows(*specs):
+        return spark.createDataFrame(
+            [(datetime(2024, 1, 1, 10, m, s), u, v) for m, s, u, v in specs], schema
+        )
+
+    # matched: u1@10:00 (purchase 10:03), u9@10:59; unmatched: u1@10:05,
+    # u2@10:02 (u2's purchase is 28 min later — outside the interval)
+    lrows = [(0, 0, 1, 1.0), (5, 0, 1, 2.0), (2, 0, 2, 3.0), (59, 0, 9, 0.0)]
+    rrows = [(3, 0, 1, 9.0), (30, 0, 2, 8.0), (59, 0, 9, 0.0)]
+    _rows(*lrows).coalesce(1).write.mode("append").parquet(lfeed)
+    _rows(*rrows).coalesce(1).write.mode("append").parquet(rfeed)
+
+    results = {}
+    for how in ("left_semi", "left_anti"):
+        out = str(tmp_path / f"out_{how}")
+        q = (
+            interval_join_streams(
+                spark.readStream.schema(schema).parquet(lfeed),
+                spark.readStream.schema(schema).parquet(rfeed),
+                how=how,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ck_{how}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        df = spark.read.parquet(out)
+        assert "r_ts" not in df.columns, f"{how} output must be left-only"
+        results[how] = {(r.user_id, r.l_ts.minute) for r in df.collect()}
+
+    # independent batch goldens: genuine semi/anti joins on aliased frames
+    lb, rb = _rows(*lrows).alias("l"), _rows(*rrows).alias("r")
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    for how, batch_how in (("left_semi", "left_semi"), ("left_anti", "left_anti")):
+        want = {
+            (r.user_id, r.ts.minute)
+            for r in lb.join(rb, cond, batch_how).collect()
+        }
+        assert results[how] == want, how
+    assert results["left_semi"] == {(1, 0), (9, 59)}
+    assert results["left_anti"] == {(1, 5), (2, 2)}
+    # semi + anti partition the left stream
+    assert results["left_semi"] | results["left_anti"] == {
+        (u, m) for m, _, u, _ in lrows
+    }
+    assert not results["left_semi"] & results["left_anti"]
 
 
 # --- tombstone-cascade convergence property (r4 counterexample class) ------
