@@ -1036,6 +1036,116 @@ def q_substring_dup_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- maximal duplicated spans (suffix-array dedup, distributable core) -------
+#
+# Deduplicating Training Data Makes Language Models Better (Lee et al.
+# 2022) removes EXACT duplicated spans, not whole near-dup documents.
+# Their suffix-array pass reduces to this distributable shape: the
+# duplicated K-char windows from ``substring_dup_blocks`` are merged
+# into MAXIMAL per-document spans with gaps-and-islands on the window
+# index (consecutive duplicated windows = one span).  Output is the
+# per-document span report a span-removal rewrite would consume:
+# how many distinct duplicated regions, how many windows they cover,
+# and the longest region in chars.  Scale shape: the corpus-wide
+# dup-hash table is an equi-join key (never a self-join), and the
+# islands window partitions by doc_id — bounded by windows-per-doc.
+
+_DUPSPAN_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {SUB_BLOCK_K - 1},
+                                {SUB_BLOCK_STRIDE})) AS i
+  FROM documents WHERE length(text) >= {SUB_BLOCK_K}
+),
+blocks AS (
+  SELECT doc_id, CAST((i - 1) / {SUB_BLOCK_STRIDE} AS BIGINT) AS w,
+         md5(substring(text, CAST(i AS INT), {SUB_BLOCK_K})) AS block_hash
+  FROM pos
+),
+dup AS (
+  SELECT block_hash FROM blocks
+  GROUP BY block_hash HAVING count(DISTINCT doc_id) > 1
+),
+dw AS (
+  SELECT b.doc_id, b.w FROM blocks b JOIN dup USING (block_hash)
+),
+isl AS (
+  SELECT doc_id, w,
+         w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS g
+  FROM dw
+),
+spans AS (
+  SELECT doc_id, g, min(w) AS w0, max(w) AS w1, count(*) AS n_windows
+  FROM isl GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_dup_spans,
+       CAST(sum(n_windows) AS BIGINT) AS n_dup_windows,
+       CAST(max((w1 - w0) * {SUB_BLOCK_STRIDE} + {SUB_BLOCK_K}) AS BIGINT)
+         AS max_span_chars
+FROM spans
+GROUP BY doc_id
+"""
+
+
+@register(
+    "dup_span_report",
+    _DUPSPAN_ORACLE,
+    doc="maximal duplicated spans per doc (Lee et al. 2022 span dedup, "
+    "distributable core): cross-doc duplicated K-char windows merged "
+    "into maximal regions via gaps-and-islands on the window index; "
+    "dup hashes are equi-join keys, islands window partitions by doc",
+)
+def q_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).filter(F.length("text") >= SUB_BLOCK_K)
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.length("text") - (SUB_BLOCK_K - 1),
+                F.lit(SUB_BLOCK_STRIDE),
+            )
+        ).alias("i"),
+    )
+    blocks = pos.select(
+        "doc_id",
+        F.expr(f"CAST((i - 1) DIV {SUB_BLOCK_STRIDE} AS BIGINT)").alias("w"),
+        F.md5(F.col("text").substr(F.col("i"), F.lit(SUB_BLOCK_K))).alias(
+            "block_hash"
+        ),
+    )
+    dup = (
+        blocks.groupBy("block_hash")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("block_hash")
+    )
+    dw = blocks.join(dup, "block_hash").select("doc_id", "w")
+    isl = dw.withColumn(
+        "g",
+        F.col("w")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("w")),
+    )
+    spans = isl.groupBy("doc_id", "g").agg(
+        F.min("w").alias("w0"),
+        F.max("w").alias("w1"),
+        F.count("*").alias("n_windows"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum("n_windows").cast("long").alias("n_dup_windows"),
+        F.max(
+            (F.col("w1") - F.col("w0")) * SUB_BLOCK_STRIDE + SUB_BLOCK_K
+        )
+        .cast("long")
+        .alias("max_span_chars"),
+    )
+
+
 # -- shingle containment (asymmetric near-dup) -------------------------------
 
 # Containment C(A,B) = |A ∩ B| / |A| catches the subset-duplicate case

@@ -273,3 +273,36 @@ def test_statestore_reader_exposes_window_state(spark, tmp_path):
     }
     assert (0, "click") in keys and (10, "view") in keys
     assert op is not None
+
+
+def test_python_udtf_lateral_chunking(spark):
+    """Spark 4 Python UDTF surface: a table function lateral-joined per
+    input row.  Kept OFF relational hot paths (UDTFs are Python-side);
+    the declarative twin is queries/llmprep.py::doc_chunking — this
+    pins the API so a user-supplied generator can plug into SQL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id: int, chunk: string")
+    class ChunkText:
+        def eval(self, text: str, size: int):
+            if text is None:
+                return
+            for i in range(0, len(text), size):
+                yield (i // size, text[i : i + size])
+
+    spark.udtf.register("chunk_text", ChunkText)
+    docs = spark.createDataFrame(
+        [("d1", "abcdefghij"), ("d2", "xyz"), ("d3", None)],
+        "doc_id string, text string",
+    )
+    docs.createOrReplaceTempView("_udtf_docs")
+    out = spark.sql(
+        "SELECT doc_id, c.chunk_id, c.chunk "
+        "FROM _udtf_docs, LATERAL chunk_text(text, 4) AS c"
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk))
+    assert [c for _, c in sorted(by_doc["d1"])] == ["abcd", "efgh", "ij"]
+    assert [c for _, c in sorted(by_doc["d2"])] == ["xyz"]
+    assert "d3" not in by_doc  # null text yields no rows
