@@ -332,18 +332,35 @@ class SilverTable:
     def prune_plan(
         self, filters, generation: str | None = None
     ) -> tuple[list[str], list[str]]:
-        """(kept bucket data dirs, skipped bucket ids) for a
-        conjunction of ``(col, op, value)`` filters — the observable
-        skipping decision ``read_where`` acts on."""
+        """(kept data paths, skipped bucket ids) for a conjunction of
+        ``(col, op, value)`` filters — the observable skipping decision
+        ``read_where`` acts on.  Two granularities: a bucket whose
+        aggregate stats can't match is skipped whole; a surviving
+        bucket with per-file stats keeps only the FILES that might
+        match (post-``cluster_by`` OPTIMIZE, files hold disjoint
+        ranges, so this is where most of the pruning lands)."""
         gen = generation or self.current_generation()
         if gen is None:
             return [], []
         manifest = self.manifest(gen)
         stats = self.bucket_stats(gen)
+        fstats = self.file_stats(gen)
         kept, skipped = [], []
         for b, rel in sorted(manifest.items()):
-            if skipping.bucket_might_match(stats.get(b), filters):
+            if not skipping.bucket_might_match(stats.get(b), filters):
+                skipped.append(b)
+                continue
+            per_file = fstats.get(b)
+            if not per_file:
                 kept.append(rel)
+                continue
+            live = [
+                os.path.join(rel, fn)
+                for fn, fs in sorted(per_file.items())
+                if skipping.bucket_might_match(fs, filters)
+            ]
+            if live:
+                kept.extend(live)
             else:
                 skipped.append(b)
         return kept, skipped
@@ -371,19 +388,38 @@ class SilverTable:
         )
 
     @staticmethod
-    def _harvest_stats(out_dir: str) -> dict[str, dict]:
+    def _harvest_stats(out_dir: str) -> tuple[dict[str, dict], dict[str, dict]]:
         """Footer stats for every ``_bucket=K`` dir under a freshly
-        written generation — metadata-only, no Spark job."""
+        written generation — metadata-only, no Spark job.  One footer
+        pass yields BOTH granularities: per-bucket (coarse prune) and
+        per-file (fine prune after a clustered OPTIMIZE)."""
         import os as _os
 
-        stats: dict[str, dict] = {}
+        bstats: dict[str, dict] = {}
+        fstats: dict[str, dict] = {}
         for d in _os.listdir(out_dir):
             if not d.startswith("_bucket="):
                 continue
-            s = skipping.collect_dir_stats(_os.path.join(out_dir, d))
-            if s is not None:
-                stats[d.split("=", 1)[1]] = s
-        return stats
+            raw = skipping.collect_file_stats(
+                _os.path.join(out_dir, d), _raw=True
+            )
+            if not raw:
+                continue
+            merged = None
+            for fs in raw.values():
+                merged = fs if merged is None else skipping.merge_stats(merged, fs)
+            b = d.split("=", 1)[1]
+            bstats[b] = skipping._strip(merged)
+            fstats[b] = {fn: skipping._strip(fs) for fn, fs in raw.items()}
+        return bstats, fstats
+
+    def file_stats(self, generation: str | None = None) -> dict[str, dict]:
+        """Per-bucket {filename: column stats} — the per-file skipping
+        granularity (empty for pre-feature generations)."""
+        gen = generation or self.current_generation()
+        if gen is None:
+            return {}
+        return self._manifest_raw(gen).get("fstats", {})
 
     # -- CHECK constraints (Delta invariants / DLT expectations) ---------
 
@@ -526,7 +562,7 @@ class SilverTable:
                     "restored": generation,
                 },
             }
-            for carried in ("schema", "stats"):
+            for carried in ("schema", "stats", "fstats"):
                 if carried in target:
                     mf[carried] = target[carried]
             with open(os.path.join(out, "manifest.json"), "w") as f:
@@ -670,7 +706,7 @@ class SilverTable:
             },
         }
         src_raw = self._manifest_raw(gen)
-        for carried in ("schema", "stats"):
+        for carried in ("schema", "stats", "fstats"):
             if carried in src_raw:
                 clone_mf[carried] = src_raw[carried]
         with open(os.path.join(dest_path, gen, "manifest.json"), "w") as f:
@@ -688,7 +724,11 @@ class SilverTable:
         os.replace(tmp, clone._pointer)
         return clone
 
-    def compact(self, max_records_per_file: int | None = None) -> str | None:
+    def compact(
+        self,
+        max_records_per_file: int | None = None,
+        cluster_by: list[str] | None = None,
+    ) -> str | None:
         """Rewrite the current state into one fully self-contained
         generation (every bucket materialized locally, no cross-
         generation references).  The Delta OPTIMIZE analog: after many
@@ -699,6 +739,14 @@ class SilverTable:
         target-file-size knob): Spark rolls to a new file within the
         task once the cap is hit, so buckets split into uniformly
         sized files instead of one giant file per bucket.
+
+        ``cluster_by`` is the OPTIMIZE ZORDER analog: rows sort within
+        each bucket by the given columns before writing, so the files
+        a bucket splits into hold DISJOINT value ranges — per-file
+        footer stats then make ``read_where`` open only the files a
+        range predicate can match.  Pass column names, or Column
+        expressions (e.g. ``operators/zorder.py::zorder_key`` for a
+        true two-dimensional Morton clustering).
         Returns the new generation name (None on an empty table).
 
         Commits through the same optimistic CAS as ``merge``: a
@@ -716,7 +764,12 @@ class SilverTable:
                     return None
                 state = self.read().withColumn("_bucket", self._bucket_col())
                 gen, out = self._claim_generation()
-                writer = state.repartition(self.n_buckets, "_bucket").write
+                clustered = state.repartition(self.n_buckets, "_bucket")
+                if cluster_by:
+                    clustered = clustered.sortWithinPartitions(
+                        "_bucket", *cluster_by
+                    )
+                writer = clustered.write
                 if max_records_per_file is not None:
                     writer = writer.option(
                         "maxRecordsPerFile", max_records_per_file
@@ -727,13 +780,15 @@ class SilverTable:
                     for d in os.listdir(out)
                     if d.startswith("_bucket=")
                 }
+                bstats, fstats = self._harvest_stats(out)
                 with open(os.path.join(out, "manifest.json"), "w") as f:
                     json.dump(
                         {
                             "buckets": buckets,
                             "n_buckets": self.n_buckets,
                             "schema": self._schema_json(state),
-                            "stats": self._harvest_stats(out),
+                            "stats": bstats,
+                            "fstats": fstats,
                             "commit": {
                                 "operation": "OPTIMIZE",
                                 "ts_ms": int(time.time() * 1000),
@@ -935,16 +990,16 @@ class SilverTable:
         # stats maintenance is O(touched), like the merge: rewritten
         # buckets harvest fresh footer stats, untouched buckets carry
         # their previous entry (same bytes -> same stats)
-        prev_stats = (
-            self._manifest_raw(current_gen).get("stats", {}) if current_gen else {}
-        )
+        prev_raw = self._manifest_raw(current_gen) if current_gen else {}
+        prev_stats = prev_raw.get("stats", {})
+        prev_fstats = prev_raw.get("fstats", {})
         touched_set = {str(b) for b in touched}
-        stats = {
-            b: prev_stats[b]
-            for b in buckets
-            if b in prev_stats and b not in touched_set
-        }
-        stats.update(self._harvest_stats(out))
+        untouched = [b for b in buckets if b not in touched_set]
+        stats = {b: prev_stats[b] for b in untouched if b in prev_stats}
+        fstats = {b: prev_fstats[b] for b in untouched if b in prev_fstats}
+        new_bstats, new_fstats = self._harvest_stats(out)
+        stats.update(new_bstats)
+        fstats.update(new_fstats)
         with open(os.path.join(out, "manifest.json"), "w") as f:
             json.dump(
                 {
@@ -952,6 +1007,7 @@ class SilverTable:
                     "n_buckets": self.n_buckets,
                     "schema": self._schema_json(merged),
                     "stats": stats,
+                    "fstats": fstats,
                     "commit": {
                         "operation": "MERGE",
                         "ts_ms": int(time.time() * 1000),

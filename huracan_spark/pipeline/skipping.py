@@ -31,7 +31,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["collect_dir_stats", "merge_stats", "bucket_might_match", "filters_to_column"]
+__all__ = [
+    "collect_dir_stats",
+    "collect_file_stats",
+    "merge_stats",
+    "bucket_might_match",
+    "filters_to_column",
+]
 
 # stats are kept only for types whose values are JSON-round-trippable
 # and totally ordered under Python comparison on both write and read
@@ -81,25 +87,42 @@ def _file_stats(path: str) -> dict[str, dict]:
     return out
 
 
+def _strip(stats: dict[str, dict]) -> dict[str, dict]:
+    """Drop poisoned columns and the bookkeeping flag before
+    persisting."""
+    return {
+        c: {k: v for k, v in ent.items() if k != "ok"}
+        for c, ent in stats.items()
+        if ent.get("ok")
+    }
+
+
 def collect_dir_stats(data_dir: str) -> dict[str, dict] | None:
     """Aggregate footer stats over every parquet file in a bucket data
     dir.  Returns None when the dir has no parquet files."""
+    per_file = collect_file_stats(data_dir, _raw=True)
+    if not per_file:
+        return None
+    merged = None
+    for fs in per_file.values():
+        merged = fs if merged is None else merge_stats(merged, fs)
+    return _strip(merged)
+
+
+def collect_file_stats(data_dir: str, _raw: bool = False) -> dict[str, dict]:
+    """Per-FILE footer stats for every parquet file in a bucket data
+    dir — the finer skipping granularity: after a clustered OPTIMIZE
+    (``compact(cluster_by=...)``) the files within a bucket hold
+    disjoint value ranges, so a range predicate opens only the files
+    it can match, not the whole bucket (Delta's per-file stats)."""
     import os
 
-    merged: dict[str, dict] | None = None
+    out = {}
     for fn in sorted(os.listdir(data_dir)):
-        if not fn.endswith(".parquet"):
-            continue
-        fs = _file_stats(os.path.join(data_dir, fn))
-        merged = fs if merged is None else merge_stats(merged, fs)
-    if merged is None:
-        return None
-    # strip poisoned columns and the bookkeeping flag before persisting
-    return {
-        c: {k: v for k, v in ent.items() if k != "ok"}
-        for c, ent in merged.items()
-        if ent.get("ok")
-    }
+        if fn.endswith(".parquet"):
+            fs = _file_stats(os.path.join(data_dir, fn))
+            out[fn] = fs if _raw else _strip(fs)
+    return out
 
 
 def merge_stats(a: dict[str, dict], b: dict[str, dict]) -> dict[str, dict]:

@@ -120,6 +120,7 @@ def test_pre_stats_generation_reads_unpruned_but_correct(spark, tmp_path):
     with open(mf_path) as f:
         mf = json.load(f)
     del mf["stats"]
+    del mf["fstats"]
     with open(mf_path, "w") as f:
         json.dump(mf, f)
     filters = [("version_", ">=", 39)]
@@ -143,6 +144,67 @@ def test_compact_restore_clone_carry_stats(spark, tmp_path):
     assert clone.bucket_stats() == t.bucket_stats(gen_compact)
     _, skipped_clone = clone.prune_plan([("version_", ">=", 39)])
     assert skipped_clone == skipped
+
+
+def test_clustered_compact_enables_file_level_pruning(spark, tmp_path):
+    """OPTIMIZE with cluster_by sorts each bucket's rows so the files
+    it splits into hold disjoint ranges — read_where then prunes at
+    FILE granularity inside surviving buckets."""
+    t = SilverTable(spark, str(tmp_path / "s"), n_buckets=2)
+    t.merge(
+        _rows(
+            spark,
+            [(f"k{i:03d}", i, False, "t", i) for i in range(200)],
+        )
+    )
+    time.sleep(0.002)
+    t.compact(max_records_per_file=25, cluster_by=["version_"])
+    fstats = t.file_stats()
+    assert fstats and all(len(files) > 1 for files in fstats.values()), (
+        "each bucket must have split into several clustered files"
+    )
+    # files within a bucket hold disjoint, sorted version ranges
+    for files in fstats.values():
+        ranges = sorted(
+            (s["version_"]["min"], s["version_"]["max"]) for s in files.values()
+        )
+        for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+            assert hi < lo
+    filters = [("version_", ">=", 190)]
+    kept, _ = t.prune_plan(filters)
+    assert all(p.endswith(".parquet") for p in kept), "file-granular keep"
+    total_files = sum(len(files) for files in fstats.values())
+    assert len(kept) < total_files / 2, (
+        f"a top-5% range read should open few files, got {len(kept)}/{total_files}"
+    )
+    pruned = t.read_where(filters)
+    assert len(set(pruned.inputFiles())) == len(kept)
+    assert sorted(r._id for r in pruned.collect()) == [
+        f"k{i:03d}" for i in range(190, 200)
+    ]
+
+
+def test_merge_after_clustered_compact_keeps_file_stats_for_untouched(
+    spark, tmp_path
+):
+    t = SilverTable(spark, str(tmp_path / "s"), n_buckets=2)
+    t.merge(_rows(spark, [(f"k{i:03d}", i, False, "t", i) for i in range(100)]))
+    time.sleep(0.002)
+    t.compact(max_records_per_file=20, cluster_by=["version_"])
+    gen_c = t.current_generation()
+    time.sleep(0.002)
+    t.merge(_rows(spark, [("k000", 5_000, False, "t", 1)]))
+    gen_m = t.current_generation()
+    (touched_b,) = t.changed_buckets(gen_c, gen_m)
+    f_c, f_m = t.file_stats(gen_c), t.file_stats(gen_m)
+    for b in f_c:
+        if b != touched_b:
+            assert f_m[b] == f_c[b], "untouched buckets keep per-file stats"
+    # the rewritten bucket's file stats describe the new file set
+    assert f_m[touched_b] != f_c[touched_b]
+    assert [r._id for r in t.read_where([("version_", ">", 4_000)]).collect()] == [
+        "k000"
+    ]
 
 
 # -- CHECK constraints -------------------------------------------------
