@@ -123,6 +123,11 @@ class StreamConfig:
     # True => applyInPandasWithState per-id version high-water mark
     # (corrected etl.rs:967-969 semantics) instead of watermark dedup
     version_aware_dedup: bool = False
+    # CHECK-constraint disposition for each micro-batch MERGE (DLT
+    # expectations in the loop): "fail" stops the stream on a bad row,
+    # "drop" discards violations, "quarantine" routes them to the
+    # table-local quarantine for replay/audit (K7 at the sink edge)
+    merge_on_violation: str = "fail"
 
 
 def changes_file_stream(
@@ -190,7 +195,10 @@ def run_stream(
             parsed = parse_changes(batch_df)
             res = enrich(parsed, content, cfg.whitelist, cfg.blacklist)
             gen_before = silver.current_generation()
-            silver.merge(build_silver_batch(res.enriched))
+            silver.merge(
+                build_silver_batch(res.enriched),
+                on_violation=cfg.merge_on_violation,
+            )
             if cfg.view_dir:
                 _maintain_view(silver, gen_before, cfg)
             if cfg.dlq_dir:

@@ -76,6 +76,37 @@ def test_stream_converges_to_batch_golden(spark, fx, tmp_path):
     assert spark.read.parquet(cfg.completed_dir).count() > 0
 
 
+def test_stream_merge_expectations_quarantine(spark, fx, tmp_path):
+    """DLT-expectations in the ingest loop: a CHECK constraint on the
+    silver table routes violating rows to the table-local quarantine
+    per micro-batch while clean rows merge — final state equals the
+    batch golden minus the violating keys, and the quarantine holds
+    exactly those keys with the violated-constraint name."""
+    s_batch = SilverTable(spark, str(tmp_path / "batch"), n_buckets=4)
+    run_backfill(spark, fx["changes"], fx["content"], s_batch)
+    allowed = F.expr("xxhash64(_id) % 5 != 0")
+    want_ids = {r._id for r in s_batch.read().filter(allowed).collect()}
+    banned_ids = {r._id for r in s_batch.read().filter(~allowed).collect()}
+    assert banned_ids, "fixture must produce some violating keys"
+
+    feed = str(tmp_path / "feed")
+    fx["changes"].write.mode("append").parquet(feed)
+    s = SilverTable(spark, str(tmp_path / "stream"), n_buckets=4)
+    s.add_check("id_allowed", "xxhash64(_id) % 5 != 0")
+    cfg = StreamConfig(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        merge_on_violation="quarantine",
+    )
+    q = run_stream(spark, changes_file_stream(spark, feed), fx["content"], s, cfg)
+    _await(q)
+    assert {r._id for r in s.read().collect()} == want_ids
+    quar = s.read_quarantine()
+    assert quar is not None
+    qrows = quar.collect()
+    assert {r._id for r in qrows} == banned_ids
+    assert all(r._violated == ["id_allowed"] for r in qrows)
+
+
 def test_stream_restart_resume_with_duplicates(spark, fx, tmp_path):
     """S9 restart: stop after first chunk, append more files (including
     a full replay of chunk 1 = duplicate delivery), restart from the
