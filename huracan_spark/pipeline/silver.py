@@ -626,6 +626,56 @@ class SilverTable:
     def _bucket_col_for(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
 
+    # -- DML (Delta DELETE / UPDATE analogs) -----------------------------
+    #
+    # Both compile to the versioned MERGE: matching LIVE rows re-enter
+    # the table one version higher (as tombstones for DELETE, rewritten
+    # for UPDATE), so DML composes with the K1/K2 contract — history
+    # stays time-travelable, idempotent replay of the SAME generated
+    # batch is a no-op, and a concurrent source row at a yet-higher
+    # version still wins (last-version-wins, the documented merge
+    # order).  The scan side rides ``read_where``: stats pruning means
+    # a selective DELETE reads the few files its predicate can match,
+    # and the merge rewrites only the touched buckets.
+
+    def delete_where(self, filters) -> int:
+        """DELETE FROM ... WHERE (conjunctive ``(col, op, value)``
+        filters): tombstone every live matching key at version+1.
+        Returns the number of deleted keys."""
+        matching = self.read_where(filters)
+        if matching is None:
+            return 0
+        tomb = (
+            matching.filter(~F.col("deleted"))
+            .withColumn("version_", F.col("version_") + 1)
+            .withColumn("deleted", F.lit(True))
+            .localCheckpoint(eager=True)
+        )
+        n = tomb.count()
+        if n:
+            self.merge(tomb)
+        return n
+
+    def update_where(self, filters, assignments: dict[str, str]) -> int:
+        """UPDATE ... SET ... WHERE: rewrite every live matching row
+        with ``assignments`` (column -> SQL expression over the row)
+        applied, at version+1.  Returns the number of updated keys."""
+        matching = self.read_where(filters)
+        if matching is None:
+            return 0
+        upd = matching.filter(~F.col("deleted"))
+        for col, expr in assignments.items():
+            if col in ("_id", "version_", "deleted"):
+                raise ValueError(f"cannot assign protected column {col!r}")
+            upd = upd.withColumn(col, F.expr(expr))
+        upd = upd.withColumn(
+            "version_", F.col("version_") + 1
+        ).localCheckpoint(eager=True)
+        n = upd.count()
+        if n:
+            self.merge(upd)
+        return n
+
     # -- vacuum ---------------------------------------------------------
 
     def vacuum(self, keep: int = 3) -> list[str]:

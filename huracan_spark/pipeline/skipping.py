@@ -151,9 +151,11 @@ def bucket_might_match(stats: dict[str, dict] | None, filters) -> bool:
     no row in the bucket can satisfy the conjunction.
 
     ``filters`` is a list of ``(col, op, value)`` with op in
-    ``= < <= > >=`` and a non-null value.  SQL comparison semantics:
-    a null cell satisfies nothing, so a bucket whose column is all
-    null is skippable for any comparison on it.
+    ``= != < <= > >= in`` and a non-null value (a list/tuple for
+    ``in``).  SQL comparison semantics: a null cell satisfies
+    nothing, so a bucket whose column is all null is skippable for
+    any comparison on it.  ``!=`` never prunes on min/max (any
+    in-range bucket may hold other values).
     """
     if stats is None:
         return True
@@ -169,6 +171,8 @@ def bucket_might_match(stats: dict[str, dict] | None, filters) -> bool:
             continue
         try:
             if op == "=" and (value < mn or value > mx):
+                return False
+            if op == "in" and all(v < mn or v > mx for v in value):
                 return False
             if op == "<" and mn >= value:
                 return False
@@ -189,10 +193,12 @@ def filters_to_column(filters) -> Column:
     one."""
     ops = {
         "=": lambda c, v: c == v,
+        "!=": lambda c, v: c != v,
         "<": lambda c, v: c < v,
         "<=": lambda c, v: c <= v,
         ">": lambda c, v: c > v,
         ">=": lambda c, v: c >= v,
+        "in": lambda c, v: c.isin(*list(v)),
     }
     pred = F.lit(True)
     for col, op, value in filters:

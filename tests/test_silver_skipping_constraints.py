@@ -207,6 +207,46 @@ def test_merge_after_clustered_compact_keeps_file_stats_for_untouched(
     ]
 
 
+# -- DML: DELETE / UPDATE ----------------------------------------------
+
+
+def test_delete_where_tombstones_matching_live_rows(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "s"))  # 40 rows, types t0..t3
+    gen_before = t.current_generation()
+    time.sleep(0.002)
+    n = t.delete_where([("type_", "=", "t1")])
+    assert n == 10
+    state = t.read()
+    live_types = {r.type_ for r in state.filter(~F.col("deleted")).collect()}
+    assert "t1" not in live_types and live_types == {"t0", "t2", "t3"}
+    # tombstones exist at version+1 (delete is final, time-travelable)
+    tombs = {r._id: r.version_ for r in state.filter(F.col("deleted")).collect()}
+    assert len(tombs) == 10
+    assert all(v == int(k[1:]) + 1 for k, v in tombs.items())
+    old = t.read(generation=gen_before)
+    assert old.filter(F.col("deleted")).count() == 0
+    # re-running the same DELETE matches no live row: idempotent
+    assert t.delete_where([("type_", "=", "t1")]) == 0
+
+
+def test_update_where_rewrites_at_next_version(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "s"))
+    time.sleep(0.002)
+    n = t.update_where([("type_", "=", "t2")], {"val": "val + 1000"})
+    assert n == 10
+    updated = t.read().filter(F.col("type_") == "t2").collect()
+    assert all(r.val == 1100 + int(r._id[1:]) for r in updated)
+    assert all(r.version_ == int(r._id[1:]) + 1 for r in updated)
+    # untouched rows keep their original version and value
+    rest = t.read().filter(F.col("type_") == "t3").collect()
+    assert all(r.val == 100 + int(r._id[1:]) for r in rest)
+    assert all(r.version_ == int(r._id[1:]) for r in rest)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.update_where([("type_", "=", "t2")], {"version_": "0"})
+
+
 # -- CHECK constraints -------------------------------------------------
 
 
