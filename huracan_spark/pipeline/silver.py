@@ -318,6 +318,50 @@ class SilverTable:
     def _bucket_col(self):
         return F.pmod(F.xxhash64(F.col("_id")), F.lit(self.n_buckets)).cast("int")
 
+    def table_changes(
+        self, start_gen: str | None = None, end_gen: str | None = None
+    ) -> DataFrame | None:
+        """The Delta ``table_changes`` analog: the change feed across a
+        RANGE of commits, one ``diff`` per consecutive generation pair
+        in ``(start_gen, end_gen]``, stamped with the generation and
+        commit timestamp that produced each change.  ``start_gen=None``
+        starts at the oldest on-disk generation; ``end_gen=None`` ends
+        at the current one.  Cost scales with the deltas (each pairwise
+        diff reads only changed buckets), not with table size × commits.
+        Returns None when the range holds no changes."""
+        gens = [g for g in self.generations() if self._has_manifest(g)]
+        if end_gen is None:
+            end_gen = self.current_generation()
+        if end_gen not in gens:
+            raise ValueError(f"unknown end generation {end_gen!r}")
+        if start_gen is not None and start_gen not in gens:
+            raise ValueError(f"unknown start generation {start_gen!r}")
+        lo = 0 if start_gen is None else gens.index(start_gen)
+        hi = gens.index(end_gen)
+        parts = []
+        for prev, cur in zip(gens[lo:hi], gens[lo + 1 : hi + 1]):
+            d = self.diff(prev, cur)
+            if d is None:
+                continue
+            commit = self._manifest_raw(cur).get("commit", {})
+            parts.append(
+                d.withColumn("_commit_generation", F.lit(cur)).withColumn(
+                    "_commit_ts_ms",
+                    F.lit(commit.get("ts_ms")).cast("long"),
+                )
+            )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _has_manifest(self, generation: str) -> bool:
+        return os.path.exists(
+            os.path.join(self.path, generation, "manifest.json")
+        )
+
     # -- data skipping (Delta file-stats analog) -------------------------
 
     def bucket_stats(self, generation: str | None = None) -> dict[str, dict]:

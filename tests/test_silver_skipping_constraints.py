@@ -207,6 +207,41 @@ def test_merge_after_clustered_compact_keeps_file_stats_for_untouched(
     ]
 
 
+# -- change feed over a commit range -----------------------------------
+
+
+def test_table_changes_spans_generations(spark, tmp_path):
+    t = SilverTable(spark, str(tmp_path / "s"), n_buckets=2)
+    t.merge(_rows(spark, [("a", 1, False, "t", 1), ("b", 1, False, "t", 1)]))
+    g1 = t.current_generation()
+    time.sleep(0.002)
+    t.merge(_rows(spark, [("a", 2, False, "t", 2)]))
+    g2 = t.current_generation()
+    time.sleep(0.002)
+    t.merge(_rows(spark, [("b", 2, True, "t", 1)]))
+    g3 = t.current_generation()
+
+    tc = t.table_changes()
+    rows = {(r._id, r.change_type, r._commit_generation) for r in tc.collect()}
+    assert rows == {("a", "update", g2), ("b", "delete", g3)}
+    assert all(r._commit_ts_ms > 0 for r in tc.collect())
+    # range bounds behave like Delta's (start, end]
+    assert {
+        (r._id, r.change_type)
+        for r in t.table_changes(start_gen=g2).collect()
+    } == {("b", "delete")}
+    assert {
+        (r._id, r.change_type)
+        for r in t.table_changes(end_gen=g2).collect()
+    } == {("a", "update")}
+    assert t.table_changes(start_gen=g3) is None
+    with pytest.raises(ValueError):
+        t.table_changes(start_gen="gen-bogus")
+    # inserts become visible when the range starts BEFORE first commit:
+    # g1 has no predecessor on disk, so the feed begins at g1 -> g2
+    assert g1 == t.generations()[0]
+
+
 # -- DML: DELETE / UPDATE ----------------------------------------------
 
 
