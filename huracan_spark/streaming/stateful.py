@@ -4,19 +4,33 @@ The reference's backfill dedup (RocksDB guard, etl.rs:963-975) has a
 known FIXME (etl.rs:967-969): it stores only the object id, so a NEWER
 version of an already-seen object is wrongly skipped within one run.
 This operator is the corrected semantics as a Structured Streaming
-stateful transform: per object id, keep the highest (version,
-tombstone) mark seen so far across micro-batches and emit a row only
-when it advances that mark — the streaming twin of the K1 MERGE guard
-(etl.rs:1259-1261), pushed upstream so stale rows never reach the sink.
+stateful transform: per object id, keep suppression floors across
+micro-batches and shed only rows that PROVABLY cannot change sink
+state — the streaming twin of the K1 MERGE guard (etl.rs:1259-1261),
+pushed upstream so dead rows never reach enrichment.
 
-The mark is (version, deleted) ordered lexicographically, matching the
-equal-version precedence of ``operators/compaction.py::merge_into`` and
-``pipeline/ingest.py::build_silver_batch``: a tombstone carrying an
-already-seen version still passes (it flips state — "delete is final",
-etl.rs:1238-1247), while a live row at the mark's version is shed.
+The suppression state is TWO floors per id, because the two change
+kinds carry different guarantees:
+
+- ``tomb_floor`` — the highest TOMBSTONE version emitted.  Deletions
+  bypass enrichment (P2 short-circuit) and delete is final
+  (etl.rs:1238-1247), so a tombstone that was emitted has certainly
+  reached the sink: any row at or below it (and any live row AT it —
+  the equal-version tie goes to the tombstone) is dead weight.
+- ``live_max`` — the highest LIVE version emitted, used ONLY to shed
+  an exact re-delivery of that same version (M2 reconciliation).  A
+  live version is NOT a suppression floor for lower versions: an
+  emitted live row can still fail enrichment downstream (-> DLQ), and
+  the sink's K1 guard then needs the best lower version as fallback —
+  which may arrive in a LATER micro-batch.  Suppressing it would
+  diverge from the batch golden (found by the r5 interleaving
+  property test: v3 DLQs in batch 1, the v2 fallback arrives in
+  batch 3).  Re-emitted lower versions that already merged are
+  no-ops under the idempotent versioned MERGE.
+
 This keeps stream output convergent with the batch golden for ANY
 micro-batch split of the change stream, including same-version
-delete/live flips.
+delete/live flips and cross-batch DLQ-fallback cascades.
 
 Implementation: ``applyInPandasWithState`` (Arrow-batched, grouped by
 object id). State is (int64, bool) per live object id, partitioned by
@@ -67,51 +81,51 @@ _COLS = [
 
 def _emit_newer(
     pdfs: Iterable[pd.DataFrame],
-    floor_version: int | None,
-    floor_deleted: bool = False,
+    tomb_floor: int = -1,
+    live_max: int = -1,
     winner_only: bool = False,
-) -> tuple[list[pd.DataFrame], int | None, bool]:
-    """Rows beating the ``(floor_version, floor_deleted)`` mark;
-    returns (chunks, new floor version, new floor deleted).
+) -> tuple[list[pd.DataFrame], int, int]:
+    """Rows surviving the ``(tomb_floor, live_max)`` suppression state;
+    returns (chunks, new tomb_floor, new live_max).
 
-    Streaming mode (``winner_only=False``) emits EVERY distinct version
-    above the floor, not just the batch max: a higher version can still
-    fail enrichment downstream (-> DLQ), and the sink's K1 guard then
-    falls back to the best successfully-enriched version — shedding the
-    cascade here would lose that fallback. The floor only protects
-    against REPLAYED versions (at-least-once delivery), mirroring the
-    reference's RocksDB guard with the version fix (etl.rs:967-969).
-    A tombstone AT the floor version still passes when the floor is not
-    already tombstoned (equal-version delete/live flip — the tombstone
-    must win regardless of which micro-batch carries it); within a
-    batch, the per-version dedup prefers the tombstone for the same
-    reason, instead of keeping an arbitrary arrival.
+    Streaming mode (``winner_only=False``) emits EVERY distinct
+    version that survives, not just the batch max: a higher live
+    version can still fail enrichment downstream (-> DLQ), and the
+    sink's K1 guard then falls back to the best successfully-enriched
+    version — shedding the cascade here would lose that fallback.
+    Suppression rules (see module docstring for why they differ):
+
+    - any row at or below ``tomb_floor`` is shed (delete is final;
+      a live row AT the floor loses the equal-version tie);
+    - a live row equal to ``live_max`` is shed (exact re-delivery);
+      live rows BELOW ``live_max`` pass — they are the cross-batch
+      DLQ-fallback cascade, and re-merging an already-merged version
+      is a no-op;
+    - within a batch, per version one row is kept, tombstone-preferred
+      (deterministic — not arrival order).
 
     Batch mode (``winner_only=True``) is a pure compaction: one
     max-(version, tombstone) winner per key.
 
-    Every chunk is filtered against the floor captured at BATCH entry
-    — never against a floor advanced mid-batch.  A micro-batch's rows
+    Every chunk is filtered against the floors captured at BATCH entry
+    — never against floors advanced mid-batch.  A micro-batch's rows
     for one key can span several Arrow chunks in arbitrary version
-    order; advancing the floor per chunk would silently drop a version
+    order; advancing a floor per chunk would silently drop a version
     that is above the state floor but below an earlier chunk's max,
-    shedding part of the cascade the sink relies on.  The running max
-    is tracked separately and becomes the new state once, after all
-    chunks.
+    shedding part of the cascade the sink relies on.  The running
+    maxima are tracked separately and become the new state once, after
+    all chunks.
     """
-    floor = -1 if floor_version is None else floor_version
-    fdel = bool(floor_deleted)
     kept = []
     for pdf in pdfs:
         isdel = pdf["change_type"].eq("deleted")
-        mask = (pdf["version"] > floor) | (
-            (pdf["version"] == floor) & isdel & (not fdel)
-        )
+        v = pdf["version"]
+        mask = (v > tomb_floor) & (isdel | (v != live_max))
         k = pdf[mask]
         if len(k):
             kept.append(k)
     if not kept:
-        return [], floor_version, fdel
+        return [], tomb_floor, live_max
     allk = pd.concat(kept) if len(kept) > 1 else kept[0]
     allk = allk.assign(_d=allk["change_type"].eq("deleted"))
     # per version keep one row, tombstone-preferred (deterministic —
@@ -121,11 +135,12 @@ def _emit_newer(
     )
     if winner_only:
         allk = allk.tail(1)  # max (version, tombstone) after the sort
-    high = int(allk["version"].max())
-    high_del = bool(allk.loc[allk["version"] == high, "_d"].iloc[-1])
-    if high == floor:
-        high_del = high_del or fdel
-    return [allk[_COLS]], high, high_del
+    d = allk["_d"]
+    if d.any():
+        tomb_floor = max(tomb_floor, int(allk.loc[d, "version"].max()))
+    if (~d).any():
+        live_max = max(live_max, int(allk.loc[~d, "version"].max()))
+    return [allk[_COLS]], tomb_floor, live_max
 
 
 def dedup_latest_version_stream(
@@ -133,8 +148,11 @@ def dedup_latest_version_stream(
     key_col: str = "object_id",
     state_timeout_ms: int | None = None,
 ) -> DataFrame:
-    """Streaming version-aware dedup (M3 corrected): emit a change only
-    when it advances the per-id (version, tombstone) high-water mark.
+    """Streaming version-aware dedup (M3 corrected): shed replayed
+    tombstone-dominated rows and exact live re-deliveries, per the
+    two-floor rule in the module docstring (a live version is never a
+    floor for lower versions — they are the cross-batch DLQ-fallback
+    cascade).
 
     ``state_timeout_ms`` enables processing-time state GC (the 120-cp
     analog) for CONTINUOUS streams. Leave it None for availableNow /
@@ -147,17 +165,12 @@ def dedup_latest_version_stream(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            floor_version, floor_deleted = state.get
+            tomb_floor, live_max = state.get
         else:
-            floor_version, floor_deleted = None, False
-        chunks, high, high_del = _emit_newer(pdfs, floor_version, floor_deleted)
-        advanced = high is not None and (
-            floor_version is None
-            or high > floor_version
-            or (high == floor_version and high_del and not floor_deleted)
-        )
-        if advanced:
-            state.update((high, high_del))
+            tomb_floor, live_max = -1, -1
+        chunks, tf2, lm2 = _emit_newer(pdfs, tomb_floor, live_max)
+        if (tf2, lm2) != (tomb_floor, live_max):
+            state.update((tf2, lm2))
         if state_timeout_ms is not None:
             state.setTimeoutDuration(state_timeout_ms)
         yield from chunks
@@ -165,7 +178,7 @@ def dedup_latest_version_stream(
     return changes.groupBy(key_col).applyInPandasWithState(
         _fn,
         outputStructType=_OUT_SCHEMA,
-        stateStructType="high_version long, high_deleted boolean",
+        stateStructType="tomb_floor long, live_max long",
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.NoTimeout
@@ -181,7 +194,7 @@ def dedup_latest_version_batch(
     """Batch twin: same per-id winner selection in one pass."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        chunks, _, _ = _emit_newer([pdf], None, winner_only=True)
+        chunks, _, _ = _emit_newer([pdf], winner_only=True)
         return chunks[0] if chunks else pdf.iloc[0:0][_COLS]
 
     return changes.groupBy(key_col).applyInPandas(fn, schema=_OUT_SCHEMA)

@@ -201,6 +201,20 @@ def test_stateful_dedup_across_microbatches(spark, tmp_path):
     _mk_changes(
         spark, [(2, "mutated", "a", 2), (2, "mutated", "a", 4), (2, "mutated", "b", 6)]
     ).coalesce(1).write.mode("append").parquet(feed)
+    time.sleep(1.1)
+    # batch3: exact live re-delivery (a->4) drops; a tombstone above the
+    # live mark (b->6 deleted) passes and becomes the hard floor
+    _mk_changes(
+        spark, [(3, "mutated", "a", 4), (3, "deleted", "b", 6)]
+    ).coalesce(1).write.mode("append").parquet(feed)
+    time.sleep(1.1)
+    # batch4: at-or-below the tombstone floor drops (live b->5, replayed
+    # tombstone b->6); a HIGHER live version (b->7) passes — delete is
+    # final only at equal/lower versions
+    _mk_changes(
+        spark,
+        [(4, "mutated", "b", 5), (4, "deleted", "b", 6), (4, "mutated", "b", 7)],
+    ).coalesce(1).write.mode("append").parquet(feed)
 
     stream = (
         spark.readStream.schema(OBJECT_CHANGE_SCHEMA)
@@ -218,14 +232,28 @@ def test_stateful_dedup_across_microbatches(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = {
-        (r.object_id, r.version)
-        for r in spark.sql("SELECT object_id, version FROM dedup_out").collect()
+        (r.object_id, r.version, r.change_type)
+        for r in spark.sql(
+            "SELECT object_id, version, change_type FROM dedup_out"
+        ).collect()
     }
-    # batch1: the whole above-floor cascade emits (a->1, a->3, b->5) —
-    # a higher version may still fail enrichment downstream, so lower
-    # versions are the sink's fallback; batch2: a->4 beats floor 3,
-    # a->2 is a stale replay (dropped), b->6 beats 5
-    assert got == {("a", 1), ("a", 3), ("b", 5), ("a", 4), ("b", 6)}
+    # batch1: the whole cascade emits (a->1, a->3, b->5) — a higher
+    # version may still fail enrichment downstream, so lower versions
+    # are the sink's fallback; batch2: a->4 and b->6 advance, and a->2
+    # ALSO passes — a live version is never a suppression floor for
+    # lower versions (they may be the DLQ fallback for a version that
+    # permanently fails enrichment; re-merging an already-merged one
+    # is a no-op under the idempotent MERGE)
+    assert got == {
+        ("a", 1, "created"),
+        ("a", 2, "mutated"),
+        ("a", 3, "mutated"),
+        ("a", 4, "mutated"),
+        ("b", 5, "created"),
+        ("b", 6, "mutated"),
+        ("b", 6, "deleted"),
+        ("b", 7, "mutated"),
+    }
 
 
 def test_stateful_dedup_batch_twin(spark):
@@ -754,6 +782,17 @@ def _pt_content(spark):
           (1, 2, False, 0), (1, 2, True, 1)],
     version_aware=True,
 )
+@example(
+    # r5 counterexample, pinned: v3 (which permanently DLQs) arrives in
+    # an EARLY batch; the v2 fallback arrives in a LATER batch.  A live
+    # version must never become a suppression floor for lower versions,
+    # or the cross-batch cascade fallback is lost and the stream
+    # diverges from the batch golden.
+    rows=[(1, 1, False, 2), (1, 1, False, 0), (1, 4, False, 1),
+          (0, 1, True, 0), (1, 3, False, 2), (0, 2, False, 2),
+          (0, 1, False, 0), (0, 3, False, 0)],
+    version_aware=True,
+)
 def test_streaming_tombstone_cascade_property(spark, tmp_path_factory, rows, version_aware):
     """PROPERTY: for ANY interleaving of versioned changes — duplicate
     versions, same-version delete/live flips split across micro-batches,
@@ -907,5 +946,6 @@ def test_stateful_dedup_on_rocksdb_state_store(spark, tmp_path):
         for r in spark.sql("SELECT object_id, version FROM dedup_rocks").collect()
     }
     # identical cascade semantics as the default-provider test: batch 1
-    # emits 1 and 3; batch 2 sheds the stale 2, emits 4
-    assert got == {("a", 1), ("a", 3), ("a", 4)}
+    # emits 1 and 3; batch 2 emits 4 AND the lower 2 (a live version is
+    # never a floor for lower versions — cross-batch DLQ fallback)
+    assert got == {("a", 1), ("a", 2), ("a", 3), ("a", 4)}
