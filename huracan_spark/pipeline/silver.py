@@ -226,6 +226,9 @@ class SilverTable:
             "size_bytes": n_bytes,
             "columns": [f.name for f in schema.fields] if schema else None,
             "num_commits": len(self.history()),
+            "stats_buckets": len(self.bucket_stats(gen)),
+            "file_stats_buckets": len(self.file_stats(gen)),
+            "constraints": sorted(self.constraints()),
         }
 
     def changed_buckets(self, gen_old: str, gen_new: str) -> list[str]:
@@ -722,12 +725,13 @@ class SilverTable:
 
     # -- vacuum ---------------------------------------------------------
 
-    def vacuum(self, keep: int = 3) -> list[str]:
+    def vacuum(self, keep: int = 3, dry_run: bool = False) -> list[str]:
         """Drop old generations, but NEVER data still referenced by a
         retained generation: the retained set is (newest ``keep``
         generations + current), closed transitively over manifest
         references, so every retained generation remains readable.
-        Returns removed generation names."""
+        ``dry_run=True`` (VACUUM DRY RUN) only reports what would be
+        removed.  Returns removed (or removable) generation names."""
         import shutil
 
         current = self.current_generation()
@@ -751,6 +755,8 @@ class SilverTable:
                     kept.add(ref_gen)
                     work.append(ref_gen)
         removable = [g for g in gens if g not in kept]
+        if dry_run:
+            return removable
         for g in removable:
             shutil.rmtree(os.path.join(self.path, g))
         return removable

@@ -207,6 +207,24 @@ def test_merge_after_clustered_compact_keeps_file_stats_for_untouched(
     ]
 
 
+def test_vacuum_dry_run_and_detail_surfaces(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "s"), n=20, n_buckets=2)
+    t.add_check("v_nonneg", "version_ >= 0")
+    time.sleep(0.002)
+    t.compact()
+    time.sleep(0.002)
+    t.compact()
+    would = t.vacuum(keep=1, dry_run=True)
+    assert would, "two compactions must leave a reclaimable generation"
+    assert set(would) <= set(t.generations()), "dry run removes nothing"
+    d = t.detail()
+    assert d["stats_buckets"] == d["populated_buckets"] > 0
+    assert d["file_stats_buckets"] == d["populated_buckets"]
+    assert d["constraints"] == ["v_nonneg"]
+    removed = t.vacuum(keep=1)
+    assert removed == would
+
+
 # -- change feed over a commit range -----------------------------------
 
 
