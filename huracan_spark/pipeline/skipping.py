@@ -198,9 +198,11 @@ def filters_to_column(filters) -> Column:
         "<=": lambda c, v: c <= v,
         ">": lambda c, v: c > v,
         ">=": lambda c, v: c >= v,
-        "in": lambda c, v: c.isin(*list(v)),
     }
     pred = F.lit(True)
     for col, op, value in filters:
-        pred = pred & ops[op](F.col(col), F.lit(value))
+        if op == "in":
+            pred = pred & F.col(col).isin(*list(value))
+        else:
+            pred = pred & ops[op](F.col(col), F.lit(value))
     return pred

@@ -9,6 +9,8 @@ import os
 import time
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from huracan_spark.pipeline.silver import ConstraintViolation, SilverTable
@@ -223,6 +225,88 @@ def test_vacuum_dry_run_and_detail_surfaces(spark, tmp_path):
     assert d["constraints"] == ["v_nonneg"]
     removed = t.vacuum(keep=1)
     assert removed == would
+
+
+# -- skipping soundness property ---------------------------------------
+
+_sk_rows = st.lists(
+    st.tuples(
+        st.integers(0, 20),                      # key index
+        st.integers(1, 5),                       # version
+        st.booleans(),                           # deleted
+        st.integers(0, 3),                       # type index
+        st.one_of(st.none(), st.integers(-50, 50)),  # val (nullable)
+        st.booleans(),                           # second batch?
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+_sk_filters = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("version_"),
+            st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+            st.integers(0, 6),
+        ),
+        st.tuples(
+            st.just("type_"), st.sampled_from(["=", "!="]),
+            st.sampled_from(["t0", "t1", "t2", "t9"]),
+        ),
+        st.tuples(
+            st.just("val"), st.sampled_from(["<", ">", "="]),
+            st.integers(-60, 60),
+        ),
+        st.tuples(
+            st.just("_id"), st.just("in"),
+            st.lists(
+                st.integers(0, 22).map(lambda i: f"k{i:02d}"),
+                min_size=1, max_size=3,
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(rows=_sk_rows, filters=_sk_filters, clustered=st.booleans())
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_read_where_equals_full_scan_property(
+    spark, tmp_path_factory, rows, filters, clustered
+):
+    """PROPERTY: for ANY table content (null columns, tombstones,
+    multi-batch merges, optionally a clustered OPTIMIZE) and ANY
+    conjunction of supported predicates, the stats-pruned read returns
+    EXACTLY the rows of the full-scan filter — pruning may only remove
+    provably-dead IO, never rows."""
+    from huracan_spark.pipeline.skipping import filters_to_column
+
+    base = tmp_path_factory.mktemp("skprop")
+    t = SilverTable(spark, str(base / "s"), n_buckets=4)
+    batches = [
+        [
+            (f"k{k:02d}", v, dead, f"t{ty}", val)
+            for k, v, dead, ty, val, second in rows
+            if second == bi
+        ]
+        for bi in (False, True)
+    ]
+    for b in batches:
+        if b:
+            t.merge(
+                spark.createDataFrame(b, SCHEMA)
+            )
+            time.sleep(0.002)
+    if t.current_generation() is None:
+        return
+    if clustered:
+        t.compact(max_records_per_file=3, cluster_by=["version_"])
+    got = sorted(map(tuple, t.read_where(filters).collect()))
+    want = sorted(
+        map(tuple, t.read().filter(filters_to_column(filters)).collect())
+    )
+    assert got == want, (rows, filters, clustered)
 
 
 # -- change feed over a commit range -----------------------------------
