@@ -44,6 +44,39 @@ __all__ = [
 _SUPPORTED = (bool, int, float, str)
 
 
+def _norm_stat_value(v):
+    """Normalize a footer stat value to (json_safe_value, kind).
+    Temporal values map to integers — epoch micros for timestamps
+    (naive treated as session-UTC, aware converted), proleptic ordinal
+    for dates — so they stay JSON-round-trippable and totally ordered.
+    Returns (None, None) for unsupported types."""
+    import datetime as dt
+
+    if isinstance(v, _SUPPORTED):
+        return v, None
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        delta = v - dt.datetime(1970, 1, 1)
+        return (
+            (delta.days * 86_400 + delta.seconds) * 1_000_000
+            + delta.microseconds,
+            "ts",
+        )
+    if isinstance(v, dt.date):
+        return v.toordinal(), "date"
+    return None, None
+
+
+def _norm_filter_value(value, kind):
+    """Normalize ONE predicate value against a column's stat kind;
+    None means the comparison cannot be proven — never prune."""
+    if kind is None:
+        return value if isinstance(value, _SUPPORTED) else None
+    nv, nk = _norm_stat_value(value)
+    return nv if nk == kind else None
+
+
 def _file_stats(path: str) -> dict[str, dict]:
     """Per-column {min,max,null_count,n_rows} from ONE parquet file's
     footer.  Nested/unsupported columns are omitted (never pruned)."""
@@ -75,10 +108,15 @@ def _file_stats(path: str) -> dict[str, dict]:
             if st.null_count is not None:
                 ent["null_count"] += st.null_count
             if st.has_min_max:
-                mn, mx = st.min, st.max
-                if not (isinstance(mn, _SUPPORTED) and isinstance(mx, _SUPPORTED)):
+                mn, kn = _norm_stat_value(st.min)
+                mx, kx = _norm_stat_value(st.max)
+                if mn is None or mx is None or kn != kx:
                     out[name] = {"ok": False}
                     continue
+                if ent["min"] is not None and ent.get("kind") != kn:
+                    out[name] = {"ok": False}  # chunks disagree on kind
+                    continue
+                ent["kind"] = kn
                 ent["min"] = mn if ent["min"] is None else min(ent["min"], mn)
                 ent["max"] = mx if ent["max"] is None else max(ent["max"], mx)
             elif st.null_count is None or st.null_count < row_group.num_rows:
@@ -88,10 +126,14 @@ def _file_stats(path: str) -> dict[str, dict]:
 
 
 def _strip(stats: dict[str, dict]) -> dict[str, dict]:
-    """Drop poisoned columns and the bookkeeping flag before
-    persisting."""
+    """Drop poisoned columns, the bookkeeping flag, and null kind
+    markers before persisting."""
     return {
-        c: {k: v for k, v in ent.items() if k != "ok"}
+        c: {
+            k: v
+            for k, v in ent.items()
+            if k != "ok" and not (k == "kind" and v is None)
+        }
         for c, ent in stats.items()
         if ent.get("ok")
     }
@@ -134,10 +176,15 @@ def merge_stats(a: dict[str, dict], b: dict[str, dict]) -> dict[str, dict]:
         if ea is None or eb is None or not (ea.get("ok") and eb.get("ok")):
             out[c] = {"ok": False}
             continue
+        kinds = {k for k in (ea.get("kind"), eb.get("kind")) if k is not None}
+        if len(kinds) > 1:
+            out[c] = {"ok": False}  # files disagree on the value kind
+            continue
         mins = [v for v in (ea["min"], eb["min"]) if v is not None]
         maxs = [v for v in (ea["max"], eb["max"]) if v is not None]
         out[c] = {
             "ok": True,
+            "kind": kinds.pop() if kinds else None,
             "min": min(mins) if mins else None,
             "max": max(maxs) if maxs else None,
             "null_count": ea["null_count"] + eb["null_count"],
@@ -169,6 +216,16 @@ def bucket_might_match(stats: dict[str, dict] | None, filters) -> bool:
             return False  # all null: no comparison can hold
         if mn is None or mx is None:
             continue
+        kind = ent.get("kind")
+        if op == "in":
+            vals = [_norm_filter_value(v, kind) for v in value]
+            if any(v is None for v in vals):
+                continue  # unprovable membership — never prune
+            value = vals
+        else:
+            value = _norm_filter_value(value, kind)
+            if value is None:
+                continue  # kind mismatch — never prune
         try:
             if op == "=" and (value < mn or value > mx):
                 return False

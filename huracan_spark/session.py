@@ -48,6 +48,11 @@ def get_spark(
         # TESTDATA events.parquet carries TIMESTAMP(NANOS) which Spark has
         # no native type for; read as long (ns) and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT96 (Spark's legacy timestamp encoding) records NO parquet
+        # column statistics, so time-range scans could never skip files.
+        # Write modern INT64 micros (what Delta/Iceberg write) so the
+        # silver footer-stats skipping can prune on timestamp columns.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = (

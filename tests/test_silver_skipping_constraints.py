@@ -227,6 +227,45 @@ def test_vacuum_dry_run_and_detail_surfaces(spark, tmp_path):
     assert removed == would
 
 
+def test_timestamp_and_date_columns_prune(spark, tmp_path):
+    """Temporal stats: the session writes INT64-micros timestamps (not
+    statless INT96), footer stats normalize to epoch micros / date
+    ordinals, and a time-range read prunes buckets outside it — the
+    canonical incremental scan on an event table."""
+    from datetime import date, datetime
+
+    t = SilverTable(spark, str(tmp_path / "s"), n_buckets=2)
+    rows = [
+        (f"k{i:02d}", 1, False, datetime(2024, 1, 1 + i // 4, 8 + i % 4), date(2024, 1, 1 + i))
+        for i in range(12)
+    ]
+    t.merge(
+        spark.createDataFrame(
+            rows,
+            "_id string, version_ long, deleted boolean, ts timestamp, d date",
+        )
+    )
+    time.sleep(0.002)
+    # cluster by time so the two buckets' files carry tight time ranges
+    t.compact(max_records_per_file=3, cluster_by=["ts"])
+    stats = t.bucket_stats()
+    assert all(s["ts"]["kind"] == "ts" for s in stats.values())
+    assert all(s["d"]["kind"] == "date" for s in stats.values())
+    cutoff = datetime(2024, 1, 3)
+    filters = [("ts", ">=", cutoff)]
+    kept, _ = t.prune_plan(filters)
+    total = sum(len(f) for f in t.file_stats().values())
+    assert len(kept) < total, "a tail time-range read must skip files"
+    got = sorted(r._id for r in t.read_where(filters).collect())
+    want = sorted(r[0] for r in rows if r[3] >= cutoff)
+    assert got == want
+    # date-typed predicate prunes too and agrees with the full scan
+    dgot = sorted(
+        r._id for r in t.read_where([("d", "<", date(2024, 1, 4))]).collect()
+    )
+    assert dgot == sorted(r[0] for r in rows if r[4] < date(2024, 1, 4))
+
+
 # -- skipping soundness property ---------------------------------------
 
 _sk_rows = st.lists(
