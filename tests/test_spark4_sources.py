@@ -306,3 +306,66 @@ def test_python_udtf_lateral_chunking(spark):
     assert [c for _, c in sorted(by_doc["d1"])] == ["abcd", "efgh", "ij"]
     assert [c for _, c in sorted(by_doc["d2"])] == ["xyz"]
     assert "d3" not in by_doc  # null text yields no rows
+
+
+def test_silver_cdf_stream_source(spark, tmp_path):
+    """The silver change feed as a streaming SOURCE (readChangeFeed
+    parity): offsets are generation names, partitions are changed
+    buckets, output matches table_changes(), and a restarted stream
+    resumes from the committed generation — emitting only new commits."""
+    import time as _time
+
+    from huracan_spark.pipeline.silver import SilverTable
+    from huracan_spark.sources.silver_cdf_source import (
+        register_silver_cdf_source,
+    )
+
+    register_silver_cdf_source(spark)
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    rows = lambda data: spark.createDataFrame(
+        data, "_id string, version_ long, deleted boolean"
+    )
+    t.merge(rows([("a", 1, False), ("b", 1, False)]))
+    _time.sleep(0.002)
+    t.merge(rows([("a", 2, False)]))
+    _time.sleep(0.002)
+    t.merge(rows([("b", 2, True)]))
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def _drain():
+        q = (
+            spark.readStream.format("silver_cdf")
+            .option("path", t.path)
+            .option("starting", "earliest")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _drain()
+    got = {
+        (r._id, r.change_type, r.old_version, r.new_version, r._commit_generation)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r._id, r.change_type, r.old_version, r.new_version, r._commit_generation)
+        for r in t.table_changes().collect()
+    }
+    assert got == want and len(got) == 2  # a:update, b:delete
+
+    # new commit -> restart from checkpoint emits ONLY the new diff
+    _time.sleep(0.002)
+    t.merge(rows([("c", 1, False)]))
+    gen4 = t.current_generation()
+    _drain()
+    got2 = {
+        (r._id, r.change_type, r._commit_generation)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 - {(g[0], g[1], g[4]) for g in got} == {("c", "insert", gen4)}
