@@ -46,10 +46,33 @@ from pyspark.sql.datasource import (
 
 __all__ = ["SilverCdfStreamDataSource", "register_silver_cdf_source"]
 
-CDF_SCHEMA = (
-    "_id string, change_type string, old_version bigint, "
-    "new_version bigint, _commit_generation string"
+# metadata columns appended after the table's own columns — the Delta
+# CDF shape (_change_type + commit info), plus the pre-image version
+_META_DDL = (
+    "_change_type string, _old_version bigint, _commit_generation string"
 )
+
+
+def _table_ddl(path: str) -> str:
+    """DDL of the table's committed schema + CDF metadata columns.
+    Read from the CURRENT generation's manifest at stream start; rows
+    from generations predating an evolved column null-fill it."""
+    gen = _current(path)
+    if gen is None:
+        raise ValueError(f"silver table at {path!r} has no committed state")
+    with open(os.path.join(path, gen, "manifest.json")) as f:
+        sj = json.load(f).get("schema")
+    if sj is None:
+        # pre-schema-manifest table: minimal envelope
+        cols = "_id string, version_ bigint, deleted boolean"
+    else:
+        from pyspark.sql.types import StructType
+
+        st = StructType.fromJson(json.loads(sj))
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in st.fields
+        )
+    return f"{cols}, {_META_DDL}"
 
 
 def _gens(path: str) -> list[str]:
@@ -79,15 +102,18 @@ def _current(path: str) -> str | None:
 
 
 class _CdfPartition(InputPartition):
-    def __init__(self, table_path, gen, old_rel, new_rel):
+    def __init__(self, table_path, gen, old_rel, new_rel, columns, preimages):
         self.table_path = table_path
         self.gen = gen  # the generation whose commit produced the change
         self.old_rel = old_rel  # bucket data dir before (None = new bucket)
         self.new_rel = new_rel  # bucket data dir after (None = impossible drop)
+        self.columns = columns  # table column names, schema order
+        self.preimages = preimages
 
 
-def _load_bucket(table_path: str, rel: str | None) -> dict:
-    """{_id: (version, deleted)} for one bucket data dir."""
+def _load_bucket(table_path: str, rel: str | None, columns) -> dict:
+    """{_id: {col: value}} for one bucket data dir.  Columns absent
+    from a file (pre-evolution generations) null-fill."""
     if rel is None:
         return {}
     import pyarrow.parquet as pq
@@ -97,26 +123,35 @@ def _load_bucket(table_path: str, rel: str | None) -> dict:
     for fn in sorted(os.listdir(d)):
         if not fn.endswith(".parquet"):
             continue
-        t = pq.read_table(
-            os.path.join(d, fn), columns=["_id", "version_", "deleted"]
-        )
+        p = os.path.join(d, fn)
+        have = set(pq.ParquetFile(p).schema_arrow.names)
+        want = [c for c in columns if c in have]
+        t = pq.read_table(p, columns=want)
         for r in t.to_pylist():
-            out[r["_id"]] = (r["version_"], bool(r["deleted"]))
+            out[r["_id"]] = {c: r.get(c) for c in columns}
     return out
 
 
 class _SilverCdfStreamReader(DataSourceStreamReader):
-    def __init__(self, options):
+    def __init__(self, options, columns):
         self.path = options["path"]
         self.starting = options.get("starting", "latest")
+        self.columns = columns  # table columns (no CDF metadata)
+        # Delta-CDF preimage rows: updates/deletes additionally emit the
+        # OLD payload as update_preimage / delete_preimage, so a
+        # downstream aggregate can fold -old/+new adjustments from the
+        # feed ALONE, never touching the table
+        self.preimages = options.get("preimages", "false").lower() == "true"
 
     def initialOffset(self) -> dict:
-        gens = _gens(self.path)
         if self.starting == "earliest":
-            return {"generation": gens[0] if gens else ""}
+            # "" = before the first commit: the first micro-batch
+            # emits the oldest generation's content as inserts (Delta's
+            # startingVersion=0 includes the initial adds), then pairs
+            return {"generation": ""}
         if self.starting == "latest":
             return {"generation": _current(self.path) or ""}
-        if self.starting not in gens:
+        if self.starting not in _gens(self.path):
             raise ValueError(
                 f"unknown starting generation {self.starting!r}"
             )
@@ -130,41 +165,81 @@ class _SilverCdfStreamReader(DataSourceStreamReader):
         s, e = start["generation"], end["generation"]
         if not e or s == e:
             return []
-        lo = gens.index(s) if s else 0
         hi = gens.index(e)
         parts = []
+        if s:
+            lo = gens.index(s)
+        else:
+            # initial snapshot: every bucket of the oldest generation
+            # diffs against nothing -> its rows emit as inserts (or
+            # deletes, for tombstones already present)
+            lo = 0
+            first = gens[0]
+            for b, rel in sorted(_manifest_buckets(self.path, first).items()):
+                parts.append(
+                    _CdfPartition(
+                        self.path, first, None, rel, self.columns, self.preimages
+                    )
+                )
         for prev, cur in zip(gens[lo:hi], gens[lo + 1 : hi + 1]):
             mo = _manifest_buckets(self.path, prev)
             mn = _manifest_buckets(self.path, cur)
             for b in sorted(set(mo) | set(mn)):
                 if mo.get(b) != mn.get(b):
                     parts.append(
-                        _CdfPartition(self.path, cur, mo.get(b), mn.get(b))
+                        _CdfPartition(
+                            self.path,
+                            cur,
+                            mo.get(b),
+                            mn.get(b),
+                            self.columns,
+                            self.preimages,
+                        )
                     )
         return parts
 
     def read(self, partition: _CdfPartition):
-        old = _load_bucket(partition.table_path, partition.old_rel)
-        new = _load_bucket(partition.table_path, partition.new_rel)
+        cols = partition.columns
+        old = _load_bucket(partition.table_path, partition.old_rel, cols)
+        new = _load_bucket(partition.table_path, partition.new_rel, cols)
         for _id in sorted(set(old) | set(new)):
             o, n = old.get(_id), new.get(_id)
             # same changed-row predicate and classification as
             # SilverTable.diff: version differs OR deleted differs
-            if o is not None and n is not None and o == n:
+            if (
+                o is not None
+                and n is not None
+                and o["version_"] == n["version_"]
+                and o["deleted"] == n["deleted"]
+            ):
                 continue
             if n is None:
                 ct = "drop"  # impossible by K2; surfaced for audit
             elif o is None:
-                ct = "delete" if n[1] else "insert"
-            elif n[1] and not o[1]:
+                ct = "delete" if n["deleted"] else "insert"
+            elif n["deleted"] and not o["deleted"]:
                 ct = "delete"
             else:
                 ct = "update"
-            yield (
-                _id,
-                ct,
-                o[0] if o else None,
-                n[0] if n else None,
+            old_v = o["version_"] if o else None
+            if partition.preimages and o is not None and ct in (
+                "update",
+                "delete",
+            ):
+                yield tuple(o[c] for c in cols) + (
+                    f"{ct}_preimage",
+                    old_v,
+                    partition.gen,
+                )
+            payload = (
+                n
+                if n is not None
+                else {c: (_id if c == "_id" else None) for c in cols}
+            )
+            yield tuple(payload[c] for c in cols) + (
+                ct if not (partition.preimages and ct == "update") else
+                "update_postimage",
+                old_v,
                 partition.gen,
             )
 
@@ -173,17 +248,22 @@ class _SilverCdfStreamReader(DataSourceStreamReader):
 
 
 class SilverCdfStreamDataSource(DataSource):
-    """``spark.readStream.format("silver_cdf")``."""
+    """``spark.readStream.format("silver_cdf")`` — full-payload change
+    rows (the table's columns as of stream start) + ``_change_type`` /
+    ``_old_version`` / ``_commit_generation`` metadata, Delta's CDF
+    shape."""
 
     @classmethod
     def name(cls) -> str:
         return "silver_cdf"
 
     def schema(self) -> str:
-        return CDF_SCHEMA
+        return _table_ddl(self.options["path"])
 
     def streamReader(self, schema) -> _SilverCdfStreamReader:
-        return _SilverCdfStreamReader(self.options)
+        meta = {"_change_type", "_old_version", "_commit_generation"}
+        cols = [f.name for f in schema.fields if f.name not in meta]
+        return _SilverCdfStreamReader(self.options, cols)
 
 
 def register_silver_cdf_source(spark) -> None:

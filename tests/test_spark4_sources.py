@@ -349,15 +349,27 @@ def test_silver_cdf_stream_source(spark, tmp_path):
         q.awaitTermination(120)
 
     _drain()
-    got = {
-        (r._id, r.change_type, r.old_version, r.new_version, r._commit_generation)
-        for r in spark.read.parquet(out).collect()
+    cdf = spark.read.parquet(out)
+    # full-payload CDF shape: the table's columns + change metadata
+    assert set(cdf.columns) == {
+        "_id", "version_", "deleted",
+        "_change_type", "_old_version", "_commit_generation",
     }
-    want = {
+    got = {
+        (r._id, r._change_type, r._old_version, r.version_, r._commit_generation)
+        for r in cdf.collect()
+    }
+    gen1 = t.generations()[0]
+    # "earliest" = initial snapshot as inserts (Delta startingVersion=0)
+    # + every later commit's diff (== table_changes)
+    want = {("a", "insert", None, 1, gen1), ("b", "insert", None, 1, gen1)} | {
         (r._id, r.change_type, r.old_version, r.new_version, r._commit_generation)
         for r in t.table_changes().collect()
     }
-    assert got == want and len(got) == 2  # a:update, b:delete
+    assert got == want and len(got) == 4
+    # the delete row carries the tombstone payload
+    drow = next(r for r in cdf.collect() if r._change_type == "delete")
+    assert drow._id == "b" and drow.deleted is True and drow.version_ == 2
 
     # new commit -> restart from checkpoint emits ONLY the new diff
     _time.sleep(0.002)
@@ -365,7 +377,49 @@ def test_silver_cdf_stream_source(spark, tmp_path):
     gen4 = t.current_generation()
     _drain()
     got2 = {
-        (r._id, r.change_type, r._commit_generation)
+        (r._id, r._change_type, r._commit_generation)
         for r in spark.read.parquet(out).collect()
     }
     assert got2 - {(g[0], g[1], g[4]) for g in got} == {("c", "insert", gen4)}
+
+
+def test_gold_view_maintained_from_cdf_stream(spark, tmp_path):
+    """Medallion last hop: a DOWNSTREAM stream (decoupled from ingest)
+    folds the silver CDF — with preimage rows — into a persisted gold
+    aggregate that equals a full recompute of the final state, across
+    inserts, updates, group moves, deletes, and a restart."""
+    import time as _time
+
+    from huracan_spark.pipeline.incr_view import grouped_view
+    from huracan_spark.pipeline.silver import SilverTable
+    from huracan_spark.streaming.gold_view import read_gold_view, run_gold_view
+
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    rows = lambda data: spark.createDataFrame(
+        data, "_id string, version_ long, deleted boolean, grp string, val long"
+    )
+    t.merge(rows([("a", 1, False, "g1", 10), ("b", 1, False, "g1", 20),
+                  ("c", 1, False, "g2", 5)]))
+    _time.sleep(0.002)
+    t.merge(rows([("a", 2, False, "g2", 11)]))   # update + group move
+    _time.sleep(0.002)
+    t.merge(rows([("b", 2, True, "g1", 0)]))     # delete
+
+    view, ck = str(tmp_path / "gold"), str(tmp_path / "ck")
+    q = run_gold_view(spark, t.path, view, "grp", "val", ck)
+    q.awaitTermination(120)
+
+    def _snap(df):
+        return sorted((r.grp, r.n_rows, r.sum_value) for r in df.collect())
+
+    assert _snap(read_gold_view(spark, view)) == _snap(
+        grouped_view(t.read(), "grp", "val")
+    )
+    # more commits, then a restarted consumer catches up incrementally
+    _time.sleep(0.002)
+    t.merge(rows([("d", 1, False, "g1", 7), ("c", 2, False, "g2", 6)]))
+    q = run_gold_view(spark, t.path, view, "grp", "val", ck)
+    q.awaitTermination(120)
+    assert _snap(read_gold_view(spark, view)) == _snap(
+        grouped_view(t.read(), "grp", "val")
+    )
