@@ -423,3 +423,74 @@ def test_gold_view_maintained_from_cdf_stream(spark, tmp_path):
     assert _snap(read_gold_view(spark, view)) == _snap(
         grouped_view(t.read(), "grp", "val")
     )
+
+
+def test_cdf_stream_reconstructs_state_through_dml_optimize_restore(
+    spark, tmp_path
+):
+    """CDF completeness: folding the streamed change feed (initial
+    snapshot + every commit's diff, in commit order) reconstructs the
+    table's final state EXACTLY — across merges, DELETE/UPDATE DML, a
+    clustered OPTIMIZE (which must emit no logical changes), and a
+    RESTORE (which emits backward updates and drops)."""
+    import time as _time
+
+    from huracan_spark.pipeline.silver import SilverTable
+    from huracan_spark.sources.silver_cdf_source import (
+        register_silver_cdf_source,
+    )
+
+    register_silver_cdf_source(spark)
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    rows = lambda data: spark.createDataFrame(
+        data, "_id string, version_ long, deleted boolean, grp string, val long"
+    )
+    t.merge(rows([(f"k{i}", 1, False, f"g{i % 3}", i) for i in range(8)]))
+    _time.sleep(0.002)
+    t.update_where([("grp", "=", "g1")], {"val": "val * 10"})
+    _time.sleep(0.002)
+    t.delete_where([("grp", "=", "g2")])
+    _time.sleep(0.002)
+    mid_gen = t.current_generation()
+    t.merge(rows([("k9", 1, False, "g0", 99), ("k0", 2, False, "g0", 50)]))
+    _time.sleep(0.002)
+    t.compact(max_records_per_file=3, cluster_by=["version_"])
+    _time.sleep(0.002)
+    t.restore(mid_gen)  # k9 drops, k0 reverts to version 1
+    _time.sleep(0.002)
+    t.merge(rows([("k9", 2, False, "g1", 1)]))
+
+    out, ck = str(tmp_path / "feed_out"), str(tmp_path / "feed_ck")
+    q = (
+        spark.readStream.format("silver_cdf")
+        .option("path", t.path)
+        .option("starting", "earliest")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    feed = spark.read.parquet(out).collect()
+    # OPTIMIZE rewrites every bucket but changes nothing logically: no
+    # feed row may carry the compaction generation
+    compact_gens = {
+        h["generation"] for h in t.history() if h.get("operation") == "OPTIMIZE"
+    }
+    assert compact_gens and not any(
+        r._commit_generation in compact_gens for r in feed
+    )
+    state = {}
+    for r in sorted(feed, key=lambda r: r._commit_generation):
+        if r._change_type == "drop":
+            state.pop(r._id, None)
+        else:
+            state[r._id] = (r.version_, r.deleted, r.grp, r.val)
+    want = {
+        r._id: (r.version_, r.deleted, r.grp, r.val) for r in t.read().collect()
+    }
+    assert state == want
