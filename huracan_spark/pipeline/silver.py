@@ -723,6 +723,33 @@ class SilverTable:
             self.merge(upd)
         return n
 
+    def referenced_generations(self, generation: str | None = None) -> set[str]:
+        """Generation dirs the given (default current) manifest pulls
+        data from — the fragmentation measure incremental merges grow
+        and OPTIMIZE resets to 1."""
+        gen = generation or self.current_generation()
+        if gen is None:
+            return set()
+        return {
+            rel.split(os.sep, 1)[0] for rel in self.manifest(gen).values()
+        }
+
+    def maybe_optimize(
+        self, max_refs: int, vacuum_keep: int = 3
+    ) -> str | None:
+        """Auto-OPTIMIZE policy (Delta auto-compaction analog): when
+        the current manifest references more than ``max_refs``
+        generations, compact into one self-contained generation and
+        reference-aware-vacuum the garbage.  A long-running streaming
+        writer calls this per batch to keep read fan-in and disk
+        growth bounded; a no-op otherwise.  Returns the compacted
+        generation name, or None if below threshold."""
+        if len(self.referenced_generations()) <= max_refs:
+            return None
+        gen = self.compact()
+        self.vacuum(keep=vacuum_keep)
+        return gen
+
     # -- vacuum ---------------------------------------------------------
 
     def vacuum(self, keep: int = 3, dry_run: bool = False) -> list[str]:

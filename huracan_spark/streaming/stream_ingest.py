@@ -128,6 +128,11 @@ class StreamConfig:
     # "drop" discards violations, "quarantine" routes them to the
     # table-local quarantine for replay/audit (K7 at the sink edge)
     merge_on_violation: str = "fail"
+    # auto-OPTIMIZE: when the manifest references more than this many
+    # generations, compact + vacuum inside the loop (bounds read
+    # fan-in and disk growth on a continuous stream).  None = never.
+    # Caveat: vacuum trims time-travel depth to vacuum's keep window.
+    auto_compact_refs: int | None = None
 
 
 def changes_file_stream(
@@ -201,6 +206,8 @@ def run_stream(
             )
             if cfg.view_dir:
                 _maintain_view(silver, gen_before, cfg)
+            if cfg.auto_compact_refs is not None:
+                silver.maybe_optimize(cfg.auto_compact_refs)
             if cfg.dlq_dir:
                 res.dlq.write.mode("append").parquet(cfg.dlq_dir)
             if cfg.completed_dir:

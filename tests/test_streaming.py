@@ -76,6 +76,45 @@ def test_stream_converges_to_batch_golden(spark, fx, tmp_path):
     assert spark.read.parquet(cfg.completed_dir).count() > 0
 
 
+def test_stream_auto_compacts_when_manifest_fragments(spark, tmp_path):
+    """Auto-OPTIMIZE in the loop: a long stream of NARROW micro-batches
+    (each touching one key -> one bucket) fragments the manifest across
+    generations; the policy compacts + vacuums once the reference count
+    passes the threshold, keeping fan-in and disk growth bounded while
+    the final state still equals the batch golden."""
+    content = _pt_content(spark)
+    # five single-key micro-batches across three keys
+    specs = [(0, 1, False, 0), (1, 1, False, 1), (2, 1, False, 2),
+             (0, 2, False, 3), (1, 2, False, 4)]
+    stamped = [(_PT_KEYS[k], v, dead, 2000 + i) for i, (k, v, dead, _) in enumerate(specs)]
+    all_changes = _pt_changes(spark, stamped)
+    golden = SilverTable(spark, str(tmp_path / "golden"), n_buckets=4)
+    run_backfill(spark, all_changes, content, golden)
+    expected = sorted(map(tuple, golden.read().collect()))
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    for row in stamped:
+        _pt_changes(spark, [row]).coalesce(1).write.mode("append").parquet(feed)
+
+    s = SilverTable(spark, str(tmp_path / "stream"), n_buckets=4)
+    cfg = StreamConfig(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        auto_compact_refs=1,
+    )
+    q = run_stream(
+        spark, changes_file_stream(spark, feed, 1), content, s, cfg
+    )
+    _await(q)
+    assert sorted(map(tuple, s.read().collect())) == expected
+    assert len(s.referenced_generations()) <= 1, (
+        "auto-OPTIMIZE must keep manifest fan-in bounded"
+    )
+    assert any(
+        h.get("operation") == "OPTIMIZE" for h in s.history()
+    ), "the policy must actually have fired"
+
+
 def test_stream_merge_expectations_quarantine(spark, fx, tmp_path):
     """DLT-expectations in the ingest loop: a CHECK constraint on the
     silver table routes violating rows to the table-local quarantine
