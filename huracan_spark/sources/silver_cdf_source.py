@@ -165,9 +165,24 @@ class _SilverCdfStreamReader(DataSourceStreamReader):
         s, e = start["generation"], end["generation"]
         if not e or s == e:
             return []
+        if e not in gens:
+            raise ValueError(
+                f"end generation {e!r} is not on disk — the table was "
+                "vacuumed or corrupted past this stream's offset"
+            )
         hi = gens.index(e)
         parts = []
         if s:
+            if s not in gens:
+                # resuming from beyond the vacuum horizon must fail
+                # LOUDLY: silently skipping to the oldest surviving
+                # generation would drop committed changes
+                raise ValueError(
+                    f"start generation {s!r} was vacuumed — this "
+                    "stream's offset predates the table's retention "
+                    "window; rebuild the consumer from a fresh "
+                    "'earliest' snapshot"
+                )
             lo = gens.index(s)
         else:
             # initial snapshot: every bucket of the oldest generation

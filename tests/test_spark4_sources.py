@@ -494,3 +494,35 @@ def test_cdf_stream_reconstructs_state_through_dml_optimize_restore(
         r._id: (r.version_, r.deleted, r.grp, r.val) for r in t.read().collect()
     }
     assert state == want
+
+
+def test_cdf_stream_fails_loudly_past_vacuum_horizon(spark, tmp_path):
+    """A CDF consumer whose committed offset predates the vacuum
+    retention window must FAIL, not silently skip the reclaimed
+    commits."""
+    import time as _time
+
+    from huracan_spark.pipeline.silver import SilverTable
+    from huracan_spark.sources.silver_cdf_source import _SilverCdfStreamReader
+
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    rows = lambda data: spark.createDataFrame(
+        data, "_id string, version_ long, deleted boolean"
+    )
+    for v in range(1, 6):
+        t.merge(rows([("a", v, False)]))
+        _time.sleep(0.002)
+    gone = t.generations()[0]
+    t.compact()
+    _time.sleep(0.002)
+    removed = t.vacuum(keep=1)
+    assert gone in removed
+
+    reader = _SilverCdfStreamReader({"path": t.path}, ["_id"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vacuumed"):
+        reader.partitions(
+            {"generation": gone},
+            {"generation": t.current_generation()},
+        )
