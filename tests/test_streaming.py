@@ -832,6 +832,11 @@ def _pt_content(spark):
           (0, 1, False, 0), (0, 3, False, 0)],
     version_aware=True,
 )
+@example(
+    # everything DLQs: state stays EMPTY on both paths (read() is None)
+    rows=[(0, 3, False, 0)],
+    version_aware=False,
+)
 def test_streaming_tombstone_cascade_property(spark, tmp_path_factory, rows, version_aware):
     """PROPERTY: for ANY interleaving of versioned changes — duplicate
     versions, same-version delete/live flips split across micro-batches,
@@ -847,9 +852,15 @@ def test_streaming_tombstone_cascade_property(spark, tmp_path_factory, rows, ver
     ]
     all_changes = _pt_changes(spark, stamped)
 
+    def _state(table):
+        # an all-DLQ'd change set commits nothing: read() is None and
+        # the state is empty on both paths
+        df = table.read()
+        return sorted(map(tuple, df.collect())) if df is not None else []
+
     golden = SilverTable(spark, str(base / "golden"), n_buckets=4)
     run_backfill(spark, all_changes, content, golden)
-    want = sorted(map(tuple, golden.read().collect()))
+    want = _state(golden)
 
     feed = str(base / "feed")
     os.makedirs(feed)
@@ -872,7 +883,7 @@ def test_streaming_tombstone_cascade_property(spark, tmp_path_factory, rows, ver
         spark, changes_file_stream(spark, feed, 1), content, streamed, cfg
     )
     _await(q)
-    got = sorted(map(tuple, streamed.read().collect()))
+    got = _state(streamed)
     assert got == want, (rows, version_aware)
 
 
