@@ -63,6 +63,7 @@ def _load_all_modules() -> None:
         dedup,
         extended,
         graph,
+        insights,
         linalg,
         llmprep,
         lmdata,
