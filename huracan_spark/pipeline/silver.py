@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from huracan_spark.operators.compaction import merge_into
-from huracan_spark.pipeline import skipping
+from huracan_spark.pipeline import bloom, skipping
 
 __all__ = ["SilverTable", "MergeMetrics", "CommitConflict", "ConstraintViolation"]
 
@@ -385,26 +385,37 @@ class SilverTable:
         aggregate stats can't match is skipped whole; a surviving
         bucket with per-file stats keeps only the FILES that might
         match (post-``cluster_by`` OPTIMIZE, files hold disjoint
-        ranges, so this is where most of the pruning lands)."""
+        ranges, so this is where most of the pruning lands).  Files
+        also drop when a bloom index proves an ``=``/``in`` value
+        absent (``add_bloom_index`` — the point-lookup granularity
+        min/max stats can't reach)."""
         gen = generation or self.current_generation()
         if gen is None:
             return [], []
         manifest = self.manifest(gen)
         stats = self.bucket_stats(gen)
         fstats = self.file_stats(gen)
+        blooms = self.file_blooms(gen)
         kept, skipped = [], []
         for b, rel in sorted(manifest.items()):
             if not skipping.bucket_might_match(stats.get(b), filters):
                 skipped.append(b)
                 continue
             per_file = fstats.get(b)
+            bmap = blooms.get(b, {})
             if not per_file:
-                kept.append(rel)
-                continue
+                # no per-file stats: the bloom map (complete when
+                # present — all-null files carry zero bitmaps) is the
+                # file list; without either, read the bucket whole
+                if not bmap:
+                    kept.append(rel)
+                    continue
+                per_file = {fn: {} for fn in bmap}
             live = [
                 os.path.join(rel, fn)
                 for fn, fs in sorted(per_file.items())
                 if skipping.bucket_might_match(fs, filters)
+                and bloom.file_might_contain(bmap.get(fn), filters)
             ]
             if live:
                 kept.extend(live)
@@ -467,6 +478,107 @@ class SilverTable:
         if gen is None:
             return {}
         return self._manifest_raw(gen).get("fstats", {})
+
+    # -- bloom filter indexes (Delta bloom index analog) ------------------
+
+    def _bloom_config_path(self) -> str:
+        return os.path.join(self.path, "bloom.json")
+
+    def bloom_indexes(self) -> dict[str, dict]:
+        """Configured bloom columns: {col: {"m": bits, "k": probes}}."""
+        try:
+            with open(self._bloom_config_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def add_bloom_index(
+        self,
+        col: str,
+        bits: int = bloom.DEFAULT_BITS,
+        k: int = bloom.DEFAULT_K,
+        rebuild: bool = True,
+    ) -> None:
+        """Register a per-file bloom index on ``col`` (point-lookup
+        skipping for high-cardinality non-bucket columns — min/max
+        stats can't prune those).  Future commits harvest bitmaps for
+        the files they write; ``rebuild=True`` (default) also indexes
+        the CURRENT data now, via one distributed pass + a
+        metadata-only commit (Delta backfills new bloom indexes the
+        same way)."""
+        if bits % 8 or bits <= 0 or k <= 0:
+            raise ValueError("bits must be a positive multiple of 8, k > 0")
+        cfg = self.bloom_indexes()
+        cfg[col] = {"m": bits, "k": k}
+        with open(self._bloom_config_path(), "w") as f:
+            json.dump(cfg, f)
+        if rebuild and self.current_generation() is not None:
+            self._commit_bloom_rebuild()
+
+    def drop_bloom_index(self, col: str) -> None:
+        """Stop indexing ``col`` on future commits.  Already-committed
+        bitmaps keep pruning (they are self-describing) until the
+        files they cover are rewritten."""
+        cfg = self.bloom_indexes()
+        cfg.pop(col, None)
+        with open(self._bloom_config_path(), "w") as f:
+            json.dump(cfg, f)
+
+    def file_blooms(self, generation: str | None = None) -> dict[str, dict]:
+        """Per-bucket {filename: {col: bitmap}} committed with the
+        generation (empty before any bloom index exists)."""
+        gen = generation or self.current_generation()
+        if gen is None:
+            return {}
+        return self._manifest_raw(gen).get("blooms", {})
+
+    def _harvest_blooms(self, rel_dirs) -> dict[str, dict]:
+        """One Spark job over the given bucket data dirs computing the
+        configured per-file bitmaps — O(listed data), run at commit
+        over just-written files only (the same order as the merge
+        itself).  No-op (and no job) without configured indexes."""
+        cfg = self.bloom_indexes()
+        if not cfg or not rel_dirs:
+            return {}
+        paths = [os.path.join(self.path, r) for r in sorted(set(rel_dirs))]
+        df = (
+            self.spark.read.parquet(*paths)
+            .withColumn("_path", F.input_file_name())
+            .withColumn(
+                "_bucket_id", F.regexp_extract("_path", r"_bucket=(\d+)", 1)
+            )
+            .withColumn("_file", F.element_at(F.split("_path", "/"), -1))
+        )
+        return bloom.harvest_blooms(df, cfg)
+
+    def _commit_bloom_rebuild(self, max_attempts: int = 6) -> str:
+        """Index the whole current state: harvest bitmaps for every
+        referenced file and commit a metadata-only generation carrying
+        them (data is referenced, not rewritten)."""
+        import shutil
+
+        for _ in range(max_attempts):
+            current_gen = self.current_generation()
+            raw = self._manifest_raw(current_gen)
+            blooms = self._harvest_blooms(list(raw["buckets"].values()))
+            gen, out = self._claim_generation()
+            mf = {
+                k: v
+                for k, v in raw.items()
+                if k in ("buckets", "n_buckets", "schema", "stats", "fstats")
+            }
+            mf["blooms"] = blooms
+            mf["commit"] = {
+                "operation": "BLOOM INDEX",
+                "ts_ms": int(time.time() * 1000),
+                "columns": sorted(self.bloom_indexes()),
+            }
+            with open(os.path.join(out, "manifest.json"), "w") as f:
+                json.dump(mf, f)
+            if self._try_commit(current_gen, gen):
+                return gen
+            shutil.rmtree(out, ignore_errors=True)
+        raise CommitConflict("bloom rebuild lost the commit race")
 
     # -- CHECK constraints (Delta invariants / DLT expectations) ---------
 
@@ -609,7 +721,7 @@ class SilverTable:
                     "restored": generation,
                 },
             }
-            for carried in ("schema", "stats", "fstats"):
+            for carried in ("schema", "stats", "fstats", "blooms"):
                 if carried in target:
                     mf[carried] = target[carried]
             with open(os.path.join(out, "manifest.json"), "w") as f:
@@ -833,7 +945,7 @@ class SilverTable:
             },
         }
         src_raw = self._manifest_raw(gen)
-        for carried in ("schema", "stats", "fstats"):
+        for carried in ("schema", "stats", "fstats", "blooms"):
             if carried in src_raw:
                 clone_mf[carried] = src_raw[carried]
         with open(os.path.join(dest_path, gen, "manifest.json"), "w") as f:
@@ -916,6 +1028,9 @@ class SilverTable:
                             "schema": self._schema_json(state),
                             "stats": bstats,
                             "fstats": fstats,
+                            "blooms": self._harvest_blooms(
+                                list(buckets.values())
+                            ),
                             "commit": {
                                 "operation": "OPTIMIZE",
                                 "ts_ms": int(time.time() * 1000),
@@ -1127,6 +1242,11 @@ class SilverTable:
         new_bstats, new_fstats = self._harvest_stats(out)
         stats.update(new_bstats)
         fstats.update(new_fstats)
+        # bloom bitmaps follow the same O(touched) maintenance: carried
+        # for untouched buckets, re-harvested for rewritten ones
+        prev_blooms = prev_raw.get("blooms", {})
+        blooms = {b: prev_blooms[b] for b in untouched if b in prev_blooms}
+        blooms.update(self._harvest_blooms(list(written.values())))
         with open(os.path.join(out, "manifest.json"), "w") as f:
             json.dump(
                 {
@@ -1135,6 +1255,7 @@ class SilverTable:
                     "schema": self._schema_json(merged),
                     "stats": stats,
                     "fstats": fstats,
+                    "blooms": blooms,
                     "commit": {
                         "operation": "MERGE",
                         "ts_ms": int(time.time() * 1000),
