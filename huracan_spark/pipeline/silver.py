@@ -36,7 +36,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from huracan_spark.operators.compaction import merge_into
+from huracan_spark.operators.compaction import latest_state, merge_into
 from huracan_spark.pipeline import bloom, skipping
 
 __all__ = ["SilverTable", "MergeMetrics", "CommitConflict", "ConstraintViolation"]
@@ -209,7 +209,7 @@ class SilverTable:
         manifest = self.manifest(gen)
         n_files = 0
         n_bytes = 0
-        for rel in set(manifest.values()):
+        for rel in set(self._all_rels(gen)):
             d = os.path.join(self.path, rel)
             for fn in os.listdir(d):
                 p = os.path.join(d, fn)
@@ -229,6 +229,7 @@ class SilverTable:
             "stats_buckets": len(self.bucket_stats(gen)),
             "file_stats_buckets": len(self.file_stats(gen)),
             "constraints": sorted(self.constraints()),
+            "mor_buckets": len(self.deltas(gen)),
         }
 
     def changed_buckets(self, gen_old: str, gen_new: str) -> list[str]:
@@ -241,8 +242,11 @@ class SilverTable:
         read.  This is the Delta/Iceberg change-data-feed file-skipping
         trick expressed over plain parquet manifests."""
         mo, mn = self.manifest(gen_old), self.manifest(gen_new)
+        do, dn = self.deltas(gen_old), self.deltas(gen_new)
         return sorted(
-            b for b in set(mo) | set(mn) if mo.get(b) != mn.get(b)
+            b
+            for b in set(mo) | set(mn) | set(do) | set(dn)
+            if mo.get(b) != mn.get(b) or do.get(b) != dn.get(b)
         )
 
     def diff(self, gen_old: str, gen_new: str) -> DataFrame | None:
@@ -260,25 +264,20 @@ class SilverTable:
         changed = self.changed_buckets(gen_old, gen_new)
         if not changed:
             return None
-        mo, mn = self.manifest(gen_old), self.manifest(gen_new)
-        so, sn = self.table_schema(gen_old), self.table_schema(gen_new)
-        old_rel = [mo[b] for b in changed if b in mo]
-        new_rel = [mn[b] for b in changed if b in mn]
         cols = ["_id", "version_", "deleted"]
-        empty = None
-        if old_rel:
-            old = self._read_buckets(old_rel, schema=so).select(*cols)
-        else:
-            empty = self._read_buckets(new_rel, schema=sn).select(*cols).limit(0)
-            old = empty
+        old_df = self._bucket_state(gen_old, changed)
+        new_df = self._bucket_state(gen_new, changed)
+        if old_df is None and new_df is None:
+            return None
+        old = (
+            old_df.select(*cols)
+            if old_df is not None
+            else new_df.select(*cols).limit(0)
+        )
         new = (
-            self._read_buckets(new_rel, schema=sn).select(*cols)
-            if new_rel
-            else (
-                empty
-                if empty is not None
-                else self._read_buckets(old_rel, schema=so).select(*cols).limit(0)
-            )
+            new_df.select(*cols)
+            if new_df is not None
+            else old_df.select(*cols).limit(0)
         )
         o = old.select(
             F.col("_id"),
@@ -393,6 +392,7 @@ class SilverTable:
         if gen is None:
             return [], []
         manifest = self.manifest(gen)
+        deltas = self.deltas(gen)
         stats = self.bucket_stats(gen)
         fstats = self.file_stats(gen)
         blooms = self.file_blooms(gen)
@@ -400,6 +400,15 @@ class SilverTable:
         for b, rel in sorted(manifest.items()):
             if not skipping.bucket_might_match(stats.get(b), filters):
                 skipped.append(b)
+                continue
+            if b in deltas:
+                # merge-on-read bucket: pruning individual FILES could
+                # drop the latest version of a key while a stale
+                # version survives in another layer (resurrection) —
+                # only the whole-bucket stats test above is sound.
+                # Bucket stats cover base+deltas (merged at commit).
+                kept.append(rel)
+                kept.extend(deltas[b])
                 continue
             per_file = fstats.get(b)
             bmap = blooms.get(b, {})
@@ -433,17 +442,57 @@ class SilverTable:
         gen = generation or self.current_generation()
         if gen is None:
             return None
-        kept, _ = self.prune_plan(filters, gen)
+        deltas = self.deltas(gen)
         schema = self.table_schema(gen)
+        pred = skipping.filters_to_column(filters)
+        if deltas:
+            # merge-on-read: the predicate applies AFTER reconciliation
+            # (a stale version may match while the latest doesn't).
+            # Copy-on-write buckets keep full file-level pruning;
+            # delta'd buckets prune whole-bucket only (see prune_plan)
+            # and reduce before the filter — sound, because
+            # reconciliation selects stored rows, never synthesizes.
+            manifest = self.manifest(gen)
+            stats = self.bucket_stats(gen)
+            kept, _ = self.prune_plan(filters, gen)
+            mor_rels = {
+                r
+                for b in deltas
+                for r in ([manifest[b]] if b in manifest else []) + deltas[b]
+            }
+            cow_paths = [p for p in kept if p not in mor_rels]
+            mor_survivors = [
+                b
+                for b in sorted(deltas)
+                if b in manifest and manifest[b] in kept
+            ]
+            parts = []
+            if cow_paths:
+                parts.append(
+                    self._read_buckets(cow_paths, schema=schema).filter(pred)
+                )
+            if mor_survivors:
+                parts.append(
+                    self._bucket_state(
+                        gen, mor_survivors, schema=schema
+                    ).filter(pred)
+                )
+            if not parts:
+                if schema is None:
+                    return self.read(gen).filter(pred)
+                return self.spark.createDataFrame([], schema)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+        kept, _ = self.prune_plan(filters, gen)
         if not kept:
             if schema is None:
                 # pre-schema manifest with everything pruned cannot
                 # happen (no stats -> nothing prunes); guard anyway
-                return self.read(gen).filter(skipping.filters_to_column(filters))
+                return self.read(gen).filter(pred)
             return self.spark.createDataFrame([], schema)
-        return self._read_buckets(kept, schema=schema).filter(
-            skipping.filters_to_column(filters)
-        )
+        return self._read_buckets(kept, schema=schema).filter(pred)
 
     @staticmethod
     def _harvest_stats(out_dir: str) -> tuple[dict[str, dict], dict[str, dict]]:
@@ -676,13 +725,96 @@ class SilverTable:
 
     # -- reads ----------------------------------------------------------
 
+    def deltas(self, generation: str | None = None) -> dict[str, list[str]]:
+        """Per-bucket merge-on-read delta dirs, in commit order
+        (``{bucket: [rel, ...]}``; empty for pure copy-on-write
+        state).  A bucket with deltas reconciles at read time via the
+        documented total order; ``compact()`` (or a copy-on-write
+        merge touching the bucket) absorbs them."""
+        gen = generation or self.current_generation()
+        if gen is None:
+            return {}
+        return self._manifest_raw(gen).get("deltas", {})
+
+    def _all_rels(self, generation: str) -> list[str]:
+        """Every data dir the generation references: bucket bases plus
+        merge-on-read deltas (the reference set vacuum/clone must honor)."""
+        raw = self._manifest_raw(generation)
+        rels = list(raw.get("buckets", {}).values())
+        for ds in raw.get("deltas", {}).values():
+            rels.extend(ds)
+        return rels
+
+    def _reconcile_frames(self, frames) -> DataFrame:
+        """Fold base + delta layers into current state with EXACTLY the
+        merge_into total order: highest ``(version_, tombstone-prec)``
+        wins; at a full tie the EARLIEST commit wins (base beats delta
+        1 beats delta 2 — the multi-layer generalization of
+        merge_into's stored-side precedence, so merge-on-read and
+        copy-on-write converge bit-identically).  ``frames`` is a list
+        of ``(df, commit_seq)``."""
+        unioned = None
+        for df, seq in frames:
+            t = df.withColumn("_seq", F.lit(seq))
+            unioned = t if unioned is None else unioned.unionByName(t)
+        cols = [c for c in unioned.columns if c != "_seq"]
+        order = ["version_"]
+        if "deleted" in unioned.columns:
+            unioned = unioned.withColumn(
+                "_del_prec", F.coalesce(F.col("deleted").cast("int"), F.lit(0))
+            )
+            order.append("_del_prec")
+        unioned = unioned.withColumn("_neg_seq", -F.col("_seq"))
+        order.append("_neg_seq")
+        out = latest_state(unioned, "_id", order)
+        return out.select(*cols)
+
+    def _bucket_state(
+        self, generation: str, bucket_ids=None, schema=None
+    ) -> DataFrame | None:
+        """Current-state rows of the selected buckets (default: all),
+        with merge-on-read deltas reconciled.  Copy-on-write buckets
+        read straight through (no extra shuffle); only delta'd buckets
+        pay the reconciliation reduce."""
+        manifest = self.manifest(generation)
+        deltas = self.deltas(generation)
+        schema = schema or self.table_schema(generation)
+        if bucket_ids is None:
+            ids = sorted(set(manifest) | set(deltas))
+        else:
+            ids = [str(b) for b in bucket_ids]
+        cow = [
+            manifest[b] for b in ids if b in manifest and b not in deltas
+        ]
+        mor = [b for b in ids if b in deltas]
+        parts = []
+        if cow:
+            parts.append(self._read_buckets(cow, schema=schema))
+        if mor:
+            frames = []
+            base = [manifest[b] for b in mor if b in manifest]
+            if base:
+                frames.append((self._read_buckets(base, schema=schema), 0))
+            depth = max(len(deltas[b]) for b in mor)
+            for i in range(depth):
+                layer = [deltas[b][i] for b in mor if len(deltas[b]) > i]
+                if layer:
+                    frames.append(
+                        (self._read_buckets(layer, schema=schema), i + 1)
+                    )
+            parts.append(self._reconcile_frames(frames))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read(self, generation: str | None = None) -> DataFrame | None:
         gen = generation or self.current_generation()
         if gen is None:
             return None
-        return self._read_buckets(
-            self.manifest(gen).values(), schema=self.table_schema(gen)
-        )
+        return self._bucket_state(gen)
 
     def read_as_of(self, ts_ms: int) -> DataFrame | None:
         """Timestamp time travel (``AS OF TIMESTAMP``): read the newest
@@ -721,7 +853,7 @@ class SilverTable:
                     "restored": generation,
                 },
             }
-            for carried in ("schema", "stats", "fstats", "blooms"):
+            for carried in ("schema", "stats", "fstats", "blooms", "deltas"):
                 if carried in target:
                     mf[carried] = target[carried]
             with open(os.path.join(out, "manifest.json"), "w") as f:
@@ -775,12 +907,12 @@ class SilverTable:
             .first()
             .b
         )
-        rel = self.manifest(gen).get(str(bucket))
-        if rel is None:
+        if str(bucket) not in self.manifest(gen) and str(bucket) not in self.deltas(gen):
             return None
-        return self._read_buckets(
-            [rel], schema=self.table_schema(gen)
-        ).filter(F.col("_id") == _id)
+        state = self._bucket_state(gen, [bucket])
+        if state is None:
+            return None
+        return state.filter(F.col("_id") == _id)
 
     def _bucket_col_for(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
@@ -842,9 +974,7 @@ class SilverTable:
         gen = generation or self.current_generation()
         if gen is None:
             return set()
-        return {
-            rel.split(os.sep, 1)[0] for rel in self.manifest(gen).values()
-        }
+        return {rel.split(os.sep, 1)[0] for rel in self._all_rels(gen)}
 
     def maybe_optimize(
         self, max_refs: int, vacuum_keep: int = 3
@@ -883,12 +1013,12 @@ class SilverTable:
         while work:
             g = work.pop()
             try:
-                refs = self.manifest(g)
+                rels = self._all_rels(g)
             except FileNotFoundError:
                 # an in-flight generation claimed by a concurrent writer
                 # has no manifest yet — keep it, reference nothing
                 continue
-            for rel in refs.values():
+            for rel in rels:
                 ref_gen = rel.split(os.sep, 1)[0]
                 if ref_gen not in kept:
                     kept.add(ref_gen)
@@ -918,8 +1048,9 @@ class SilverTable:
         if gen is None:
             raise ValueError("cannot clone an empty silver table")
         manifest = self.manifest(gen)
+        all_rels = self._all_rels(gen)
         os.makedirs(os.path.join(dest_path, gen), exist_ok=True)
-        for rel in set(manifest.values()):
+        for rel in set(all_rels):
             src_dir = os.path.join(self.path, rel)
             dst_dir = os.path.join(dest_path, rel)
             os.makedirs(dst_dir, exist_ok=True)
@@ -945,12 +1076,12 @@ class SilverTable:
             },
         }
         src_raw = self._manifest_raw(gen)
-        for carried in ("schema", "stats", "fstats", "blooms"):
+        for carried in ("schema", "stats", "fstats", "blooms", "deltas"):
             if carried in src_raw:
                 clone_mf[carried] = src_raw[carried]
         with open(os.path.join(dest_path, gen, "manifest.json"), "w") as f:
             json.dump(clone_mf, f)
-        for rel in set(manifest.values()):
+        for rel in set(all_rels):
             ref_gen = rel.split(os.sep, 1)[0]
             dst_mf = os.path.join(dest_path, ref_gen, "manifest.json")
             src_mf = os.path.join(self.path, ref_gen, "manifest.json")
@@ -1100,6 +1231,7 @@ class SilverTable:
         collect_metrics: bool = False,
         max_commit_attempts: int = 6,
         on_violation: str = "fail",
+        write_mode: str = "cow",
     ) -> MergeMetrics | None:
         """Versioned MERGE of a batch of silver-shaped rows (K1/K2).
 
@@ -1123,7 +1255,25 @@ class SilverTable:
         (raise ConstraintViolation — Delta CHECK behavior), "drop"
         (merge only passing rows), or "quarantine" (drop + append the
         violations and their violated-constraint names to the
-        table-local quarantine, readable via ``read_quarantine``)."""
+        table-local quarantine, readable via ``read_quarantine``).
+
+        ``write_mode`` picks the physical strategy (Hudi/Iceberg
+        table-type parity):
+
+        - ``"cow"`` (copy-on-write, default): read + rewrite the
+          touched buckets — reads stay reconciliation-free.  A COW
+          merge also ABSORBS any merge-on-read deltas its touched
+          buckets carry.
+        - ``"mor"`` (merge-on-read): never read stored state — the
+          pre-reduced batch lands as a per-bucket DELTA layer and
+          readers reconcile with the same total order.  Write IO is
+          O(batch) instead of O(touched buckets): the
+          high-frequency-small-batch streaming regime where COW write
+          amplification dominates.  Reads of delta'd buckets pay one
+          extra reduce until ``compact()`` (or a COW merge) absorbs
+          the layers; ``maybe_optimize`` bounds the depth."""
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"unknown write_mode {write_mode!r}")
         batch, quarantined = self._enforce_constraints(batch, on_violation)
         if quarantined is not None:
             quarantined.write.mode("append").parquet(
@@ -1132,13 +1282,15 @@ class SilverTable:
         batch = batch.withColumn("_bucket", self._bucket_col()).persist()
         try:
             for _ in range(max(max_commit_attempts - 1, 0)):
-                done, metrics = self._merge_attempt(batch, collect_metrics)
+                done, metrics = self._merge_attempt(
+                    batch, collect_metrics, write_mode=write_mode
+                )
                 if done:
                     return metrics
             lock = self._acquire_commit_lock(timeout=300.0)
             try:
                 done, metrics = self._merge_attempt(
-                    batch, collect_metrics, locked=True
+                    batch, collect_metrics, locked=True, write_mode=write_mode
                 )
             finally:
                 os.unlink(lock)
@@ -1151,7 +1303,11 @@ class SilverTable:
             batch.unpersist()
 
     def _merge_attempt(
-        self, batch: DataFrame, collect_metrics: bool, locked: bool = False
+        self,
+        batch: DataFrame,
+        collect_metrics: bool,
+        locked: bool = False,
+        write_mode: str = "cow",
     ) -> tuple[bool, MergeMetrics | None]:
         import shutil
 
@@ -1170,45 +1326,68 @@ class SilverTable:
                 else None
             )
             return True, metrics
-        touched_rel = [
-            prev_manifest[str(b)] for b in touched if str(b) in prev_manifest
+        prev_raw = self._manifest_raw(current_gen) if current_gen else {}
+        prev_deltas = prev_raw.get("deltas", {})
+        touched_set = {str(b) for b in touched}
+        existing_touched = [
+            b
+            for b in touched
+            if str(b) in prev_manifest or str(b) in prev_deltas
         ]
-        metrics = None
-        if touched_rel:
-            state = self._read_buckets(
-                touched_rel, schema=self.table_schema(current_gen)
+        if write_mode == "mor":
+            # merge-on-read: never read stored state — pre-reduce the
+            # batch (same in-batch total order as merge_into) and land
+            # it as a delta layer; reads reconcile
+            merged = merge_into(
+                batch.limit(0), batch, key="_id", version="version_"
+            )
+            state = None
+        elif existing_touched:
+            # copy-on-write: reconciled state read absorbs any deltas
+            # the touched buckets carry
+            state = self._bucket_state(
+                current_gen, existing_touched
             ).withColumn("_bucket", self._bucket_col())
             state, batch = self._align_schemas(state, batch)
             merged = merge_into(state, batch, key="_id", version="version_")
-            if collect_metrics:
-                old = state.select("_id", F.col("version_").alias("_old_v"))
-                bat = batch.groupBy("_id").agg(F.max("version_").alias("_new_v"))
-                counts = (
-                    bat.join(old, "_id", "left")
-                    .agg(
-                        F.sum(
-                            F.when(F.col("_old_v").isNull(), 1).otherwise(0)
-                        ).alias("ins"),
-                        F.sum(
-                            F.when(F.col("_new_v") > F.col("_old_v"), 1).otherwise(0)
-                        ).alias("mod"),
-                        F.sum(
-                            F.when(F.col("_new_v") <= F.col("_old_v"), 1).otherwise(0)
-                        ).alias("unch"),
-                    )
-                    .first()
-                )
-                metrics = MergeMetrics(
-                    inserted=counts.ins or 0,
-                    modified=counts.mod or 0,
-                    unchanged=counts.unch or 0,
-                )
         else:
-            merged = merge_into(batch.limit(0), batch, key="_id", version="version_")
-            if collect_metrics:
-                metrics = MergeMetrics(
-                    inserted=merged.count(), modified=0, unchanged=0
+            state = None
+            merged = merge_into(
+                batch.limit(0), batch, key="_id", version="version_"
+            )
+        metrics = None
+        if collect_metrics:
+            if state is not None:
+                old = state.select("_id", F.col("version_").alias("_old_v"))
+            elif existing_touched:
+                old = self._bucket_state(
+                    current_gen, existing_touched
+                ).select("_id", F.col("version_").alias("_old_v"))
+            else:
+                old = batch.select(
+                    "_id", F.col("version_").alias("_old_v")
+                ).limit(0)
+            bat = batch.groupBy("_id").agg(F.max("version_").alias("_new_v"))
+            counts = (
+                bat.join(old, "_id", "left")
+                .agg(
+                    F.sum(
+                        F.when(F.col("_old_v").isNull(), 1).otherwise(0)
+                    ).alias("ins"),
+                    F.sum(
+                        F.when(F.col("_new_v") > F.col("_old_v"), 1).otherwise(0)
+                    ).alias("mod"),
+                    F.sum(
+                        F.when(F.col("_new_v") <= F.col("_old_v"), 1).otherwise(0)
+                    ).alias("unch"),
                 )
+                .first()
+            )
+            metrics = MergeMetrics(
+                inserted=counts.ins or 0,
+                modified=counts.mod or 0,
+                unchanged=counts.unch or 0,
+            )
 
         gen, out = self._claim_generation()
         # one shuffle on the bucket id clusters the write so partitionBy
@@ -1225,41 +1404,93 @@ class SilverTable:
             for d in os.listdir(out)
             if d.startswith("_bucket=")
         }
-        buckets = {
-            b: rel for b, rel in prev_manifest.items() if int(b) not in set(touched)
-        }
-        buckets.update(written)
+        if write_mode == "mor":
+            # bases stay put; each written dir stacks as the bucket's
+            # next delta layer (or becomes the base of a fresh bucket)
+            buckets = dict(prev_manifest)
+            deltas = {b: list(ds) for b, ds in prev_deltas.items()}
+            for b, rel in written.items():
+                if b in buckets:
+                    deltas.setdefault(b, []).append(rel)
+                else:
+                    buckets[b] = rel
+        else:
+            buckets = {
+                b: rel
+                for b, rel in prev_manifest.items()
+                if b not in touched_set
+            }
+            buckets.update(written)
+            # the rewrite absorbed any deltas the touched buckets had
+            deltas = {
+                b: list(ds)
+                for b, ds in prev_deltas.items()
+                if b not in touched_set
+            }
         # stats maintenance is O(touched), like the merge: rewritten
         # buckets harvest fresh footer stats, untouched buckets carry
         # their previous entry (same bytes -> same stats)
-        prev_raw = self._manifest_raw(current_gen) if current_gen else {}
         prev_stats = prev_raw.get("stats", {})
         prev_fstats = prev_raw.get("fstats", {})
-        touched_set = {str(b) for b in touched}
-        untouched = [b for b in buckets if b not in touched_set]
+        prev_blooms = prev_raw.get("blooms", {})
+        untouched = [
+            b for b in set(buckets) | set(deltas) if b not in touched_set
+        ]
         stats = {b: prev_stats[b] for b in untouched if b in prev_stats}
         fstats = {b: prev_fstats[b] for b in untouched if b in prev_fstats}
-        new_bstats, new_fstats = self._harvest_stats(out)
-        stats.update(new_bstats)
-        fstats.update(new_fstats)
-        # bloom bitmaps follow the same O(touched) maintenance: carried
-        # for untouched buckets, re-harvested for rewritten ones
-        prev_blooms = prev_raw.get("blooms", {})
         blooms = {b: prev_blooms[b] for b in untouched if b in prev_blooms}
-        blooms.update(self._harvest_blooms(list(written.values())))
+        new_bstats, new_fstats = self._harvest_stats(out)
+        if write_mode == "mor":
+            bloom_rels = []
+            for b, rel in written.items():
+                if b in deltas and deltas[b] and deltas[b][-1] == rel:
+                    # delta layer: bucket stats widen conservatively
+                    # over base+deltas; per-file stats/blooms drop —
+                    # file-level pruning is unsound in a reconciled
+                    # bucket (a pruned stale file can resurrect)
+                    m = skipping.merge_persisted(
+                        prev_stats.get(b), new_bstats.get(b)
+                    )
+                    if m is not None:
+                        stats[b] = m
+                else:
+                    if b in new_bstats:
+                        stats[b] = new_bstats[b]
+                    if b in new_fstats:
+                        fstats[b] = new_fstats[b]
+                    bloom_rels.append(rel)
+            blooms.update(self._harvest_blooms(bloom_rels))
+        else:
+            stats.update(new_bstats)
+            fstats.update(new_fstats)
+            # bloom bitmaps follow the same O(touched) maintenance
+            blooms.update(self._harvest_blooms(list(written.values())))
+        if write_mode == "mor":
+            schema_df = merged
+            prev_schema = (
+                self.table_schema(current_gen) if current_gen else None
+            )
+            if prev_schema is not None:
+                # committed schema must stay a superset of every layer
+                empty = self.spark.createDataFrame([], prev_schema)
+                _, schema_df = self._align_schemas(empty, merged)
+        else:
+            schema_df = merged
         with open(os.path.join(out, "manifest.json"), "w") as f:
             json.dump(
                 {
                     "buckets": buckets,
                     "n_buckets": self.n_buckets,
-                    "schema": self._schema_json(merged),
+                    "schema": self._schema_json(schema_df),
                     "stats": stats,
                     "fstats": fstats,
                     "blooms": blooms,
+                    "deltas": deltas,
                     "commit": {
                         "operation": "MERGE",
                         "ts_ms": int(time.time() * 1000),
                         "touched_buckets": len(touched),
+                        "mode": write_mode,
                     },
                 },
                 f,

@@ -35,6 +35,7 @@ __all__ = [
     "collect_dir_stats",
     "collect_file_stats",
     "merge_stats",
+    "merge_persisted",
     "bucket_might_match",
     "filters_to_column",
 ]
@@ -191,6 +192,19 @@ def merge_stats(a: dict[str, dict], b: dict[str, dict]) -> dict[str, dict]:
             "n_rows": ea["n_rows"] + eb["n_rows"],
         }
     return out
+
+
+def merge_persisted(
+    a: dict[str, dict] | None, b: dict[str, dict] | None
+) -> dict[str, dict] | None:
+    """Merge two PERSISTED (stripped) stat maps — e.g. a bucket's
+    carried stats with a merge-on-read delta's fresh stats.  None if
+    either side is missing (no stats -> never prune, conservative)."""
+    if a is None or b is None:
+        return None
+    ia = {c: {**e, "ok": True} for c, e in a.items()}
+    ib = {c: {**e, "ok": True} for c, e in b.items()}
+    return _strip(merge_stats(ia, ib))
 
 
 def bucket_might_match(stats: dict[str, dict] | None, filters) -> bool:

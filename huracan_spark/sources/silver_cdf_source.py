@@ -88,9 +88,13 @@ def _gens(path: str) -> list[str]:
     )
 
 
-def _manifest_buckets(path: str, gen: str) -> dict[str, str]:
+def _manifest_refs(path: str, gen: str) -> tuple[dict, dict]:
+    """(bucket -> base rel, bucket -> [delta rels]) for one commit —
+    merge-on-read generations carry per-bucket delta layers that must
+    reconcile before the diff."""
     with open(os.path.join(path, gen, "manifest.json")) as f:
-        return json.load(f)["buckets"]
+        raw = json.load(f)
+    return raw["buckets"], raw.get("deltas", {})
 
 
 def _current(path: str) -> str | None:
@@ -102,11 +106,13 @@ def _current(path: str) -> str | None:
 
 
 class _CdfPartition(InputPartition):
-    def __init__(self, table_path, gen, old_rel, new_rel, columns, preimages):
+    def __init__(self, table_path, gen, old_refs, new_refs, columns, preimages):
         self.table_path = table_path
         self.gen = gen  # the generation whose commit produced the change
-        self.old_rel = old_rel  # bucket data dir before (None = new bucket)
-        self.new_rel = new_rel  # bucket data dir after (None = impossible drop)
+        # each side is (base rel | None, [delta rels]) — None base with
+        # no deltas = the bucket does not exist on that side
+        self.old_refs = old_refs
+        self.new_refs = new_refs
         self.columns = columns  # table column names, schema order
         self.preimages = preimages
 
@@ -130,6 +136,26 @@ def _load_bucket(table_path: str, rel: str | None, columns) -> dict:
         for r in t.to_pylist():
             out[r["_id"]] = {c: r.get(c) for c in columns}
     return out
+
+
+def _order_key(row) -> tuple[int, int]:
+    return (row["version_"], 1 if row.get("deleted") else 0)
+
+
+def _load_state(table_path: str, refs, columns) -> dict:
+    """Reconciled {_id: row} for one bucket side: base layer, then each
+    merge-on-read delta layer folded with the merge_into total order —
+    a later layer's row wins only on a STRICTLY higher
+    (version, tombstone) key, so the earliest commit wins full ties,
+    exactly like SilverTable._reconcile_frames."""
+    base_rel, delta_rels = refs
+    state = _load_bucket(table_path, base_rel, columns)
+    for rel in delta_rels:
+        for _id, row in _load_bucket(table_path, rel, columns).items():
+            cur = state.get(_id)
+            if cur is None or _order_key(row) > _order_key(cur):
+                state[_id] = row
+    return state
 
 
 class _SilverCdfStreamReader(DataSourceStreamReader):
@@ -190,23 +216,29 @@ class _SilverCdfStreamReader(DataSourceStreamReader):
             # deletes, for tombstones already present)
             lo = 0
             first = gens[0]
-            for b, rel in sorted(_manifest_buckets(self.path, first).items()):
+            mb, md = _manifest_refs(self.path, first)
+            for b in sorted(set(mb) | set(md)):
                 parts.append(
                     _CdfPartition(
-                        self.path, first, None, rel, self.columns, self.preimages
+                        self.path,
+                        first,
+                        (None, []),
+                        (mb.get(b), md.get(b, [])),
+                        self.columns,
+                        self.preimages,
                     )
                 )
         for prev, cur in zip(gens[lo:hi], gens[lo + 1 : hi + 1]):
-            mo = _manifest_buckets(self.path, prev)
-            mn = _manifest_buckets(self.path, cur)
-            for b in sorted(set(mo) | set(mn)):
-                if mo.get(b) != mn.get(b):
+            mo, do = _manifest_refs(self.path, prev)
+            mn, dn = _manifest_refs(self.path, cur)
+            for b in sorted(set(mo) | set(mn) | set(do) | set(dn)):
+                if mo.get(b) != mn.get(b) or do.get(b) != dn.get(b):
                     parts.append(
                         _CdfPartition(
                             self.path,
                             cur,
-                            mo.get(b),
-                            mn.get(b),
+                            (mo.get(b), do.get(b, [])),
+                            (mn.get(b), dn.get(b, [])),
                             self.columns,
                             self.preimages,
                         )
@@ -215,8 +247,8 @@ class _SilverCdfStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _CdfPartition):
         cols = partition.columns
-        old = _load_bucket(partition.table_path, partition.old_rel, cols)
-        new = _load_bucket(partition.table_path, partition.new_rel, cols)
+        old = _load_state(partition.table_path, partition.old_refs, cols)
+        new = _load_state(partition.table_path, partition.new_refs, cols)
         for _id in sorted(set(old) | set(new)):
             o, n = old.get(_id), new.get(_id)
             # same changed-row predicate and classification as

@@ -133,6 +133,12 @@ class StreamConfig:
     # fan-in and disk growth on a continuous stream).  None = never.
     # Caveat: vacuum trims time-travel depth to vacuum's keep window.
     auto_compact_refs: int | None = None
+    # physical MERGE strategy per micro-batch: "cow" rewrites touched
+    # buckets (reads stay reconciliation-free); "mor" appends the
+    # batch as per-bucket delta layers — O(batch) write IO, the right
+    # trade for high-frequency small batches.  Pair "mor" with
+    # auto_compact_refs so reconciliation depth stays bounded.
+    merge_write_mode: str = "cow"
 
 
 def changes_file_stream(
@@ -203,6 +209,7 @@ def run_stream(
             silver.merge(
                 build_silver_batch(res.enriched),
                 on_violation=cfg.merge_on_violation,
+                write_mode=cfg.merge_write_mode,
             )
             if cfg.view_dir:
                 _maintain_view(silver, gen_before, cfg)

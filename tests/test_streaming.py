@@ -115,6 +115,41 @@ def test_stream_auto_compacts_when_manifest_fragments(spark, tmp_path):
     ), "the policy must actually have fired"
 
 
+def test_stream_merge_on_read_converges_to_batch_golden(spark, tmp_path):
+    """merge_write_mode="mor": each micro-batch lands as per-bucket
+    delta layers (O(batch) write IO — the high-frequency-small-batch
+    regime), reads reconcile, and the final state still equals the
+    batch golden.  With auto_compact_refs the layers get absorbed."""
+    content = _pt_content(spark)
+    specs = [(0, 1, False, 0), (1, 1, False, 1), (2, 1, False, 2),
+             (0, 2, False, 3), (1, 2, True, 4)]
+    stamped = [(_PT_KEYS[k], v, dead, 2000 + i) for i, (k, v, dead, _) in enumerate(specs)]
+    all_changes = _pt_changes(spark, stamped)
+    golden = SilverTable(spark, str(tmp_path / "golden"), n_buckets=4)
+    run_backfill(spark, all_changes, content, golden)
+    expected = sorted(map(tuple, golden.read().collect()))
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    for row in stamped:
+        _pt_changes(spark, [row]).coalesce(1).write.mode("append").parquet(feed)
+
+    s = SilverTable(spark, str(tmp_path / "stream"), n_buckets=4)
+    cfg = StreamConfig(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        merge_write_mode="mor",
+    )
+    q = run_stream(
+        spark, changes_file_stream(spark, feed, 1), content, s, cfg
+    )
+    _await(q)
+    assert sorted(map(tuple, s.read().collect())) == expected
+    assert s.deltas(), "narrow MOR batches must have stacked delta layers"
+    s.compact()
+    assert s.deltas() == {}
+    assert sorted(map(tuple, s.read().collect())) == expected
+
+
 def test_stream_merge_expectations_quarantine(spark, fx, tmp_path):
     """DLT-expectations in the ingest loop: a CHECK constraint on the
     silver table routes violating rows to the table-local quarantine
