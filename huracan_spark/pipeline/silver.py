@@ -1497,8 +1497,78 @@ class SilverTable:
             )
         if self._try_commit(current_gen, gen, locked=locked):
             return True, metrics
-        # lost the race: another writer advanced _CURRENT since we read
-        # it — roll back our orphan generation and re-merge on top of
-        # the winner's state
+        # lost the race — but if the winner(s) touched DISJOINT buckets,
+        # our merged data is still exactly right: splice our touched
+        # entries onto the winner's manifest and commit that (O(metadata)
+        # rebase — Delta's file-level conflict resolution) instead of
+        # re-running the whole merge job
+        if not locked and self._try_rebase_commit(
+            current_gen, gen, out, touched_set
+        ):
+            return True, metrics
+        # genuine conflict: roll back our orphan generation and re-merge
+        # on top of the winner's state
         shutil.rmtree(out, ignore_errors=True)
         return False, None
+
+    def _try_rebase_commit(
+        self,
+        read_gen: str | None,
+        gen: str,
+        out: str,
+        touched_set: set,
+        max_attempts: int = 4,
+    ) -> bool:
+        """Conflict resolution for a lost commit race: when every bucket
+        we touched is UNCHANGED between our read snapshot and the
+        current winner (bases, deltas, and schema all equal), our merge
+        result is still the correct post-image for those buckets — so
+        rebase: take the winner's manifest, overwrite our touched
+        buckets' entries (data refs + stats + blooms) with ours, and
+        CAS again.  Anything else (overlapping buckets, OPTIMIZE/
+        RESTORE in between, schema drift) returns False and the caller
+        falls back to a full re-merge."""
+        with open(os.path.join(out, "manifest.json")) as f:
+            ours = json.load(f)
+        snap = self._manifest_raw(read_gen) if read_gen else {}
+        for _ in range(max_attempts):
+            winner = self.current_generation()
+            if winner in (read_gen, gen) or winner is None:
+                return False
+            try:
+                wr = self._manifest_raw(winner)
+            except FileNotFoundError:
+                return False
+            if wr.get("schema") != snap.get("schema"):
+                return False  # concurrent schema change: re-merge
+            wb, wd = wr.get("buckets", {}), wr.get("deltas", {})
+            sb, sd = snap.get("buckets", {}), snap.get("deltas", {})
+            if any(
+                wb.get(b) != sb.get(b) or wd.get(b) != sd.get(b)
+                for b in touched_set
+            ):
+                return False  # true overlap: winner moved our buckets
+            rebased = {
+                "buckets": dict(wb),
+                "deltas": dict(wd),
+                "n_buckets": self.n_buckets,
+                "schema": ours.get("schema", wr.get("schema")),
+                "stats": dict(wr.get("stats", {})),
+                "fstats": dict(wr.get("fstats", {})),
+                "blooms": dict(wr.get("blooms", {})),
+                "commit": {
+                    **ours.get("commit", {}),
+                    "rebased_on": winner,
+                },
+            }
+            for b in touched_set:
+                for key in ("buckets", "deltas", "stats", "fstats", "blooms"):
+                    if b in ours.get(key, {}):
+                        rebased[key][b] = ours[key][b]
+                    else:
+                        rebased[key].pop(b, None)
+            with open(os.path.join(out, "manifest.json"), "w") as f:
+                json.dump(rebased, f)
+            if self._try_commit(winner, gen):
+                return True
+        return False

@@ -261,3 +261,131 @@ def test_cow_and_mor_converge_bit_identically(
             rows, write_mode="mor" if modes[i % len(modes)] else "cow"
         )
     assert _state(cow) == _state(mor)
+
+
+# -- disjoint-bucket conflict resolution (rebase fast path) --------------
+
+
+def _bucket_of(spark, key: str, n: int) -> int:
+    return (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(key)), F.lit(n)).cast("int").alias("b"))
+        .first()
+        .b
+    )
+
+
+def _two_keys_in_distinct_buckets(spark, n=2):
+    a = "k0"
+    ba = _bucket_of(spark, a, n)
+    for i in range(1, 64):
+        b = f"k{i}"
+        if _bucket_of(spark, b, n) != ba:
+            return a, b
+    raise AssertionError("no second bucket found")
+
+
+def test_disjoint_conflict_rebases_without_remerging(spark, tmp_path):
+    """A loser of the commit race whose touched buckets are untouched
+    by the winner SPLICES its entries onto the winner's manifest —
+    one _merge_attempt, no second Spark job — and neither update is
+    lost (Delta's disjoint-file conflict resolution)."""
+    path = str(tmp_path / "t")
+    t = SilverTable(spark, path, n_buckets=2)
+    ka, kb = _two_keys_in_distinct_buckets(spark)
+    t.merge(_rows(spark, [(ka, 1, False, 1), (kb, 1, False, 2)]))
+
+    other = SilverTable(spark, path, n_buckets=2)
+    real = t._try_commit
+    fired = {"n": 0}
+
+    def racy(expected, new_gen, locked=False):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # a concurrent writer on a DIFFERENT bucket wins first
+            other.merge(_rows(spark, [(kb, 2, False, 20)]))
+        return real(expected, new_gen, locked=locked)
+
+    attempts = {"n": 0}
+    orig_attempt = t._merge_attempt
+
+    def counting(*a, **k):
+        attempts["n"] += 1
+        return orig_attempt(*a, **k)
+
+    t._try_commit = racy
+    t._merge_attempt = counting
+    t.merge(_rows(spark, [(ka, 2, False, 10)]))
+    assert attempts["n"] == 1, "disjoint loss must rebase, not re-merge"
+    got = {r._id: (r.version_, r.val) for r in t.read().collect()}
+    assert got[ka] == (2, 10) and got[kb] == (2, 20)
+    raw = t._manifest_raw(t.current_generation())
+    assert "rebased_on" in raw["commit"]
+
+
+def test_overlapping_conflict_falls_back_to_remerge(spark, tmp_path):
+    """When the winner touched the SAME bucket, the rebase is refused
+    and the loser re-merges against the winner's state — last version
+    still wins, nothing is lost."""
+    path = str(tmp_path / "t")
+    t = SilverTable(spark, path, n_buckets=2)
+    ka, _ = _two_keys_in_distinct_buckets(spark)
+    t.merge(_rows(spark, [(ka, 1, False, 1)]))
+
+    other = SilverTable(spark, path, n_buckets=2)
+    real = t._try_commit
+    fired = {"n": 0}
+
+    def racy(expected, new_gen, locked=False):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            other.merge(_rows(spark, [(ka, 2, False, 20)]))  # SAME bucket
+        return real(expected, new_gen, locked=locked)
+
+    attempts = {"n": 0}
+    orig_attempt = t._merge_attempt
+
+    def counting(*a, **k):
+        attempts["n"] += 1
+        return orig_attempt(*a, **k)
+
+    t._try_commit = racy
+    t._merge_attempt = counting
+    t.merge(_rows(spark, [(ka, 3, False, 30)]))
+    assert attempts["n"] >= 2, "overlap must force a genuine re-merge"
+    got = {r._id: (r.version_, r.val) for r in t.read().collect()}
+    assert got[ka] == (3, 30)
+    assert "rebased_on" not in t._manifest_raw(t.current_generation()).get(
+        "commit", {}
+    )
+
+
+def test_rebase_preserves_winner_blooms_and_stats(spark, tmp_path):
+    """The spliced manifest keeps the winner's stats/bloom entries for
+    its buckets and ours for ours — pruning stays exact afterwards."""
+    path = str(tmp_path / "t")
+    t = SilverTable(spark, path, n_buckets=2)
+    t.add_bloom_index("val")
+    ka, kb = _two_keys_in_distinct_buckets(spark)
+    t.merge(_rows(spark, [(ka, 1, False, 1), (kb, 1, False, 2)]))
+
+    other = SilverTable(spark, path, n_buckets=2)
+    real = t._try_commit
+    fired = {"n": 0}
+
+    def racy(expected, new_gen, locked=False):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            other.merge(_rows(spark, [(kb, 2, False, 222)]))
+        return real(expected, new_gen, locked=locked)
+
+    t._try_commit = racy
+    t.merge(_rows(spark, [(ka, 2, False, 111)]))
+    raw = t._manifest_raw(t.current_generation())
+    assert "rebased_on" in raw["commit"]
+    # both sides' new values are findable through the bloom-pruned read
+    hit = {r._id for r in t.read_where([("val", "=", 111)]).collect()}
+    assert hit == {ka}
+    hit2 = {r._id for r in t.read_where([("val", "=", 222)]).collect()}
+    assert hit2 == {kb}
+    assert set(raw["stats"]) == {"0", "1"}
