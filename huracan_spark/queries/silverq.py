@@ -138,3 +138,100 @@ def q_silver_cdf_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     _SF_MATERIALIZED[key] = out
     return out
+
+
+_MOR_ORACLE = """
+WITH raw AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS _id,
+         event_id % 7 AS version_,
+         (event_id % 11 = 0) AS deleted,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS grp,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE round(value, 6) END AS v,
+         event_id % 3 AS batch,
+         event_id
+  FROM events
+),
+prereduced AS (
+  SELECT _id, version_, deleted, grp, v, batch FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY _id, batch, version_ ORDER BY event_id DESC
+    ) AS rn FROM raw
+  ) WHERE rn = 1
+),
+final AS (
+  SELECT _id, version_, deleted, grp, v FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY _id
+      ORDER BY version_ DESC, CAST(deleted AS INT) DESC, batch ASC
+    ) AS rn2 FROM prereduced
+  ) WHERE rn2 = 1
+)
+SELECT grp, CAST(count(*) AS BIGINT) AS n_live,
+       CAST(max(version_) AS BIGINT) AS max_version,
+       round(sum(v), 4) AS sum_value
+FROM final WHERE NOT deleted GROUP BY grp
+"""
+
+
+@register(
+    "silver_mor_state",
+    _MOR_ORACLE,
+    doc="merge-on-read driven on disk (COW seed + two MOR delta "
+    "commits) then read back through layer reconciliation, vs a "
+    "declarative final-state recompute with the same total order "
+    "(version, tombstone-prec, earliest-commit-wins) — proves the "
+    "delta-layer read path reproduces the batch state exactly",
+)
+def q_silver_mor_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "mor")
+    cached = _SF_MATERIALIZED.get(key)
+    if cached is not None:
+        return cached
+
+    from huracan_spark.pipeline.silver import SilverTable
+
+    dead = F.col("event_id") % 11 == 0
+    raw = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("_id"),
+        (F.col("event_id") % 7).alias("version_"),
+        dead.alias("deleted"),
+        F.when(dead, F.lit(None)).otherwise(F.col("event_type")).alias("grp"),
+        F.when(dead, F.lit(None)).otherwise(F.round("value", 6)).alias("v"),
+        (F.col("event_id") % 3).alias("batch"),
+        F.col("event_id"),
+    )
+    pre = (
+        raw.groupBy("_id", "batch", "version_")
+        .agg(
+            F.max_by(
+                F.struct("deleted", "grp", "v"), F.col("event_id")
+            ).alias("_w")
+        )
+        .select(
+            "_id",
+            "batch",
+            "version_",
+            F.col("_w.deleted").alias("deleted"),
+            F.col("_w.grp").alias("grp"),
+            F.col("_w.v").alias("v"),
+        )
+    )
+    silver = SilverTable(
+        spark, tempfile.mkdtemp(prefix="hs_silver_mor_"), n_buckets=8
+    )
+    for i, mode in enumerate(("cow", "mor", "mor")):
+        silver.merge(
+            pre.filter(F.col("batch") == i).drop("batch"), write_mode=mode
+        )
+    live = silver.read().filter(~F.col("deleted"))
+    out = (
+        live.groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_live"),
+            F.max("version_").cast("long").alias("max_version"),
+            F.round(F.sum("v"), 4).alias("sum_value"),
+        )
+        .localCheckpoint()
+    )
+    _SF_MATERIALIZED[key] = out
+    return out
