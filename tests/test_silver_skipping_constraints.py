@@ -309,13 +309,20 @@ _sk_filters = st.lists(
 )
 
 
-@given(rows=_sk_rows, filters=_sk_filters, clustered=st.booleans())
+@given(
+    rows=_sk_rows,
+    filters=_sk_filters,
+    clustered=st.booleans(),
+    second_mor=st.booleans(),
+    bloomed=st.booleans(),
+)
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 def test_read_where_equals_full_scan_property(
-    spark, tmp_path_factory, rows, filters, clustered
+    spark, tmp_path_factory, rows, filters, clustered, second_mor, bloomed
 ):
     """PROPERTY: for ANY table content (null columns, tombstones,
-    multi-batch merges, optionally a clustered OPTIMIZE) and ANY
+    multi-batch merges — the second optionally merge-on-read — with or
+    without bloom indexes, optionally a clustered OPTIMIZE) and ANY
     conjunction of supported predicates, the stats-pruned read returns
     EXACTLY the rows of the full-scan filter — pruning may only remove
     provably-dead IO, never rows."""
@@ -323,6 +330,9 @@ def test_read_where_equals_full_scan_property(
 
     base = tmp_path_factory.mktemp("skprop")
     t = SilverTable(spark, str(base / "s"), n_buckets=4)
+    if bloomed:
+        t.add_bloom_index("type_", rebuild=False)
+        t.add_bloom_index("_id", rebuild=False)
     batches = [
         [
             (f"k{k:02d}", v, dead, f"t{ty}", val)
@@ -331,10 +341,11 @@ def test_read_where_equals_full_scan_property(
         ]
         for bi in (False, True)
     ]
-    for b in batches:
+    for bi, b in enumerate(batches):
         if b:
             t.merge(
-                spark.createDataFrame(b, SCHEMA)
+                spark.createDataFrame(b, SCHEMA),
+                write_mode="mor" if (second_mor and bi == 1) else "cow",
             )
             time.sleep(0.002)
     if t.current_generation() is None:
@@ -345,7 +356,7 @@ def test_read_where_equals_full_scan_property(
     want = sorted(
         map(tuple, t.read().filter(filters_to_column(filters)).collect())
     )
-    assert got == want, (rows, filters, clustered)
+    assert got == want, (rows, filters, clustered, second_mor, bloomed)
 
 
 # -- change feed over a commit range -----------------------------------
