@@ -929,10 +929,13 @@ class SilverTable:
     # a selective DELETE reads the few files its predicate can match,
     # and the merge rewrites only the touched buckets.
 
-    def delete_where(self, filters) -> int:
+    def delete_where(self, filters, write_mode: str = "cow") -> int:
         """DELETE FROM ... WHERE (conjunctive ``(col, op, value)``
         filters): tombstone every live matching key at version+1.
-        Returns the number of deleted keys."""
+        Returns the number of deleted keys.  ``write_mode="mor"``
+        lands the tombstones as delta layers (O(deleted keys) write IO
+        — Delta deletion-vector economics) instead of rewriting the
+        touched buckets."""
         matching = self.read_where(filters)
         if matching is None:
             return 0
@@ -944,13 +947,17 @@ class SilverTable:
         )
         n = tomb.count()
         if n:
-            self.merge(tomb)
+            self.merge(tomb, write_mode=write_mode)
         return n
 
-    def update_where(self, filters, assignments: dict[str, str]) -> int:
+    def update_where(
+        self, filters, assignments: dict[str, str], write_mode: str = "cow"
+    ) -> int:
         """UPDATE ... SET ... WHERE: rewrite every live matching row
         with ``assignments`` (column -> SQL expression over the row)
-        applied, at version+1.  Returns the number of updated keys."""
+        applied, at version+1.  Returns the number of updated keys.
+        ``write_mode="mor"`` appends the rewritten rows as delta
+        layers instead of rewriting the touched buckets."""
         matching = self.read_where(filters)
         if matching is None:
             return 0
@@ -964,7 +971,7 @@ class SilverTable:
         ).localCheckpoint(eager=True)
         n = upd.count()
         if n:
-            self.merge(upd)
+            self.merge(upd, write_mode=write_mode)
         return n
 
     def referenced_generations(self, generation: str | None = None) -> set[str]:

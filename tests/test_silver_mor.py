@@ -389,3 +389,28 @@ def test_rebase_preserves_winner_blooms_and_stats(spark, tmp_path):
     hit2 = {r._id for r in t.read_where([("val", "=", 222)]).collect()}
     assert hit2 == {kb}
     assert set(raw["stats"]) == {"0", "1"}
+
+
+def test_dml_in_mor_mode_appends_tombstone_deltas(spark, tmp_path):
+    """delete_where(write_mode="mor"): the tombstones land as delta
+    layers — bases untouched (deletion-vector write economics) — and
+    the deleted keys are gone from every read path until compact."""
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=4)
+    t.merge(_rows(spark, [(f"k{i}", 1, False, i) for i in range(12)]))
+    bases = dict(t.manifest(t.current_generation()))
+    n = t.delete_where([("val", "<", 3)], write_mode="mor")
+    assert n == 3
+    assert dict(t.manifest(t.current_generation())) == bases
+    assert t.deltas(), "tombstones must have stacked as deltas"
+    live = {r._id for r in t.read().filter(~F.col("deleted")).collect()}
+    assert live == {f"k{i}" for i in range(3, 12)}
+    m = t.update_where(
+        [("val", "=", 5)], {"val": "val * 100"}, write_mode="mor"
+    )
+    assert m == 1
+    got = {r._id: r.val for r in t.read().filter(~F.col("deleted")).collect()}
+    assert got["k5"] == 500
+    t.compact()
+    assert t.deltas() == {}
+    got2 = {r._id: r.val for r in t.read().filter(~F.col("deleted")).collect()}
+    assert got2 == got
