@@ -609,12 +609,22 @@ class SilverTable:
         for _ in range(max_attempts):
             current_gen = self.current_generation()
             raw = self._manifest_raw(current_gen)
-            blooms = self._harvest_blooms(list(raw["buckets"].values()))
+            delta_buckets = set(raw.get("deltas", {}))
+            # delta'd buckets never file-prune (see prune_plan), so
+            # indexing only the copy-on-write buckets' files
+            blooms = self._harvest_blooms(
+                [
+                    rel
+                    for b, rel in raw["buckets"].items()
+                    if b not in delta_buckets
+                ]
+            )
             gen, out = self._claim_generation()
             mf = {
                 k: v
                 for k, v in raw.items()
-                if k in ("buckets", "n_buckets", "schema", "stats", "fstats")
+                if k
+                in ("buckets", "n_buckets", "schema", "stats", "fstats", "deltas")
             }
             mf["blooms"] = blooms
             mf["commit"] = {

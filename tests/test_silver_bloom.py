@@ -212,3 +212,24 @@ def test_bloom_soundness_property(spark, tmp_path_factory, owners, probe, data):
     want = _collected(t.read().filter(F.col("owner") == f"o-{probe}"))
     got = _collected(t.read_where([("owner", "=", f"o-{probe}")]))
     assert got == want
+
+
+def test_bloom_rebuild_on_mor_table_keeps_deltas(spark, tmp_path):
+    """add_bloom_index(rebuild=True) on a table with merge-on-read
+    layers must carry the deltas key through its metadata-only commit
+    (regression: dropping it made the delta layers invisible)."""
+    t = SilverTable(spark, str(tmp_path / "s"), n_buckets=2)
+    t.merge(_rows(spark, [("a", 1, False, "o-a", 1), ("b", 1, False, "o-b", 2)]))
+    t.merge(
+        _rows(spark, [("a", 2, False, "o-a2", 10)]), write_mode="mor"
+    )
+    before = sorted(
+        (r._id, r.version_, r.owner) for r in t.read().collect()
+    )
+    t.add_bloom_index("owner")  # rebuild commit on a MOR table
+    assert t.deltas(), "delta layers must survive the bloom rebuild"
+    after = sorted(
+        (r._id, r.version_, r.owner) for r in t.read().collect()
+    )
+    assert after == before
+    assert ("a", 2, "o-a2") in after
