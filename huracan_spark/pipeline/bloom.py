@@ -104,6 +104,12 @@ def harvest_blooms(
     null gets an all-zero bitmap (it really contains no value, so any
     lookup on it correctly prunes) — which lets ``prune_plan`` iterate
     a bucket's files off the bloom map alone.
+
+    Scale shape: the distinct (file, col, position) set is bounded by
+    |files| x |cols| x m (tiny next to the data), and the BITMAPS are
+    assembled executor-side (Arrow-batched ``applyInPandas`` over that
+    bounded set — a maintenance job, not a query path), so the driver
+    receives only |files| x |cols| hex strings, never raw positions.
     """
     active = {c: cfg for c, cfg in columns.items() if c in df.columns}
     if not active:
@@ -112,35 +118,60 @@ def harvest_blooms(
     for c, cfg in active.items():
         for pos in position_columns(c, cfg["m"], cfg["k"]):
             probes.append(F.struct(F.lit(c).alias("c"), pos.alias("p")))
-    agg = (
+    triples = (
         df.select(
             "_bucket_id",
             "_file",
             F.explode(F.array(*probes)).alias("probe"),
         )
-        .groupBy("_bucket_id", "_file")
-        .agg(
-            F.collect_set(
-                F.when(
-                    F.col("probe.p").isNotNull(),
-                    F.struct("probe.c", "probe.p"),
-                )
-            ).alias("bits")
+        .select(
+            "_bucket_id",
+            "_file",
+            F.col("probe.c").alias("c"),
+            F.col("probe.p").alias("p"),
         )
-        .collect()
+        .filter(F.col("p").isNotNull())
+        .distinct()
     )
+    params = {c: (cfg["m"], cfg["k"]) for c, cfg in active.items()}
+
+    def _assemble(pdf):
+        import pandas as pd
+
+        rows = []
+        b = pdf["_bucket_id"].iloc[0]
+        fn = pdf["_file"].iloc[0]
+        for c, sub in pdf.groupby("c"):
+            m = params[c][0]
+            bits = bytearray(m // 8)
+            for p in sub["p"]:
+                p = int(p)
+                bits[p >> 3] |= 1 << (p & 7)
+            rows.append((b, fn, c, bits.hex()))
+        return pd.DataFrame(
+            rows, columns=["_bucket_id", "_file", "c", "hex"]
+        )
+
+    assembled = triples.groupBy("_bucket_id", "_file").applyInPandas(
+        _assemble, schema="_bucket_id string, _file string, c string, hex string"
+    )
+    # one pass computes both: every (bucket, file) pair (completeness —
+    # all-null files must appear with zero bitmaps) and the bitmaps
+    files = df.select("_bucket_id", "_file").distinct().collect()
     out: dict[str, dict[str, dict]] = {}
-    for r in agg:
-        per_col: dict[str, set[int]] = {c: set() for c in active}
-        for hit in r.bits:
-            per_col[hit.c].add(hit.p)
+    zero = {
+        c: {"m": cfg["m"], "k": cfg["k"], "hex": "00" * (cfg["m"] // 8)}
+        for c, cfg in active.items()
+    }
+    for r in files:
         out.setdefault(r._bucket_id, {})[r._file] = {
-            c: {
-                "m": active[c]["m"],
-                "k": active[c]["k"],
-                "hex": _to_hex(ps, active[c]["m"]),
-            }
-            for c, ps in per_col.items()
+            c: dict(v) for c, v in zero.items()
+        }
+    for r in assembled.collect():
+        out[r._bucket_id][r._file][r.c] = {
+            "m": params[r.c][0],
+            "k": params[r.c][1],
+            "hex": r.hex,
         }
     return out
 
