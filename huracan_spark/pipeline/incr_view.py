@@ -72,15 +72,20 @@ def refresh_view(
         )
     cols = ["_id", group_col, value_col, "deleted"]
     changed = silver.changed_buckets(gen_old, gen_new)
-    mo, mn = silver.manifest(gen_old), silver.manifest(gen_new)
-    new_state = silver._read_buckets(
-        [mn[b] for b in changed if b in mn],
-        schema=silver.table_schema(gen_new),
-    ).select(*cols)
-    old_rel = [mo[b] for b in changed if b in mo]
+    # _bucket_state reconciles merge-on-read deltas and maps physical
+    # column names back to logical (column-mapping tables)
+    new_df = silver._bucket_state(gen_new, changed)
+    old_df = silver._bucket_state(gen_old, changed)
+    if new_df is None and old_df is None:
+        return view
+    new_state = (
+        new_df.select(*cols)
+        if new_df is not None
+        else old_df.select(*cols).limit(0)
+    )
     old_state = (
-        silver._read_buckets(old_rel, schema=silver.table_schema(gen_old)).select(*cols)
-        if old_rel
+        old_df.select(*cols)
+        if old_df is not None
         else new_state.limit(0)
     )
 

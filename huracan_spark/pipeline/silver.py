@@ -230,6 +230,7 @@ class SilverTable:
             "file_stats_buckets": len(self.file_stats(gen)),
             "constraints": sorted(self.constraints()),
             "mor_buckets": len(self.deltas(gen)),
+            "column_mapping": self.colmap(gen) is not None,
         }
 
     def changed_buckets(self, gen_old: str, gen_new: str) -> list[str]:
@@ -391,6 +392,11 @@ class SilverTable:
         gen = generation or self.current_generation()
         if gen is None:
             return [], []
+        cmap = self.colmap(gen)
+        if cmap:
+            # stats/bloom maps are keyed by PHYSICAL column names;
+            # filters arrive logical — translate before probing
+            filters = [(cmap.get(c, c), op, v) for (c, op, v) in filters]
         manifest = self.manifest(gen)
         deltas = self.deltas(gen)
         stats = self.bucket_stats(gen)
@@ -443,7 +449,9 @@ class SilverTable:
         if gen is None:
             return None
         deltas = self.deltas(gen)
+        cmap = self.colmap(gen)
         schema = self.table_schema(gen)
+        phys_schema = self._physical_schema(schema, cmap)
         pred = skipping.filters_to_column(filters)
         if deltas:
             # merge-on-read: the predicate applies AFTER reconciliation
@@ -469,7 +477,10 @@ class SilverTable:
             parts = []
             if cow_paths:
                 parts.append(
-                    self._read_buckets(cow_paths, schema=schema).filter(pred)
+                    self._to_logical(
+                        self._read_buckets(cow_paths, schema=phys_schema),
+                        cmap,
+                    ).filter(pred)
                 )
             if mor_survivors:
                 parts.append(
@@ -492,7 +503,9 @@ class SilverTable:
                 # happen (no stats -> nothing prunes); guard anyway
                 return self.read(gen).filter(pred)
             return self.spark.createDataFrame([], schema)
-        return self._read_buckets(kept, schema=schema).filter(pred)
+        return self._to_logical(
+            self._read_buckets(kept, schema=phys_schema), cmap
+        ).filter(pred)
 
     @staticmethod
     def _harvest_stats(out_dir: str) -> tuple[dict[str, dict], dict[str, dict]]:
@@ -558,18 +571,24 @@ class SilverTable:
         if bits % 8 or bits <= 0 or k <= 0:
             raise ValueError("bits must be a positive multiple of 8, k > 0")
         cfg = self.bloom_indexes()
-        cfg[col] = {"m": bits, "k": k}
+        # the config is keyed by PHYSICAL column name: bitmaps harvest
+        # from parquet files, whose names survive logical renames
+        cmap = self.colmap()
+        cfg[cmap.get(col, col) if cmap else col] = {"m": bits, "k": k}
         with open(self._bloom_config_path(), "w") as f:
             json.dump(cfg, f)
         if rebuild and self.current_generation() is not None:
             self._commit_bloom_rebuild()
 
-    def drop_bloom_index(self, col: str) -> None:
+    def drop_bloom_index(self, col: str | None, _physical: str | None = None) -> None:
         """Stop indexing ``col`` on future commits.  Already-committed
         bitmaps keep pruning (they are self-describing) until the
         files they cover are rewritten."""
+        if _physical is None:
+            cmap = self.colmap()
+            _physical = cmap.get(col, col) if cmap else col
         cfg = self.bloom_indexes()
-        cfg.pop(col, None)
+        cfg.pop(_physical, None)
         with open(self._bloom_config_path(), "w") as f:
             json.dump(cfg, f)
 
@@ -624,7 +643,10 @@ class SilverTable:
                 k: v
                 for k, v in raw.items()
                 if k
-                in ("buckets", "n_buckets", "schema", "stats", "fstats", "deltas")
+                in (
+                    "buckets", "n_buckets", "schema", "stats", "fstats",
+                    "deltas", "colmap", "retired",
+                )
             }
             mf["blooms"] = blooms
             mf["commit"] = {
@@ -788,7 +810,10 @@ class SilverTable:
         pay the reconciliation reduce."""
         manifest = self.manifest(generation)
         deltas = self.deltas(generation)
-        schema = schema or self.table_schema(generation)
+        cmap = self.colmap(generation)
+        schema = self._physical_schema(
+            schema or self.table_schema(generation), cmap
+        )
         if bucket_ids is None:
             ids = sorted(set(manifest) | set(deltas))
         else:
@@ -818,7 +843,7 @@ class SilverTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        return self._to_logical(out, cmap)
 
     def read(self, generation: str | None = None) -> DataFrame | None:
         gen = generation or self.current_generation()
@@ -863,7 +888,10 @@ class SilverTable:
                     "restored": generation,
                 },
             }
-            for carried in ("schema", "stats", "fstats", "blooms", "deltas"):
+            for carried in (
+                "schema", "stats", "fstats", "blooms", "deltas",
+                "colmap", "retired",
+            ):
                 if carried in target:
                     mf[carried] = target[carried]
             with open(os.path.join(out, "manifest.json"), "w") as f:
@@ -892,6 +920,197 @@ class SilverTable:
 
         return StructType.fromJson(json.loads(sj))
 
+    # -- column mapping (Delta columnMapping.mode=name parity) ----------
+    #
+    # A generation's manifest may carry ``colmap`` (logical column name
+    # -> physical parquet column name) plus ``retired`` (physical names
+    # no longer mapped, from DROP COLUMN).  Physical names are IMMUTABLE
+    # once assigned, so RENAME/DROP COLUMN are metadata-only commits —
+    # no data file ever rewrites — and a re-added logical name binds a
+    # FRESH physical column, so dropped values never resurface.  Tables
+    # that never rename/drop have no ``colmap`` (identity world, zero
+    # overhead).  The committed ``schema`` is always LOGICAL; reads
+    # derive the physical schema, read files under it, and alias back.
+
+    _PROTECTED_COLS = ("_id", "version_", "deleted")
+
+    def colmap(self, generation: str | None = None) -> dict[str, str] | None:
+        """logical -> physical column map of the generation, or None for
+        identity (no rename/drop ever committed)."""
+        gen = generation or self.current_generation()
+        if gen is None:
+            return None
+        return self._manifest_raw(gen).get("colmap")
+
+    def _physical_schema(self, logical_schema, cmap):
+        if not cmap or logical_schema is None:
+            return logical_schema
+        from pyspark.sql.types import StructField, StructType
+
+        return StructType(
+            [
+                StructField(cmap.get(f.name, f.name), f.dataType, f.nullable)
+                for f in logical_schema.fields
+            ]
+        )
+
+    @staticmethod
+    def _rename_cols(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+        for a, b in mapping.items():
+            if a != b and a in df.columns:
+                df = df.withColumnRenamed(a, b)
+        return df
+
+    def _to_logical(self, df: DataFrame, cmap) -> DataFrame:
+        return self._rename_cols(df, {p: l for l, p in cmap.items()}) if cmap else df
+
+    def _to_physical(self, df: DataFrame, cmap) -> DataFrame:
+        return self._rename_cols(df, dict(cmap)) if cmap else df
+
+    def _evolve_colmap(self, prev_raw: dict, merged_cols) -> tuple[dict | None, list]:
+        """Extend the previous generation's colmap with identity-free
+        physical names for columns schema evolution just added.  A
+        fresh physical name never collides with a live OR retired one,
+        so a re-added logical column cannot read dropped data."""
+        prev_cmap = prev_raw.get("colmap")
+        retired = list(prev_raw.get("retired", []))
+        if prev_cmap is None:
+            return None, retired
+        cmap = dict(prev_cmap)
+        used = set(cmap.values()) | set(retired) | set(self._PROTECTED_COLS)
+        for c in merged_cols:
+            if c in self._PROTECTED_COLS or c == "_bucket" or c in cmap:
+                continue
+            p, i = c, 2
+            while p in used:
+                p = f"{c}__{i}"
+                i += 1
+            cmap[c] = p
+            used.add(p)
+        return cmap, retired
+
+    def _check_refs_column(self, col: str) -> list[str]:
+        import re
+
+        pat = re.compile(rf"\b{re.escape(col)}\b")
+        return [n for n, expr in self.constraints().items() if pat.search(expr)]
+
+    def _alter_schema_commit(self, mutate, op: str, **commit_extra) -> str:
+        """Shared metadata-only ALTER TABLE commit: ``mutate(fields,
+        cmap, retired)`` edits the logical field list + mapping in
+        place; data/stats/bloom refs carry verbatim.  CAS-retried like
+        every writer."""
+        import shutil
+
+        for _ in range(6):
+            current_gen = self.current_generation()
+            if current_gen is None:
+                raise ValueError("cannot alter the schema of an empty table")
+            raw = self._manifest_raw(current_gen)
+            schema = self.table_schema(current_gen)
+            if schema is None:
+                raise ValueError(
+                    "pre-schema-manifest table: compact() once to commit a "
+                    "schema before altering columns"
+                )
+            cmap = raw.get("colmap")
+            if cmap is None:
+                # upgrade to mapping mode: identity for current columns
+                cmap = {
+                    f.name: f.name
+                    for f in schema.fields
+                    if f.name not in self._PROTECTED_COLS
+                }
+            else:
+                cmap = dict(cmap)
+            retired = list(raw.get("retired", []))
+            fields = list(schema.fields)
+            mutate(fields, cmap, retired)
+            from pyspark.sql.types import StructType
+
+            gen, out = self._claim_generation()
+            mf = {
+                k: v
+                for k, v in raw.items()
+                if k
+                in ("buckets", "n_buckets", "stats", "fstats", "blooms", "deltas")
+            }
+            mf["schema"] = json.dumps(StructType(fields).jsonValue())
+            mf["colmap"] = cmap
+            mf["retired"] = retired
+            mf["commit"] = {
+                "operation": op,
+                "ts_ms": int(time.time() * 1000),
+                **commit_extra,
+            }
+            with open(os.path.join(out, "manifest.json"), "w") as f:
+                json.dump(mf, f)
+            if self._try_commit(current_gen, gen):
+                return gen
+            shutil.rmtree(out, ignore_errors=True)
+        raise CommitConflict(f"{op} lost the commit race 6 times")
+
+    def rename_column(self, old: str, new: str) -> str:
+        """ALTER TABLE RENAME COLUMN — metadata-only (no data rewrite):
+        the logical name changes, the physical parquet name stays.
+        Older generations keep reading under their own names (time
+        travel is name-faithful).  Refused for protected columns and
+        columns referenced by a CHECK constraint."""
+        if old in self._PROTECTED_COLS or new in self._PROTECTED_COLS:
+            raise ValueError(f"cannot rename protected column {old!r}/{new!r}")
+        refs = self._check_refs_column(old)
+        if refs:
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraints {refs}; "
+                "drop them first"
+            )
+
+        def mutate(fields, cmap, retired):
+            names = [f.name for f in fields]
+            if old not in names:
+                raise ValueError(f"no such column {old!r}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            for i, f in enumerate(fields):
+                if f.name == old:
+                    from pyspark.sql.types import StructField
+
+                    fields[i] = StructField(new, f.dataType, f.nullable)
+            cmap[new] = cmap.pop(old)
+
+        return self._alter_schema_commit(
+            mutate, "RENAME COLUMN", old=old, new=new
+        )
+
+    def drop_column(self, col: str) -> str:
+        """ALTER TABLE DROP COLUMN — metadata-only: the physical column
+        is retired, never read again, and never reused for a future
+        column of the same logical name.  Refused for protected columns
+        and columns referenced by a CHECK constraint."""
+        if col in self._PROTECTED_COLS:
+            raise ValueError(f"cannot drop protected column {col!r}")
+        refs = self._check_refs_column(col)
+        if refs:
+            raise ValueError(
+                f"column {col!r} is referenced by CHECK constraints {refs}; "
+                "drop them first"
+            )
+
+        def mutate(fields, cmap, retired):
+            names = [f.name for f in fields]
+            if col not in names:
+                raise ValueError(f"no such column {col!r}")
+            fields[:] = [f for f in fields if f.name != col]
+            phys = cmap.pop(col)
+            retired.append(phys)
+            # stop bloom-indexing the retired physical column: future
+            # files won't carry it, so harvesting it would fail
+            cfg = self.bloom_indexes()
+            if phys in cfg:
+                self.drop_bloom_index(col=None, _physical=phys)
+
+        return self._alter_schema_commit(mutate, "DROP COLUMN", column=col)
+
     def _read_buckets(self, rel_paths, schema=None) -> DataFrame:
         paths = [os.path.join(self.path, p) for p in rel_paths]
         if not paths:
@@ -911,6 +1130,9 @@ class SilverTable:
         gen = generation or self.current_generation()
         if gen is None:
             return None
+        nb = self._manifest_raw(gen).get("n_buckets")
+        if nb:
+            self.n_buckets = nb  # honor a re-bucketed layout
         bucket = (
             self.spark.range(1)
             .select(self._bucket_col_for(F.lit(_id)).alias("b"))
@@ -1093,7 +1315,10 @@ class SilverTable:
             },
         }
         src_raw = self._manifest_raw(gen)
-        for carried in ("schema", "stats", "fstats", "blooms", "deltas"):
+        for carried in (
+            "schema", "stats", "fstats", "blooms", "deltas",
+            "colmap", "retired",
+        ):
             if carried in src_raw:
                 clone_mf[carried] = src_raw[carried]
         with open(os.path.join(dest_path, gen, "manifest.json"), "w") as f:
@@ -1115,6 +1340,7 @@ class SilverTable:
         self,
         max_records_per_file: int | None = None,
         cluster_by: list[str] | None = None,
+        n_buckets: int | None = None,
     ) -> str | None:
         """Rewrite the current state into one fully self-contained
         generation (every bucket materialized locally, no cross-
@@ -1136,12 +1362,20 @@ class SilverTable:
         true two-dimensional Morton clustering).
         Returns the new generation name (None on an empty table).
 
+        ``n_buckets`` re-buckets the table (the partition-evolution
+        analog): the rewrite is total anyway, so changing the hash
+        fan-out is free here — and the only place it is allowed, since
+        incremental merges must agree with the persisted count.  Every
+        handle adopts the persisted count before its next merge.
+
         Commits through the same optimistic CAS as ``merge``: a
         compaction racing a merge retries against the merged state
         instead of silently discarding the merge (Delta's OPTIMIZE
         conflict behavior)."""
         import shutil
 
+        if n_buckets is not None and n_buckets <= 0:
+            raise ValueError("n_buckets must be positive")
         for attempt in range(6):
             locked = attempt == 5  # final attempt: pessimistic
             lock = self._acquire_commit_lock(timeout=300.0) if locked else None
@@ -1149,6 +1383,14 @@ class SilverTable:
                 current_gen = self.current_generation()
                 if current_gen is None:
                     return None
+                if n_buckets is not None:
+                    self.n_buckets = n_buckets
+                else:
+                    persisted = self._persisted_n_buckets()
+                    if persisted is not None:
+                        self.n_buckets = persisted
+                cmap = self.colmap(current_gen)
+                prev_raw = self._manifest_raw(current_gen)
                 state = self.read().withColumn("_bucket", self._bucket_col())
                 gen, out = self._claim_generation()
                 clustered = state.repartition(self.n_buckets, "_bucket")
@@ -1156,7 +1398,9 @@ class SilverTable:
                     clustered = clustered.sortWithinPartitions(
                         "_bucket", *cluster_by
                     )
-                writer = clustered.write
+                # files store physical names (column mapping); the
+                # rename is a projection, so the cluster order holds
+                writer = self._to_physical(clustered, cmap).write
                 if max_records_per_file is not None:
                     writer = writer.option(
                         "maxRecordsPerFile", max_records_per_file
@@ -1168,25 +1412,25 @@ class SilverTable:
                     if d.startswith("_bucket=")
                 }
                 bstats, fstats = self._harvest_stats(out)
+                mf = {
+                    "buckets": buckets,
+                    "n_buckets": self.n_buckets,
+                    "schema": self._schema_json(state),
+                    "stats": bstats,
+                    "fstats": fstats,
+                    "blooms": self._harvest_blooms(list(buckets.values())),
+                    "commit": {
+                        "operation": "OPTIMIZE",
+                        "ts_ms": int(time.time() * 1000),
+                        "touched_buckets": len(buckets),
+                        "n_buckets": self.n_buckets,
+                    },
+                }
+                if cmap is not None:
+                    mf["colmap"] = cmap
+                    mf["retired"] = prev_raw.get("retired", [])
                 with open(os.path.join(out, "manifest.json"), "w") as f:
-                    json.dump(
-                        {
-                            "buckets": buckets,
-                            "n_buckets": self.n_buckets,
-                            "schema": self._schema_json(state),
-                            "stats": bstats,
-                            "fstats": fstats,
-                            "blooms": self._harvest_blooms(
-                                list(buckets.values())
-                            ),
-                            "commit": {
-                                "operation": "OPTIMIZE",
-                                "ts_ms": int(time.time() * 1000),
-                                "touched_buckets": len(buckets),
-                            },
-                        },
-                        f,
-                    )
+                    json.dump(mf, f)
                 if self._try_commit(current_gen, gen, locked=locked):
                     return gen
                 shutil.rmtree(out, ignore_errors=True)
@@ -1328,6 +1572,13 @@ class SilverTable:
     ) -> tuple[bool, MergeMetrics | None]:
         import shutil
 
+        persisted = self._persisted_n_buckets()
+        if persisted is not None and persisted != self.n_buckets:
+            # a re-bucketing compact() committed a different bucket
+            # count (possibly after this handle opened): adopt it and
+            # re-bucket the batch, or keys would land in wrong buckets
+            self.n_buckets = persisted
+            batch = batch.withColumn("_bucket", self._bucket_col())
         current_gen = self.current_generation()
         prev_manifest = self.manifest(current_gen) if current_gen else {}
 
@@ -1407,11 +1658,16 @@ class SilverTable:
             )
 
         gen, out = self._claim_generation()
+        cmap_new, retired = self._evolve_colmap(
+            prev_raw, [c for c in merged.columns if c != "_bucket"]
+        )
         # one shuffle on the bucket id clusters the write so partitionBy
         # emits a contiguous file group per bucket; untouched buckets
-        # never move
+        # never move.  Files store PHYSICAL column names (column
+        # mapping): a logical rename never has to rewrite them.
         (
-            merged.repartition(max(len(touched), 1), "_bucket")
+            self._to_physical(merged, cmap_new)
+            .repartition(max(len(touched), 1), "_bucket")
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(out)
@@ -1493,25 +1749,26 @@ class SilverTable:
                 _, schema_df = self._align_schemas(empty, merged)
         else:
             schema_df = merged
+        mf = {
+            "buckets": buckets,
+            "n_buckets": self.n_buckets,
+            "schema": self._schema_json(schema_df),
+            "stats": stats,
+            "fstats": fstats,
+            "blooms": blooms,
+            "deltas": deltas,
+            "commit": {
+                "operation": "MERGE",
+                "ts_ms": int(time.time() * 1000),
+                "touched_buckets": len(touched),
+                "mode": write_mode,
+            },
+        }
+        if cmap_new is not None:
+            mf["colmap"] = cmap_new
+            mf["retired"] = retired
         with open(os.path.join(out, "manifest.json"), "w") as f:
-            json.dump(
-                {
-                    "buckets": buckets,
-                    "n_buckets": self.n_buckets,
-                    "schema": self._schema_json(schema_df),
-                    "stats": stats,
-                    "fstats": fstats,
-                    "blooms": blooms,
-                    "deltas": deltas,
-                    "commit": {
-                        "operation": "MERGE",
-                        "ts_ms": int(time.time() * 1000),
-                        "touched_buckets": len(touched),
-                        "mode": write_mode,
-                    },
-                },
-                f,
-            )
+            json.dump(mf, f)
         if self._try_commit(current_gen, gen, locked=locked):
             return True, metrics
         # lost the race — but if the winner(s) touched DISJOINT buckets,
@@ -1558,6 +1815,12 @@ class SilverTable:
                 return False
             if wr.get("schema") != snap.get("schema"):
                 return False  # concurrent schema change: re-merge
+            if wr.get("colmap") != snap.get("colmap") or wr.get(
+                "n_buckets"
+            ) != snap.get("n_buckets"):
+                # concurrent rename/drop or re-bucketing: our written
+                # files don't match the winner's physical layout
+                return False
             wb, wd = wr.get("buckets", {}), wr.get("deltas", {})
             sb, sd = snap.get("buckets", {}), snap.get("deltas", {})
             if any(
@@ -1578,6 +1841,9 @@ class SilverTable:
                     "rebased_on": winner,
                 },
             }
+            for carried in ("colmap", "retired"):
+                if carried in wr:
+                    rebased[carried] = wr[carried]
             for b in touched_set:
                 for key in ("buckets", "deltas", "stats", "fstats", "blooms"):
                     if b in ours.get(key, {}):

@@ -235,3 +235,176 @@ def q_silver_mor_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _SF_MATERIALIZED[key] = out
     return out
+
+
+_EVOLUTION_ORACLE = """
+WITH raw AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS _id,
+         event_id % 7 AS version_,
+         (event_id % 11 = 0) AS deleted,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS seg,
+         CASE WHEN event_id % 11 = 0 THEN NULL
+              ELSE round(value, 6) END AS amount,
+         CASE WHEN event_id % 11 = 0 THEN NULL
+              ELSE event_id % 4 END AS aux2,
+         event_id % 3 AS batch,
+         event_id
+  FROM events
+),
+prereduced AS (
+  SELECT _id, version_, deleted, seg, amount, aux2, batch FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY _id, batch, version_ ORDER BY event_id DESC
+    ) AS rn FROM raw
+  ) WHERE rn = 1
+),
+state01 AS (
+  SELECT _id, version_, deleted, seg, amount FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY _id
+      ORDER BY version_ DESC, CAST(deleted AS INT) DESC, batch ASC
+    ) AS rn2 FROM prereduced WHERE batch < 2
+  ) WHERE rn2 = 1
+),
+after_delete AS (
+  SELECT _id,
+         CASE WHEN NOT deleted AND amount < 30.0
+              THEN version_ + 1 ELSE version_ END AS version_,
+         (deleted OR (NOT deleted AND amount < 30.0)) AS deleted,
+         seg, amount,
+         CAST(NULL AS BIGINT) AS aux, 0 AS side
+  FROM state01
+),
+b2 AS (
+  SELECT _id, version_, deleted, seg, amount, aux2 AS aux, 1 AS side
+  FROM prereduced WHERE batch = 2
+),
+final AS (
+  SELECT _id, version_, deleted, seg, amount, aux FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY _id
+      ORDER BY version_ DESC, CAST(deleted AS INT) DESC, side ASC
+    ) AS rn3 FROM (
+      SELECT * FROM after_delete UNION ALL SELECT * FROM b2
+    )
+  ) WHERE rn3 = 1
+)
+SELECT seg, CAST(count(*) AS BIGINT) AS n_live,
+       CAST(max(version_) AS BIGINT) AS max_version,
+       round(sum(amount), 4) AS sum_amount,
+       CAST(sum(aux) AS BIGINT) AS sum_aux
+FROM final WHERE NOT deleted GROUP BY seg
+"""
+
+
+@register(
+    "silver_evolution_state",
+    _EVOLUTION_ORACLE,
+    doc="schema + layout evolution driven on disk: merge -> RENAME "
+    "COLUMN x2 (metadata-only, column mapping) -> merge under the new "
+    "names -> DROP COLUMN -> DELETE WHERE -> re-bucketing OPTIMIZE "
+    "(4->16 buckets) -> merge re-adding the dropped logical name, then "
+    "read back, vs a declarative recompute.  Proves renamed columns "
+    "keep their data, dropped values never resurface (fresh physical "
+    "binding), DML composes with the mapped world, and the re-bucketed "
+    "layout reads identically",
+)
+def q_silver_evolution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "evolution")
+    cached = _SF_MATERIALIZED.get(key)
+    if cached is not None:
+        return cached
+
+    from huracan_spark.pipeline.silver import SilverTable
+
+    dead = F.col("event_id") % 11 == 0
+    raw = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("_id"),
+        (F.col("event_id") % 7).alias("version_"),
+        dead.alias("deleted"),
+        F.when(dead, F.lit(None)).otherwise(F.col("event_type")).alias("grp"),
+        F.when(dead, F.lit(None)).otherwise(F.round("value", 6)).alias("v"),
+        F.when(dead, F.lit(None).cast("long"))
+        .otherwise(F.col("event_id") % 5)
+        .alias("aux"),
+        F.when(dead, F.lit(None).cast("long"))
+        .otherwise(F.col("event_id") % 4)
+        .alias("aux2"),
+        (F.col("event_id") % 3).alias("batch"),
+        F.col("event_id"),
+    )
+    pre = (
+        raw.groupBy("_id", "batch", "version_")
+        .agg(
+            F.max_by(
+                F.struct("deleted", "grp", "v", "aux", "aux2"),
+                F.col("event_id"),
+            ).alias("_w")
+        )
+        .select(
+            "_id",
+            "batch",
+            "version_",
+            F.col("_w.deleted").alias("deleted"),
+            F.col("_w.grp").alias("grp"),
+            F.col("_w.v").alias("v"),
+            F.col("_w.aux").alias("aux"),
+            F.col("_w.aux2").alias("aux2"),
+        )
+        .persist()
+    )
+    silver = SilverTable(
+        spark, tempfile.mkdtemp(prefix="hs_silver_evo_"), n_buckets=4
+    )
+    # batch 0 under the ORIGINAL names, carrying the doomed aux column
+    silver.merge(
+        pre.filter(F.col("batch") == 0).select(
+            "_id", "version_", "deleted", "grp", "v", "aux"
+        )
+    )
+    # metadata-only renames: no data file rewrites
+    silver.rename_column("grp", "seg")
+    silver.rename_column("v", "amount")
+    # batch 1 arrives under the NEW logical names (physical stays put)
+    silver.merge(
+        pre.filter(F.col("batch") == 1).select(
+            "_id",
+            "version_",
+            "deleted",
+            F.col("grp").alias("seg"),
+            F.col("v").alias("amount"),
+            "aux",
+        )
+    )
+    # retire aux; its physical column must never be read again
+    silver.drop_column("aux")
+    # DML through the mapped world (stats-pruned scan on "amount")
+    silver.delete_where([("amount", "<", 30.0)])
+    # partition evolution: rewrite 4 -> 16 buckets
+    silver.compact(n_buckets=16)
+    # batch 2 re-adds the dropped logical name with NEW values: it must
+    # bind a FRESH physical column — old aux values never resurface
+    silver.merge(
+        pre.filter(F.col("batch") == 2).select(
+            "_id",
+            "version_",
+            "deleted",
+            F.col("grp").alias("seg"),
+            F.col("v").alias("amount"),
+            F.col("aux2").alias("aux"),
+        )
+    )
+    live = silver.read().filter(~F.col("deleted"))
+    out = (
+        live.groupBy("seg")
+        .agg(
+            F.count("*").cast("long").alias("n_live"),
+            F.max("version_").cast("long").alias("max_version"),
+            F.round(F.sum("amount"), 4).alias("sum_amount"),
+            F.sum("aux").cast("long").alias("sum_aux"),
+        )
+        .localCheckpoint()
+    )
+    pre.unpersist()
+    _SF_MATERIALIZED[key] = out
+    return out

@@ -105,25 +105,42 @@ def _current(path: str) -> str | None:
         return json.load(f)["generation"]
 
 
+def _colmap(path: str) -> dict | None:
+    """The CURRENT generation's logical->physical column map (column
+    mapping tables).  Physical names are immutable, so one map taken at
+    stream start decodes files from every generation."""
+    gen = _current(path)
+    if gen is None:
+        return None
+    with open(os.path.join(path, gen, "manifest.json")) as f:
+        return json.load(f).get("colmap")
+
+
 class _CdfPartition(InputPartition):
-    def __init__(self, table_path, gen, old_refs, new_refs, columns, preimages):
+    def __init__(
+        self, table_path, gen, old_refs, new_refs, columns, preimages,
+        colmap=None,
+    ):
         self.table_path = table_path
         self.gen = gen  # the generation whose commit produced the change
         # each side is (base rel | None, [delta rels]) — None base with
         # no deltas = the bucket does not exist on that side
         self.old_refs = old_refs
         self.new_refs = new_refs
-        self.columns = columns  # table column names, schema order
+        self.columns = columns  # LOGICAL table column names, schema order
         self.preimages = preimages
+        self.colmap = colmap  # logical -> physical (column mapping)
 
 
-def _load_bucket(table_path: str, rel: str | None, columns) -> dict:
-    """{_id: {col: value}} for one bucket data dir.  Columns absent
-    from a file (pre-evolution generations) null-fill."""
+def _load_bucket(table_path: str, rel: str | None, columns, colmap=None) -> dict:
+    """{_id: {logical col: value}} for one bucket data dir.  Files
+    store PHYSICAL column names (column mapping); absent columns
+    (pre-evolution generations, retired physical names) null-fill."""
     if rel is None:
         return {}
     import pyarrow.parquet as pq
 
+    phys = {c: (colmap.get(c, c) if colmap else c) for c in columns}
     out = {}
     d = os.path.join(table_path, rel)
     for fn in sorted(os.listdir(d)):
@@ -131,10 +148,10 @@ def _load_bucket(table_path: str, rel: str | None, columns) -> dict:
             continue
         p = os.path.join(d, fn)
         have = set(pq.ParquetFile(p).schema_arrow.names)
-        want = [c for c in columns if c in have]
+        want = sorted({pc for pc in phys.values() if pc in have})
         t = pq.read_table(p, columns=want)
         for r in t.to_pylist():
-            out[r["_id"]] = {c: r.get(c) for c in columns}
+            out[r["_id"]] = {c: r.get(phys[c]) for c in columns}
     return out
 
 
@@ -142,16 +159,16 @@ def _order_key(row) -> tuple[int, int]:
     return (row["version_"], 1 if row.get("deleted") else 0)
 
 
-def _load_state(table_path: str, refs, columns) -> dict:
+def _load_state(table_path: str, refs, columns, colmap=None) -> dict:
     """Reconciled {_id: row} for one bucket side: base layer, then each
     merge-on-read delta layer folded with the merge_into total order —
     a later layer's row wins only on a STRICTLY higher
     (version, tombstone) key, so the earliest commit wins full ties,
     exactly like SilverTable._reconcile_frames."""
     base_rel, delta_rels = refs
-    state = _load_bucket(table_path, base_rel, columns)
+    state = _load_bucket(table_path, base_rel, columns, colmap)
     for rel in delta_rels:
-        for _id, row in _load_bucket(table_path, rel, columns).items():
+        for _id, row in _load_bucket(table_path, rel, columns, colmap).items():
             cur = state.get(_id)
             if cur is None or _order_key(row) > _order_key(cur):
                 state[_id] = row
@@ -168,6 +185,7 @@ class _SilverCdfStreamReader(DataSourceStreamReader):
         # downstream aggregate can fold -old/+new adjustments from the
         # feed ALONE, never touching the table
         self.preimages = options.get("preimages", "false").lower() == "true"
+        self.cmap = _colmap(self.path)
 
     def initialOffset(self) -> dict:
         if self.starting == "earliest":
@@ -226,6 +244,7 @@ class _SilverCdfStreamReader(DataSourceStreamReader):
                         (mb.get(b), md.get(b, [])),
                         self.columns,
                         self.preimages,
+                        self.cmap,
                     )
                 )
         for prev, cur in zip(gens[lo:hi], gens[lo + 1 : hi + 1]):
@@ -241,14 +260,16 @@ class _SilverCdfStreamReader(DataSourceStreamReader):
                             (mn.get(b), dn.get(b, [])),
                             self.columns,
                             self.preimages,
+                            self.cmap,
                         )
                     )
         return parts
 
     def read(self, partition: _CdfPartition):
         cols = partition.columns
-        old = _load_state(partition.table_path, partition.old_refs, cols)
-        new = _load_state(partition.table_path, partition.new_refs, cols)
+        cmap = getattr(partition, "colmap", None)
+        old = _load_state(partition.table_path, partition.old_refs, cols, cmap)
+        new = _load_state(partition.table_path, partition.new_refs, cols, cmap)
         for _id in sorted(set(old) | set(new)):
             o, n = old.get(_id), new.get(_id)
             # same changed-row predicate and classification as
