@@ -355,3 +355,157 @@ def q_token_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(dist <= TYPO_MAX_DIST).select(
         "token_a", "token_b", dist.alias("dist")
     )
+
+
+# -- distributed quality-classifier training (logistic regression) ----------
+#
+# The fastText/quality-filter training step of an LLM data pipeline
+# (Brown et al. 2020 trained an LR quality filter over Common Crawl;
+# beyond-reference extension per the build brief), expressed the way it
+# must run at 100 TB: full-batch gradient descent where EVERY step is
+# one scan over the (tiny, persisted) feature table + a d-term partial
+# aggregate; the d=4 weight vector is the only driver-side state.  No
+# per-row Python, no shuffle — the gradient is a map-side fold.
+#
+# Weak label: lang == 'en' (the surface-feature language signal the
+# langid queries measure from the other direction).  Determinism across
+# engines: gradient averages are folded in different orders (ulp-level
+# drift), so each step's weights round to 9 decimals on BOTH engines
+# before feeding the next step — the trajectories stay bit-identical.
+
+LOGREG_LR = 0.5  # learning rate
+LOGREG_STEPS = 3  # unrolled in the oracle as CTE levels
+
+
+def _round_half_up(x: float, places: int) -> float:
+    """DuckDB/Spark ROUND semantics (half away from zero) — python's
+    builtin round() is banker's and would diverge on exact midpoints."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-places)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ln = F.length("text").cast("double")
+    return docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("f0"),
+        (F.log(F.lit(1.0) + ln) / 10.0).alias("f1"),
+        ((ln - F.length(F.regexp_replace("text", " ", "")).cast("double")) / ln).alias("f2"),
+        (
+            (ln - F.length(F.regexp_replace("text", "[0-9]", "")).cast("double"))
+            / ln
+        ).alias("f3"),
+    )
+
+
+_LOGREG_FEATURES_SQL = """
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS f0,
+         ln(1.0 + CAST(length(text) AS DOUBLE)) / 10.0 AS f1,
+         CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+           / length(text) AS f2,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+           / length(text) AS f3
+  FROM documents
+"""
+
+# each CTE level: p at the previous weights -> loss (pre-step) and the
+# 9-rounded post-step weights, exactly the python driver loop
+_LOGREG_ORACLE = f"""
+WITH f AS ({_LOGREG_FEATURES_SQL}),
+s1 AS (
+  SELECT round(0.0 - {LOGREG_LR} * avg((0.5 - y) * f0), 9) AS w0,
+         round(0.0 - {LOGREG_LR} * avg((0.5 - y) * f1), 9) AS w1,
+         round(0.0 - {LOGREG_LR} * avg((0.5 - y) * f2), 9) AS w2,
+         round(0.0 - {LOGREG_LR} * avg((0.5 - y) * f3), 9) AS w3,
+         round(avg(-(y * ln(0.5) + (1.0 - y) * ln(0.5))), 6) AS loss
+  FROM f
+),
+p2 AS (
+  SELECT f.*, s1.w0 AS v0, s1.w1 AS v1, s1.w2 AS v2, s1.w3 AS v3,
+         1.0 / (1.0 + exp(-(s1.w0 * f0 + s1.w1 * f1 + s1.w2 * f2 + s1.w3 * f3))) AS p
+  FROM f, s1
+),
+s2 AS (
+  SELECT round(any_value(v0) - {LOGREG_LR} * avg((p - y) * f0), 9) AS w0,
+         round(any_value(v1) - {LOGREG_LR} * avg((p - y) * f1), 9) AS w1,
+         round(any_value(v2) - {LOGREG_LR} * avg((p - y) * f2), 9) AS w2,
+         round(any_value(v3) - {LOGREG_LR} * avg((p - y) * f3), 9) AS w3,
+         round(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 6) AS loss
+  FROM p2
+),
+p3 AS (
+  SELECT f.*, s2.w0 AS v0, s2.w1 AS v1, s2.w2 AS v2, s2.w3 AS v3,
+         1.0 / (1.0 + exp(-(s2.w0 * f0 + s2.w1 * f1 + s2.w2 * f2 + s2.w3 * f3))) AS p
+  FROM f, s2
+),
+s3 AS (
+  SELECT round(any_value(v0) - {LOGREG_LR} * avg((p - y) * f0), 9) AS w0,
+         round(any_value(v1) - {LOGREG_LR} * avg((p - y) * f1), 9) AS w1,
+         round(any_value(v2) - {LOGREG_LR} * avg((p - y) * f2), 9) AS w2,
+         round(any_value(v3) - {LOGREG_LR} * avg((p - y) * f3), 9) AS w3,
+         round(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 6) AS loss
+  FROM p3
+)
+SELECT 1 AS step, round(w0, 6) AS w_bias, round(w1, 6) AS w_loglen,
+       round(w2, 6) AS w_space, round(w3, 6) AS w_digit, loss FROM s1
+UNION ALL
+SELECT 2, round(w0, 6), round(w1, 6), round(w2, 6), round(w3, 6), loss FROM s2
+UNION ALL
+SELECT 3, round(w0, 6), round(w1, 6), round(w2, 6), round(w3, 6), loss FROM s3
+"""
+
+
+@register(
+    "quality_logreg_train",
+    _LOGREG_ORACLE,
+    doc="distributed logistic-regression quality-classifier training "
+    "(3 full-batch GD steps on surface features, weak label lang=en): "
+    "each step is one scan + a 4-term partial aggregate; the weight "
+    "vector is the only driver state.  Oracle unrolls the steps as "
+    "CTE levels with the identical per-step 9-decimal weight rounding",
+)
+def q_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _logreg_features(spark, sf_dir).persist()
+    w = [0.0, 0.0, 0.0, 0.0]
+    lr = LOGREG_LR
+    out_rows = []
+    try:
+        for step in range(1, LOGREG_STEPS + 1):
+            margin = sum(F.lit(w[j]) * F.col(f"f{j}") for j in range(4))
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+            agg = feats.agg(
+                *[
+                    F.avg((p - F.col("y")) * F.col(f"f{j}")).alias(f"g{j}")
+                    for j in range(4)
+                ],
+                F.avg(
+                    -(
+                        F.col("y") * F.log(p)
+                        + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+                    )
+                ).alias("loss"),
+            ).first()
+            w = [
+                _round_half_up(w[j] - lr * agg[f"g{j}"], 9) for j in range(4)
+            ]
+            out_rows.append(
+                (
+                    step,
+                    _round_half_up(w[0], 6),
+                    _round_half_up(w[1], 6),
+                    _round_half_up(w[2], 6),
+                    _round_half_up(w[3], 6),
+                    _round_half_up(agg["loss"], 6),
+                )
+            )
+    finally:
+        feats.unpersist()
+    return spark.createDataFrame(
+        out_rows,
+        "step int, w_bias double, w_loglen double, w_space double, "
+        "w_digit double, loss double",
+    )
