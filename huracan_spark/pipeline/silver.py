@@ -230,6 +230,7 @@ class SilverTable:
             "file_stats_buckets": len(self.file_stats(gen)),
             "constraints": sorted(self.constraints()),
             "mor_buckets": len(self.deltas(gen)),
+            "dv_buckets": len(self.dvs(gen)),
             "column_mapping": self.colmap(gen) is not None,
         }
 
@@ -244,10 +245,13 @@ class SilverTable:
         trick expressed over plain parquet manifests."""
         mo, mn = self.manifest(gen_old), self.manifest(gen_new)
         do, dn = self.deltas(gen_old), self.deltas(gen_new)
+        vo, vn = self.dvs(gen_old), self.dvs(gen_new)
         return sorted(
             b
-            for b in set(mo) | set(mn) | set(do) | set(dn)
-            if mo.get(b) != mn.get(b) or do.get(b) != dn.get(b)
+            for b in set(mo) | set(mn) | set(do) | set(dn) | set(vo) | set(vn)
+            if mo.get(b) != mn.get(b)
+            or do.get(b) != dn.get(b)
+            or vo.get(b) != vn.get(b)
         )
 
     def diff(self, gen_old: str, gen_new: str) -> DataFrame | None:
@@ -399,13 +403,31 @@ class SilverTable:
             filters = [(cmap.get(c, c), op, v) for (c, op, v) in filters]
         manifest = self.manifest(gen)
         deltas = self.deltas(gen)
+        dvs = self.dvs(gen)
         stats = self.bucket_stats(gen)
         fstats = self.file_stats(gen)
         blooms = self.file_blooms(gen)
         kept, skipped = [], []
         for b, rel in sorted(manifest.items()):
-            if not skipping.bucket_might_match(stats.get(b), filters):
+            probe = filters
+            if b in dvs:
+                # the deletion-vector overlay changes version_/deleted
+                # at READ time; footer stats describe the pre-overlay
+                # bytes, so filters on those columns must not prune a
+                # DV'd bucket (data-column stats stay sound — the
+                # overlay never touches payload columns)
+                probe = [
+                    f for f in filters if f[0] not in ("version_", "deleted")
+                ]
+            if not skipping.bucket_might_match(stats.get(b), probe):
                 skipped.append(b)
+                continue
+            if b in dvs and b not in deltas:
+                # DV'd bucket: the overlay join needs every surviving
+                # row position, so file-level pruning is skipped (the
+                # whole-bucket stats test above still applies);
+                # compact() absorbs the DV and restores file pruning
+                kept.append(rel)
                 continue
             if b in deltas:
                 # merge-on-read bucket: pruning individual FILES could
@@ -449,29 +471,33 @@ class SilverTable:
         if gen is None:
             return None
         deltas = self.deltas(gen)
+        dvs = self.dvs(gen)
         cmap = self.colmap(gen)
         schema = self.table_schema(gen)
         phys_schema = self._physical_schema(schema, cmap)
         pred = skipping.filters_to_column(filters)
-        if deltas:
-            # merge-on-read: the predicate applies AFTER reconciliation
-            # (a stale version may match while the latest doesn't).
-            # Copy-on-write buckets keep full file-level pruning;
-            # delta'd buckets prune whole-bucket only (see prune_plan)
-            # and reduce before the filter — sound, because
-            # reconciliation selects stored rows, never synthesizes.
+        reconciling = set(deltas) | set(dvs)
+        if reconciling:
+            # merge-on-read / deletion-vector buckets: the predicate
+            # applies AFTER reconciliation/overlay (a stale version may
+            # match while the latest doesn't; an overlaid tombstone
+            # must not read back live).  Copy-on-write buckets keep
+            # full file-level pruning; reconciling buckets prune
+            # whole-bucket only (see prune_plan) and resolve before
+            # the filter — sound, because reconciliation selects
+            # stored rows (the overlay only flips deleted/version_).
             manifest = self.manifest(gen)
-            stats = self.bucket_stats(gen)
             kept, _ = self.prune_plan(filters, gen)
-            mor_rels = {
+            rec_rels = {
                 r
-                for b in deltas
-                for r in ([manifest[b]] if b in manifest else []) + deltas[b]
+                for b in reconciling
+                for r in ([manifest[b]] if b in manifest else [])
+                + deltas.get(b, [])
             }
-            cow_paths = [p for p in kept if p not in mor_rels]
-            mor_survivors = [
+            cow_paths = [p for p in kept if p not in rec_rels]
+            rec_survivors = [
                 b
-                for b in sorted(deltas)
+                for b in sorted(reconciling)
                 if b in manifest and manifest[b] in kept
             ]
             parts = []
@@ -482,10 +508,10 @@ class SilverTable:
                         cmap,
                     ).filter(pred)
                 )
-            if mor_survivors:
+            if rec_survivors:
                 parts.append(
                     self._bucket_state(
-                        gen, mor_survivors, schema=schema
+                        gen, rec_survivors, schema=schema
                     ).filter(pred)
                 )
             if not parts:
@@ -645,7 +671,7 @@ class SilverTable:
                 if k
                 in (
                     "buckets", "n_buckets", "schema", "stats", "fstats",
-                    "deltas", "colmap", "retired",
+                    "deltas", "dvs", "colmap", "retired",
                 )
             }
             mf["blooms"] = blooms
@@ -768,12 +794,31 @@ class SilverTable:
             return {}
         return self._manifest_raw(gen).get("deltas", {})
 
+    def dvs(self, generation: str | None = None) -> dict[str, list[str]]:
+        """Per-bucket deletion-vector sidecar dirs (Delta deletion
+        vectors / Iceberg position deletes): ``{bucket: [rel, ...]}``
+        where each rel holds parquet rows ``(_dv_file, _dv_pos)``
+        marking stored row POSITIONS whose read-time image is the
+        version+1 TOMBSTONE of the row at that position — bit-identical
+        to the copy-on-write DELETE rewrite, at O(deleted rows) write
+        IO and zero data files touched.  Unlike merge-on-read deltas
+        the read path needs no reconciliation shuffle: the overlay is
+        a broadcast join on (file, position).  ``compact()`` (or a
+        copy-on-write merge touching the bucket) absorbs them."""
+        gen = generation or self.current_generation()
+        if gen is None:
+            return {}
+        return self._manifest_raw(gen).get("dvs", {})
+
     def _all_rels(self, generation: str) -> list[str]:
         """Every data dir the generation references: bucket bases plus
-        merge-on-read deltas (the reference set vacuum/clone must honor)."""
+        merge-on-read deltas plus deletion-vector sidecars (the
+        reference set vacuum/clone must honor)."""
         raw = self._manifest_raw(generation)
         rels = list(raw.get("buckets", {}).values())
         for ds in raw.get("deltas", {}).values():
+            rels.extend(ds)
+        for ds in raw.get("dvs", {}).values():
             rels.extend(ds)
         return rels
 
@@ -805,11 +850,15 @@ class SilverTable:
         self, generation: str, bucket_ids=None, schema=None
     ) -> DataFrame | None:
         """Current-state rows of the selected buckets (default: all),
-        with merge-on-read deltas reconciled.  Copy-on-write buckets
-        read straight through (no extra shuffle); only delta'd buckets
-        pay the reconciliation reduce."""
+        with merge-on-read deltas reconciled and deletion vectors
+        overlaid.  Copy-on-write buckets read straight through (no
+        extra shuffle); DV-only buckets add one broadcast overlay join
+        (still no shuffle — each key is stored once in a COW bucket, so
+        the overlaid row IS final); only delta'd buckets pay the
+        reconciliation reduce."""
         manifest = self.manifest(generation)
         deltas = self.deltas(generation)
+        dvs = self.dvs(generation)
         cmap = self.colmap(generation)
         schema = self._physical_schema(
             schema or self.table_schema(generation), cmap
@@ -819,24 +868,49 @@ class SilverTable:
         else:
             ids = [str(b) for b in bucket_ids]
         cow = [
-            manifest[b] for b in ids if b in manifest and b not in deltas
+            manifest[b]
+            for b in ids
+            if b in manifest and b not in deltas and b not in dvs
+        ]
+        dv_only = [
+            b for b in ids if b in dvs and b not in deltas and b in manifest
         ]
         mor = [b for b in ids if b in deltas]
         parts = []
         if cow:
             parts.append(self._read_buckets(cow, schema=schema))
+        if dv_only:
+            parts.append(
+                self._apply_dv(
+                    self._read_buckets(
+                        [manifest[b] for b in dv_only],
+                        schema=schema,
+                        with_pos=True,
+                    ),
+                    [r for b in dv_only for r in dvs[b]],
+                )
+            )
         if mor:
+            # overlay BEFORE the reconciliation reduce: a DV-marked row
+            # competes as its tombstone image, exactly as if the cow
+            # delete had rewritten it into that layer
+            mor_dv = [r for b in mor if b in dvs for r in dvs[b]]
+
+            def _rd(rels):
+                df = self._read_buckets(
+                    rels, schema=schema, with_pos=bool(mor_dv)
+                )
+                return self._apply_dv(df, mor_dv) if mor_dv else df
+
             frames = []
             base = [manifest[b] for b in mor if b in manifest]
             if base:
-                frames.append((self._read_buckets(base, schema=schema), 0))
+                frames.append((_rd(base), 0))
             depth = max(len(deltas[b]) for b in mor)
             for i in range(depth):
                 layer = [deltas[b][i] for b in mor if len(deltas[b]) > i]
                 if layer:
-                    frames.append(
-                        (self._read_buckets(layer, schema=schema), i + 1)
-                    )
+                    frames.append((_rd(layer), i + 1))
             parts.append(self._reconcile_frames(frames))
         if not parts:
             return None
@@ -889,7 +963,7 @@ class SilverTable:
                 },
             }
             for carried in (
-                "schema", "stats", "fstats", "blooms", "deltas",
+                "schema", "stats", "fstats", "blooms", "deltas", "dvs",
                 "colmap", "retired",
             ):
                 if carried in target:
@@ -1033,7 +1107,10 @@ class SilverTable:
                 k: v
                 for k, v in raw.items()
                 if k
-                in ("buckets", "n_buckets", "stats", "fstats", "blooms", "deltas")
+                in (
+                    "buckets", "n_buckets", "stats", "fstats", "blooms",
+                    "deltas", "dvs",
+                )
             }
             mf["schema"] = json.dumps(StructType(fields).jsonValue())
             mf["colmap"] = cmap
@@ -1111,7 +1188,9 @@ class SilverTable:
 
         return self._alter_schema_commit(mutate, "DROP COLUMN", column=col)
 
-    def _read_buckets(self, rel_paths, schema=None) -> DataFrame:
+    def _read_buckets(
+        self, rel_paths, schema=None, with_pos: bool = False
+    ) -> DataFrame:
         paths = [os.path.join(self.path, p) for p in rel_paths]
         if not paths:
             raise ValueError("empty silver manifest has no schema to read")
@@ -1119,10 +1198,59 @@ class SilverTable:
             # the committed table schema is authoritative: buckets
             # written before a column evolved in read it back as null,
             # without the per-read footer-merge job mergeSchema costs
-            return self.spark.read.schema(schema).parquet(*paths)
-        # pre-schema-manifest fallback: merge footers across buckets so
-        # evolved columns still surface (Delta's read behavior)
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            df = self.spark.read.schema(schema).parquet(*paths)
+        else:
+            # pre-schema-manifest fallback: merge footers across buckets
+            # so evolved columns still surface (Delta's read behavior)
+            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if with_pos:
+            # deletion-vector key: the last three path components
+            # (generation/_bucket=K/file.parquet) — stable under table
+            # relocation (clone) and URI-scheme differences, unlike the
+            # absolute _metadata.file_path it derives from
+            df = df.select(
+                "*",
+                F.regexp_extract(
+                    F.col("_metadata.file_path"),
+                    r"([^/]+/[^/]+/[^/]+)$",
+                    1,
+                ).alias("_dv_file"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+            )
+        return df
+
+    def _dv_frame(self, dv_rels) -> DataFrame:
+        """The (file, position) marks of the given sidecar dirs.  No
+        dedup needed (a distinct() here would shuffle): a position can
+        never be marked twice, because once marked its row overlays to
+        a tombstone, so its (id, version) can never again join a LIVE
+        state row in ``_delete_where_dv`` — if the key revives it is
+        at a strictly higher version living in a different row."""
+        paths = [os.path.join(self.path, r) for r in sorted(set(dv_rels))]
+        return self.spark.read.parquet(*paths).select("_dv_file", "_dv_pos")
+
+    def _apply_dv(self, df: DataFrame, dv_rels) -> DataFrame:
+        """Overlay deletion vectors on a pos-aware frame: a marked
+        position reads back as the version+1 tombstone of the stored
+        row — bit-identical to the image the copy-on-write DELETE
+        would have written.  A broadcast join, NOT a shuffle: DV
+        cardinality is the not-yet-compacted delete count, which the
+        auto-OPTIMIZE policy keeps bounded (mass deletes belong in
+        cow/mor mode, where they rewrite or delta the buckets).
+        ``_id``/``version_``/``deleted`` are protected from column
+        mapping, so their physical names are the logical ones here."""
+        marks = self._dv_frame(dv_rels).withColumn("_dv_hit", F.lit(True))
+        out = df.join(F.broadcast(marks), ["_dv_file", "_dv_pos"], "left")
+        out = out.withColumn(
+            "deleted",
+            F.when(F.col("_dv_hit"), F.lit(True)).otherwise(F.col("deleted")),
+        ).withColumn(
+            "version_",
+            F.when(F.col("_dv_hit"), F.col("version_") + F.lit(1)).otherwise(
+                F.col("version_")
+            ),
+        )
+        return out.drop("_dv_hit", "_dv_file", "_dv_pos")
 
     def read_key_bucket(self, _id: str, generation: str | None = None) -> DataFrame | None:
         """Point-lookup fast path: read ONLY the bucket that can contain
@@ -1165,9 +1293,13 @@ class SilverTable:
         """DELETE FROM ... WHERE (conjunctive ``(col, op, value)``
         filters): tombstone every live matching key at version+1.
         Returns the number of deleted keys.  ``write_mode="mor"``
-        lands the tombstones as delta layers (O(deleted keys) write IO
-        — Delta deletion-vector economics) instead of rewriting the
-        touched buckets."""
+        lands the tombstones as delta layers (O(deleted keys) write IO)
+        instead of rewriting the touched buckets; ``write_mode="dv"``
+        goes one step further and records only the (file, row position)
+        of each matching stored row — true Delta deletion vectors: no
+        data file is written at all, and reads stay shuffle-free."""
+        if write_mode == "dv":
+            return self._delete_where_dv(filters)
         matching = self.read_where(filters)
         if matching is None:
             return 0
@@ -1181,6 +1313,101 @@ class SilverTable:
         if n:
             self.merge(tomb, write_mode=write_mode)
         return n
+
+    def _delete_where_dv(self, filters) -> int:
+        """DELETE as a deletion vector: a metadata-only commit whose
+        sidecar parquet lists the (file, row position) of every
+        matching live row's winning stored copy.  The read-time
+        overlay (``_apply_dv``) images those positions as version+1
+        tombstones — bit-identical to what the copy-on-write path
+        would have rewritten (pinned by the cow/dv equivalence
+        property test).
+
+        Runs pessimistically under the commit lock: the recorded
+        positions reference the EXACT files of the read snapshot, so
+        losing a race to a writer that rewrites them would silently
+        drop the delete — there is no sound rebase for positions.
+        DELETEs are rare relative to merges; holding the lock across
+        the (small) marking job is the Delta DV trade-off too."""
+        lock = self._acquire_commit_lock(timeout=300.0)
+        try:
+            current_gen = self.current_generation()
+            if current_gen is None:
+                return 0
+            matching = self.read_where(filters, current_gen)
+            if matching is None:
+                return 0
+            live = (
+                matching.filter(~F.col("deleted"))
+                .select("_id", "version_")
+                .localCheckpoint(eager=True)
+            )
+            n = live.count()
+            if n == 0:
+                return 0
+            raw = self._manifest_raw(current_gen)
+            cmap = self.colmap(current_gen)
+            phys_schema = self._physical_schema(
+                self.table_schema(current_gen), cmap
+            )
+            # winning stored copies: re-read the files the predicate
+            # kept, pos-aware, and match on (_id, version_).  A live
+            # key's (id, version) rows are all live copies (a same-
+            # version tombstone would have won the tie and the key
+            # would not be live), so marking every copy is sound — a
+            # duplicated delivery's copies overlay to identical images.
+            kept, _ = self.prune_plan(filters, current_gen)
+            marks = (
+                self._read_buckets(kept, schema=phys_schema, with_pos=True)
+                .join(F.broadcast(live), ["_id", "version_"], "inner")
+                .select("_dv_file", "_dv_pos")
+                .localCheckpoint(eager=True)
+            )
+            touched = sorted(
+                r.b
+                for r in marks.select(
+                    F.regexp_extract(
+                        F.col("_dv_file"), r"_bucket=([^/]+)/", 1
+                    ).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            gen, out = self._claim_generation()
+            rel = os.path.join(gen, "_dv")
+            marks.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(self.path, rel)
+            )
+            new_dvs = {b: list(rs) for b, rs in raw.get("dvs", {}).items()}
+            for b in touched:
+                new_dvs.setdefault(b, []).append(rel)
+            mf = {
+                k: v
+                for k, v in raw.items()
+                if k
+                in (
+                    "buckets", "n_buckets", "schema", "stats", "fstats",
+                    "blooms", "deltas", "colmap", "retired",
+                )
+            }
+            mf["dvs"] = new_dvs
+            mf["commit"] = {
+                "operation": "DELETE",
+                "ts_ms": int(time.time() * 1000),
+                "mode": "dv",
+                "deleted_keys": n,
+                "touched_buckets": len(touched),
+            }
+            with open(os.path.join(out, "manifest.json"), "w") as f:
+                json.dump(mf, f)
+            if not self._try_commit(current_gen, gen, locked=True):
+                raise CommitConflict(
+                    "dv delete lost the commit race under the lock "
+                    "(another writer bypassed the protocol?)"
+                )
+            return n
+        finally:
+            os.unlink(lock)
 
     def update_where(
         self, filters, assignments: dict[str, str], write_mode: str = "cow"
@@ -1316,7 +1543,7 @@ class SilverTable:
         }
         src_raw = self._manifest_raw(gen)
         for carried in (
-            "schema", "stats", "fstats", "blooms", "deltas",
+            "schema", "stats", "fstats", "blooms", "deltas", "dvs",
             "colmap", "retired",
         ):
             if carried in src_raw:
@@ -1700,6 +1927,19 @@ class SilverTable:
                 for b, ds in prev_deltas.items()
                 if b not in touched_set
             }
+        prev_dvs = prev_raw.get("dvs", {})
+        if write_mode == "mor":
+            # delta layers stack ABOVE the overlaid base: deletion
+            # vectors keep applying to the files they mark
+            dvs_new = {b: list(rs) for b, rs in prev_dvs.items()}
+        else:
+            # the cow state read was DV-aware, so the rewrite of a
+            # touched bucket materialized its overlay — drop its DV
+            dvs_new = {
+                b: list(rs)
+                for b, rs in prev_dvs.items()
+                if b not in touched_set
+            }
         # stats maintenance is O(touched), like the merge: rewritten
         # buckets harvest fresh footer stats, untouched buckets carry
         # their previous entry (same bytes -> same stats)
@@ -1757,6 +1997,7 @@ class SilverTable:
             "fstats": fstats,
             "blooms": blooms,
             "deltas": deltas,
+            "dvs": dvs_new,
             "commit": {
                 "operation": "MERGE",
                 "ts_ms": int(time.time() * 1000),
@@ -1823,14 +2064,18 @@ class SilverTable:
                 return False
             wb, wd = wr.get("buckets", {}), wr.get("deltas", {})
             sb, sd = snap.get("buckets", {}), snap.get("deltas", {})
+            wv, sv = wr.get("dvs", {}), snap.get("dvs", {})
             if any(
-                wb.get(b) != sb.get(b) or wd.get(b) != sd.get(b)
+                wb.get(b) != sb.get(b)
+                or wd.get(b) != sd.get(b)
+                or wv.get(b) != sv.get(b)
                 for b in touched_set
             ):
                 return False  # true overlap: winner moved our buckets
             rebased = {
                 "buckets": dict(wb),
                 "deltas": dict(wd),
+                "dvs": dict(wv),
                 "n_buckets": self.n_buckets,
                 "schema": ours.get("schema", wr.get("schema")),
                 "stats": dict(wr.get("stats", {})),
@@ -1845,7 +2090,9 @@ class SilverTable:
                 if carried in wr:
                     rebased[carried] = wr[carried]
             for b in touched_set:
-                for key in ("buckets", "deltas", "stats", "fstats", "blooms"):
+                for key in (
+                    "buckets", "deltas", "dvs", "stats", "fstats", "blooms",
+                ):
                     if b in ours.get(key, {}):
                         rebased[key][b] = ours[key][b]
                     else:

@@ -408,3 +408,142 @@ def q_silver_evolution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre.unpersist()
     _SF_MATERIALIZED[key] = out
     return out
+
+
+_DV_ORACLE = """
+WITH raw AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS _id,
+         event_id % 7 AS version_,
+         (event_id % 11 = 0) AS deleted,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS grp,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE round(value, 6) END AS v,
+         event_id % 3 AS batch,
+         event_id
+  FROM events
+),
+prereduced AS (
+  SELECT _id, version_, deleted, grp, v, batch FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY _id, batch, version_ ORDER BY event_id DESC
+    ) AS rn FROM raw
+  ) WHERE rn = 1
+),
+state01 AS (
+  SELECT _id, version_, deleted, grp, v FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY _id
+      ORDER BY version_ DESC, CAST(deleted AS INT) DESC, batch ASC
+    ) AS rn2 FROM prereduced WHERE batch < 2
+  ) WHERE rn2 = 1
+),
+after_dv AS (
+  -- the deletion-vector overlay: a marked position reads back as the
+  -- version+1 tombstone of the stored row, PAYLOAD KEPT (the overlay
+  -- flips deleted/version_ only) -- identical to the cow DELETE image
+  SELECT _id,
+         CASE WHEN NOT deleted AND v < 30.0
+              THEN version_ + 1 ELSE version_ END AS version_,
+         (deleted OR (NOT deleted AND v < 30.0)) AS deleted,
+         grp, v, 0 AS side
+  FROM state01
+),
+b2 AS (
+  SELECT _id, version_, deleted, grp, v, 1 AS side
+  FROM prereduced WHERE batch = 2
+),
+final AS (
+  SELECT _id, version_, deleted, grp, v FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY _id
+      ORDER BY version_ DESC, CAST(deleted AS INT) DESC, side ASC
+    ) AS rn3 FROM (
+      SELECT * FROM after_dv UNION ALL SELECT * FROM b2
+    )
+  ) WHERE rn3 = 1
+)
+SELECT grp,
+       CAST(count(*) FILTER (WHERE NOT deleted) AS BIGINT) AS n_live,
+       CAST(count(*) FILTER (WHERE deleted) AS BIGINT) AS n_dead,
+       CAST(max(version_) AS BIGINT) AS max_version,
+       round(sum(CASE WHEN NOT deleted THEN v END), 4) AS sum_value
+FROM final GROUP BY grp
+"""
+
+
+@register(
+    "silver_dv_state",
+    _DV_ORACLE,
+    doc="deletion vectors driven on disk: COW seed + MOR delta commit, "
+    "then DELETE WHERE in write_mode='dv' (a metadata-only commit "
+    "recording (file, row position) marks -- no data file written), "
+    "then a COW merge that absorbs the vectors of its touched buckets "
+    "while untouched buckets keep overlaying at read time, then read "
+    "back.  The DuckDB oracle recomputes the final state declaratively "
+    "with the DV image step explicit (marked rows become version+1 "
+    "tombstones, payload kept), proving the broadcast position-overlay "
+    "read is bit-identical to the copy-on-write delete it replaces "
+    "(reference contract: main/src/etl.rs:1238-1247, delete is final)",
+)
+def q_silver_dv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "dv")
+    cached = _SF_MATERIALIZED.get(key)
+    if cached is not None:
+        return cached
+
+    from huracan_spark.pipeline.silver import SilverTable
+
+    dead = F.col("event_id") % 11 == 0
+    raw = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("_id"),
+        (F.col("event_id") % 7).alias("version_"),
+        dead.alias("deleted"),
+        F.when(dead, F.lit(None)).otherwise(F.col("event_type")).alias("grp"),
+        F.when(dead, F.lit(None)).otherwise(F.round("value", 6)).alias("v"),
+        (F.col("event_id") % 3).alias("batch"),
+        F.col("event_id"),
+    )
+    pre = (
+        raw.groupBy("_id", "batch", "version_")
+        .agg(
+            F.max_by(
+                F.struct("deleted", "grp", "v"), F.col("event_id")
+            ).alias("_w")
+        )
+        .select(
+            "_id",
+            "batch",
+            "version_",
+            F.col("_w.deleted").alias("deleted"),
+            F.col("_w.grp").alias("grp"),
+            F.col("_w.v").alias("v"),
+        )
+        .persist()
+    )
+    silver = SilverTable(
+        spark, tempfile.mkdtemp(prefix="hs_silver_dv_"), n_buckets=8
+    )
+    silver.merge(pre.filter(F.col("batch") == 0).drop("batch"))
+    silver.merge(
+        pre.filter(F.col("batch") == 1).drop("batch"), write_mode="mor"
+    )
+    # metadata-only DELETE: positions recorded, zero data files written
+    silver.delete_where([("v", "<", 30.0)], write_mode="dv")
+    # the COW merge absorbs the vectors of buckets it touches; the rest
+    # keep overlaying at read time -- the read below exercises both
+    silver.merge(pre.filter(F.col("batch") == 2).drop("batch"))
+    st = silver.read()
+    out = (
+        st.groupBy("grp")
+        .agg(
+            F.count(F.when(~F.col("deleted"), 1)).cast("long").alias("n_live"),
+            F.count(F.when(F.col("deleted"), 1)).cast("long").alias("n_dead"),
+            F.max("version_").cast("long").alias("max_version"),
+            F.round(
+                F.sum(F.when(~F.col("deleted"), F.col("v"))), 4
+            ).alias("sum_value"),
+        )
+        .localCheckpoint()
+    )
+    pre.unpersist()
+    _SF_MATERIALIZED[key] = out
+    return out

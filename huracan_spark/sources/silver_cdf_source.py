@@ -88,13 +88,14 @@ def _gens(path: str) -> list[str]:
     )
 
 
-def _manifest_refs(path: str, gen: str) -> tuple[dict, dict]:
-    """(bucket -> base rel, bucket -> [delta rels]) for one commit —
-    merge-on-read generations carry per-bucket delta layers that must
-    reconcile before the diff."""
+def _manifest_refs(path: str, gen: str) -> tuple[dict, dict, dict]:
+    """(bucket -> base rel, bucket -> [delta rels], bucket -> [dv rels])
+    for one commit — merge-on-read generations carry per-bucket delta
+    layers that must reconcile before the diff, and deletion-vector
+    generations carry position sidecars that overlay as tombstones."""
     with open(os.path.join(path, gen, "manifest.json")) as f:
         raw = json.load(f)
-    return raw["buckets"], raw.get("deltas", {})
+    return raw["buckets"], raw.get("deltas", {}), raw.get("dvs", {})
 
 
 def _current(path: str) -> str | None:
@@ -123,8 +124,8 @@ class _CdfPartition(InputPartition):
     ):
         self.table_path = table_path
         self.gen = gen  # the generation whose commit produced the change
-        # each side is (base rel | None, [delta rels]) — None base with
-        # no deltas = the bucket does not exist on that side
+        # each side is (base rel | None, [delta rels], [dv rels]) —
+        # None base with no deltas = the bucket does not exist there
         self.old_refs = old_refs
         self.new_refs = new_refs
         self.columns = columns  # LOGICAL table column names, schema order
@@ -132,10 +133,33 @@ class _CdfPartition(InputPartition):
         self.colmap = colmap  # logical -> physical (column mapping)
 
 
-def _load_bucket(table_path: str, rel: str | None, columns, colmap=None) -> dict:
+def _load_dv(table_path: str, dv_rels) -> dict:
+    """{file tail (gen/_bucket=K/name.parquet): {row position, ...}}
+    union over the given deletion-vector sidecar dirs."""
+    import pyarrow.parquet as pq
+
+    marks: dict = {}
+    for rel in dict.fromkeys(dv_rels or ()):
+        d = os.path.join(table_path, rel)
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".parquet"):
+                continue
+            t = pq.read_table(
+                os.path.join(d, fn), columns=["_dv_file", "_dv_pos"]
+            )
+            for r in t.to_pylist():
+                marks.setdefault(r["_dv_file"], set()).add(r["_dv_pos"])
+    return marks
+
+
+def _load_bucket(
+    table_path: str, rel: str | None, columns, colmap=None, dv_marks=None
+) -> dict:
     """{_id: {logical col: value}} for one bucket data dir.  Files
     store PHYSICAL column names (column mapping); absent columns
-    (pre-evolution generations, retired physical names) null-fill."""
+    (pre-evolution generations, retired physical names) null-fill.
+    Positions listed in ``dv_marks`` overlay as version+1 tombstones
+    (deletion vectors), mirroring SilverTable._apply_dv."""
     if rel is None:
         return {}
     import pyarrow.parquet as pq
@@ -147,11 +171,17 @@ def _load_bucket(table_path: str, rel: str | None, columns, colmap=None) -> dict
         if not fn.endswith(".parquet"):
             continue
         p = os.path.join(d, fn)
+        tail = "/".join(p.split(os.sep)[-3:])
+        marked = (dv_marks or {}).get(tail, ())
         have = set(pq.ParquetFile(p).schema_arrow.names)
         want = sorted({pc for pc in phys.values() if pc in have})
         t = pq.read_table(p, columns=want)
-        for r in t.to_pylist():
-            out[r["_id"]] = {c: r.get(phys[c]) for c in columns}
+        for pos, r in enumerate(t.to_pylist()):
+            row = {c: r.get(phys[c]) for c in columns}
+            if pos in marked:
+                row["deleted"] = True
+                row["version_"] = row["version_"] + 1
+            out[row["_id"]] = row
     return out
 
 
@@ -164,11 +194,16 @@ def _load_state(table_path: str, refs, columns, colmap=None) -> dict:
     merge-on-read delta layer folded with the merge_into total order —
     a later layer's row wins only on a STRICTLY higher
     (version, tombstone) key, so the earliest commit wins full ties,
-    exactly like SilverTable._reconcile_frames."""
-    base_rel, delta_rels = refs
-    state = _load_bucket(table_path, base_rel, columns, colmap)
+    exactly like SilverTable._reconcile_frames.  Deletion vectors
+    overlay each layer BEFORE the fold (a marked row competes as its
+    tombstone image), exactly like SilverTable._bucket_state."""
+    base_rel, delta_rels, dv_rels = refs
+    dv = _load_dv(table_path, dv_rels) if dv_rels else None
+    state = _load_bucket(table_path, base_rel, columns, colmap, dv)
     for rel in delta_rels:
-        for _id, row in _load_bucket(table_path, rel, columns, colmap).items():
+        for _id, row in _load_bucket(
+            table_path, rel, columns, colmap, dv
+        ).items():
             cur = state.get(_id)
             if cur is None or _order_key(row) > _order_key(cur):
                 state[_id] = row
@@ -234,30 +269,34 @@ class _SilverCdfStreamReader(DataSourceStreamReader):
             # deletes, for tombstones already present)
             lo = 0
             first = gens[0]
-            mb, md = _manifest_refs(self.path, first)
+            mb, md, mv = _manifest_refs(self.path, first)
             for b in sorted(set(mb) | set(md)):
                 parts.append(
                     _CdfPartition(
                         self.path,
                         first,
-                        (None, []),
-                        (mb.get(b), md.get(b, [])),
+                        (None, [], []),
+                        (mb.get(b), md.get(b, []), mv.get(b, [])),
                         self.columns,
                         self.preimages,
                         self.cmap,
                     )
                 )
         for prev, cur in zip(gens[lo:hi], gens[lo + 1 : hi + 1]):
-            mo, do = _manifest_refs(self.path, prev)
-            mn, dn = _manifest_refs(self.path, cur)
-            for b in sorted(set(mo) | set(mn) | set(do) | set(dn)):
-                if mo.get(b) != mn.get(b) or do.get(b) != dn.get(b):
+            mo, do, vo = _manifest_refs(self.path, prev)
+            mn, dn, vn = _manifest_refs(self.path, cur)
+            for b in sorted(set(mo) | set(mn) | set(do) | set(dn) | set(vn)):
+                if (
+                    mo.get(b) != mn.get(b)
+                    or do.get(b) != dn.get(b)
+                    or vo.get(b) != vn.get(b)
+                ):
                     parts.append(
                         _CdfPartition(
                             self.path,
                             cur,
-                            (mo.get(b), do.get(b, [])),
-                            (mn.get(b), dn.get(b, [])),
+                            (mo.get(b), do.get(b, []), vo.get(b, [])),
+                            (mn.get(b), dn.get(b, []), vn.get(b, [])),
                             self.columns,
                             self.preimages,
                             self.cmap,
