@@ -181,20 +181,46 @@ def _bit_set(hexmap: str, pos: int) -> bool:
     return bool(byte & (1 << (pos & 7)))
 
 
-def file_might_contain(file_blooms: dict | None, filters) -> bool:
+#: column dtypes whose CAST AS STRING matches Python ``str()`` of a
+#: matching probe value: strings verbatim, the integer chain ("1" at
+#: every width).  A double column casts 1.0 to "1.0" while an int
+#: probe hashes "1" — bitmaps on such columns must never be consulted
+#: (and a column can BECOME double later via type widening).
+_STABLE_STR = "string"
+_STABLE_INT = ("tinyint", "smallint", "int", "bigint")
+
+
+def _probe_ok(value, col_type: str | None) -> bool:
+    if isinstance(value, bool) or not isinstance(value, _TESTABLE):
+        return False
+    if col_type is None:
+        # no type information (legacy caller): keep the value-only
+        # guard — callers on typed tables always pass types
+        return True
+    if isinstance(value, str):
+        return col_type == _STABLE_STR
+    return col_type in _STABLE_INT
+
+
+def file_might_contain(
+    file_blooms: dict | None, filters, types: dict | None = None
+) -> bool:
     """Conservative membership test for one file: False ONLY when a
     bloom proves an ``=`` value (or every member of an ``in`` list)
     is absent.  Files without a bitmap for the column, non-str/int
-    values, and all other operators never prune."""
+    values, probe/column type families whose string casts can drift
+    (``types`` maps column -> committed dtype), and all other
+    operators never prune."""
     if not file_blooms:
         return True
     for col, op, value in filters:
         ent = file_blooms.get(col)
         if ent is None:
             continue
+        col_type = types.get(col) if types is not None else None
         m, k, hexmap = ent["m"], ent["k"], ent["hex"]
         if op == "=":
-            if isinstance(value, bool) or not isinstance(value, _TESTABLE):
+            if not _probe_ok(value, col_type):
                 continue
             if not all(
                 _bit_set(hexmap, p) for p in bit_positions(str(value), m, k)
@@ -202,10 +228,7 @@ def file_might_contain(file_blooms: dict | None, filters) -> bool:
                 return False
         elif op == "in":
             vals = list(value)
-            if any(
-                isinstance(v, bool) or not isinstance(v, _TESTABLE)
-                for v in vals
-            ):
+            if any(not _probe_ok(v, col_type) for v in vals):
                 continue
             if all(
                 not all(

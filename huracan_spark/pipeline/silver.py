@@ -232,6 +232,7 @@ class SilverTable:
             "mor_buckets": len(self.deltas(gen)),
             "dv_buckets": len(self.dvs(gen)),
             "column_mapping": self.colmap(gen) is not None,
+            "rows": self.count_rows(gen),
         }
 
     def changed_buckets(self, gen_old: str, gen_new: str) -> list[str]:
@@ -407,6 +408,15 @@ class SilverTable:
         stats = self.bucket_stats(gen)
         fstats = self.file_stats(gen)
         blooms = self.file_blooms(gen)
+        # bloom probes need the committed PHYSICAL dtypes: a bitmap is
+        # only consultable when the column's string cast is stable
+        # against the probe value's str() (see bloom._probe_ok) — and
+        # type widening can change a column's cast family later
+        committed = self.table_schema(gen)
+        types = None
+        if committed is not None:
+            phys = self._physical_schema(committed, cmap)
+            types = {f.name: f.dataType.simpleString() for f in phys.fields}
         kept, skipped = [], []
         for b, rel in sorted(manifest.items()):
             probe = filters
@@ -452,7 +462,7 @@ class SilverTable:
                 os.path.join(rel, fn)
                 for fn, fs in sorted(per_file.items())
                 if skipping.bucket_might_match(fs, filters)
-                and bloom.file_might_contain(bmap.get(fn), filters)
+                and bloom.file_might_contain(bmap.get(fn), filters, types)
             ]
             if live:
                 kept.extend(live)
@@ -680,8 +690,7 @@ class SilverTable:
                 "ts_ms": int(time.time() * 1000),
                 "columns": sorted(self.bloom_indexes()),
             }
-            with open(os.path.join(out, "manifest.json"), "w") as f:
-                json.dump(mf, f)
+            self._write_manifest(out, mf)
             if self._try_commit(current_gen, gen):
                 return gen
             shutil.rmtree(out, ignore_errors=True)
@@ -729,13 +738,82 @@ class SilverTable:
         finally:
             os.unlink(lock)
 
-    def _enforce_constraints(self, batch: DataFrame, on_violation: str):
+    # -- generated columns (Delta GENERATED ALWAYS AS) --------------------
+
+    @property
+    def _generated_path(self) -> str:
+        return os.path.join(self.path, "_GENERATED")
+
+    def generated_columns(self) -> dict[str, str]:
+        """column -> SQL expression over the row's other columns.  A
+        merge batch that OMITS the column gets it computed; a batch
+        that PROVIDES it must match the expression (null-safely), or
+        the rows ride the merge's ``on_violation`` disposition —
+        Delta's GENERATED ALWAYS AS contract."""
+        try:
+            with open(self._generated_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def add_generated_column(self, col: str, expr: str) -> None:
+        """Register ``col GENERATED ALWAYS AS (expr)``.  Applies to
+        every subsequent merge (batch and streaming share the path);
+        persisted with the table, carried by ``clone``.  Existing rows
+        are NOT backfilled (as in Delta — the column materializes per
+        write); merge a touch-up batch or ``update_where`` to backfill."""
+        if col in ("_id", "version_", "deleted", "_bucket"):
+            raise ValueError(f"cannot generate protected column {col!r}")
+        lock = self._acquire_commit_lock()
+        try:
+            gens = self.generated_columns()
+            gens[col] = expr
+            tmp = self._generated_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(gens, f)
+            os.replace(tmp, self._generated_path)
+        finally:
+            os.unlink(lock)
+
+    def drop_generated_column(self, col: str) -> None:
+        lock = self._acquire_commit_lock()
+        try:
+            gens = self.generated_columns()
+            gens.pop(col, None)
+            tmp = self._generated_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(gens, f)
+            os.replace(tmp, self._generated_path)
+        finally:
+            os.unlink(lock)
+
+    def _apply_generated(self, batch: DataFrame) -> tuple[DataFrame, dict]:
+        """Compute omitted generated columns; return synthetic CHECK
+        expressions for provided ones (validated in the same one-pass
+        constraint evaluation as the table's real CHECKs).  ``<=>``
+        never yields NULL, so a mismatching NULL can't slip through
+        the CHECK null-passes loophole."""
+        gens = self.generated_columns()
+        synthetic = {}
+        for c, expr in gens.items():
+            if c in batch.columns:
+                synthetic[f"_generated_{c}"] = f"`{c}` <=> ({expr})"
+            else:
+                batch = batch.withColumn(c, F.expr(expr))
+        return batch, synthetic
+
+    def _enforce_constraints(
+        self, batch: DataFrame, on_violation: str, extra: dict | None = None
+    ):
         """Split a batch on the table's CHECK constraints.  Returns
         (clean_batch, quarantined_df_or_None).  SQL CHECK semantics: a
         row violates a constraint only when the expression is FALSE
         (NULL/unknown passes).  All constraints evaluate in ONE pass —
-        no per-rule re-scan."""
-        cons = self.constraints()
+        no per-rule re-scan.  ``extra`` folds caller-synthesized
+        checks (generated-column matches) into the same pass."""
+        cons = dict(self.constraints())
+        if extra:
+            cons.update(extra)
         if not cons:
             return batch, None
         viol_cols = {
@@ -968,8 +1046,7 @@ class SilverTable:
             ):
                 if carried in target:
                     mf[carried] = target[carried]
-            with open(os.path.join(out, "manifest.json"), "w") as f:
-                json.dump(mf, f)
+            self._write_manifest(out, mf)
             if self._try_commit(current_gen, gen):
                 return gen
             import shutil
@@ -1120,8 +1197,7 @@ class SilverTable:
                 "ts_ms": int(time.time() * 1000),
                 **commit_extra,
             }
-            with open(os.path.join(out, "manifest.json"), "w") as f:
-                json.dump(mf, f)
+            self._write_manifest(out, mf)
             if self._try_commit(current_gen, gen):
                 return gen
             shutil.rmtree(out, ignore_errors=True)
@@ -1398,8 +1474,7 @@ class SilverTable:
                 "deleted_keys": n,
                 "touched_buckets": len(touched),
             }
-            with open(os.path.join(out, "manifest.json"), "w") as f:
-                json.dump(mf, f)
+            self._write_manifest(out, mf)
             if not self._try_commit(current_gen, gen, locked=True):
                 raise CommitConflict(
                     "dv delete lost the commit race under the lock "
@@ -1414,17 +1489,29 @@ class SilverTable:
     ) -> int:
         """UPDATE ... SET ... WHERE: rewrite every live matching row
         with ``assignments`` (column -> SQL expression over the row)
-        applied, at version+1.  Returns the number of updated keys.
-        ``write_mode="mor"`` appends the rewritten rows as delta
-        layers instead of rewriting the touched buckets."""
+        applied, at version+1.  Standard SQL UPDATE semantics: every
+        right-hand side sees the OLD row, regardless of assignment
+        order.  Generated columns not explicitly assigned recompute
+        from the updated row (Delta UPDATE behavior).  Returns the
+        number of updated keys.  ``write_mode="mor"`` appends the
+        rewritten rows as delta layers instead of rewriting the
+        touched buckets."""
         matching = self.read_where(filters)
         if matching is None:
             return 0
         upd = matching.filter(~F.col("deleted"))
-        for col, expr in assignments.items():
+        for col in assignments:
             if col in ("_id", "version_", "deleted"):
                 raise ValueError(f"cannot assign protected column {col!r}")
-            upd = upd.withColumn(col, F.expr(expr))
+        upd = upd.select(
+            *[
+                F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
+                for c in upd.columns
+            ]
+        )
+        for col, expr in self.generated_columns().items():
+            if col not in assignments:
+                upd = upd.withColumn(col, F.expr(expr))
         upd = upd.withColumn(
             "version_", F.col("version_") + 1
         ).localCheckpoint(eager=True)
@@ -1432,6 +1519,36 @@ class SilverTable:
         if n:
             self.merge(upd, write_mode=write_mode)
         return n
+
+    def count_rows(self, generation: str | None = None) -> int | None:
+        """O(metadata) state row count (Delta numRecords / Iceberg
+        snapshot-summary parity): pure copy-on-write buckets answer
+        from the committed footer stats — no file opened, no Spark job
+        (deletion vectors never change the row count; the overlay
+        flips flags on existing rows).  Merge-on-read buckets
+        reconcile at read time, so only THOSE pay a real counting
+        read.  Returns None on an empty table."""
+        gen = generation or self.current_generation()
+        if gen is None:
+            return None
+        manifest = self.manifest(gen)
+        deltas = self.deltas(gen)
+        stats = self.bucket_stats(gen)
+        total = 0
+        need_scan = [b for b in deltas if b not in manifest]
+        for b in manifest:
+            ent = stats.get(b)
+            if b in deltas or not ent:
+                need_scan.append(b)
+                continue
+            # every file carries _id, so the max per-column n_rows is
+            # the bucket's row count even across schema evolution
+            total += max((c.get("n_rows", 0) for c in ent.values()), default=0)
+        if need_scan:
+            df = self._bucket_state(gen, sorted(set(need_scan)))
+            if df is not None:
+                total += df.count()
+        return total
 
     def referenced_generations(self, generation: str | None = None) -> set[str]:
         """Generation dirs the given (default current) manifest pulls
@@ -1548,14 +1665,20 @@ class SilverTable:
         ):
             if carried in src_raw:
                 clone_mf[carried] = src_raw[carried]
-        with open(os.path.join(dest_path, gen, "manifest.json"), "w") as f:
-            json.dump(clone_mf, f)
+        self._write_manifest(os.path.join(dest_path, gen), clone_mf)
         for rel in set(all_rels):
             ref_gen = rel.split(os.sep, 1)[0]
             dst_mf = os.path.join(dest_path, ref_gen, "manifest.json")
             src_mf = os.path.join(self.path, ref_gen, "manifest.json")
             if not os.path.exists(dst_mf) and os.path.exists(src_mf):
                 shutil.copy2(src_mf, dst_mf)
+        # table-level declarative config travels with the clone:
+        # CHECK constraints, generated columns, bloom index config
+        # (Delta shallow clones carry table properties the same way)
+        for cfg in ("_CONSTRAINTS", "_GENERATED", "bloom.json"):
+            s = os.path.join(self.path, cfg)
+            if os.path.exists(s):
+                shutil.copy2(s, os.path.join(dest_path, cfg))
         clone = SilverTable(self.spark, dest_path, n_buckets=self.n_buckets)
         tmp = clone._pointer + ".tmp"
         with open(tmp, "w") as f:
@@ -1656,8 +1779,7 @@ class SilverTable:
                 if cmap is not None:
                     mf["colmap"] = cmap
                     mf["retired"] = prev_raw.get("retired", [])
-                with open(os.path.join(out, "manifest.json"), "w") as f:
-                    json.dump(mf, f)
+                self._write_manifest(out, mf)
                 if self._try_commit(current_gen, gen, locked=locked):
                     return gen
                 shutil.rmtree(out, ignore_errors=True)
@@ -1675,9 +1797,44 @@ class SilverTable:
         fields = [f for f in df.schema.fields if f.name != "_bucket"]
         return json.dumps(StructType(fields).jsonValue())
 
+    #: reader features this code understands (Delta protocol
+    #: readerFeatures parity).  A manifest stamped with a feature
+    #: OUTSIDE this set was written by newer code whose generations
+    #: this reader would silently misread (e.g. a pre-DV reader would
+    #: return deleted rows as live) — refuse loudly instead.
+    _READER_FEATURES = {"mor", "dv", "colmap"}
+
+    @staticmethod
+    def _stamp_features(mf: dict) -> dict:
+        feats = []
+        if mf.get("deltas"):
+            feats.append("mor")
+        if mf.get("dvs"):
+            feats.append("dv")
+        if mf.get("colmap"):
+            feats.append("colmap")
+        if feats:
+            mf["features"] = feats
+        else:
+            mf.pop("features", None)
+        return mf
+
+    def _write_manifest(self, gen_dir: str, mf: dict) -> None:
+        with open(os.path.join(gen_dir, "manifest.json"), "w") as f:
+            json.dump(self._stamp_features(mf), f)
+
     def _manifest_raw(self, generation: str) -> dict:
         with open(os.path.join(self.path, generation, "manifest.json")) as f:
-            return json.load(f)
+            raw = json.load(f)
+        unknown = set(raw.get("features", ())) - self._READER_FEATURES
+        if unknown:
+            raise ValueError(
+                f"generation {generation} requires reader features "
+                f"{sorted(unknown)} this version does not implement — "
+                "reading it would silently return wrong rows; upgrade "
+                "the reader (Delta protocol readerFeatures semantics)"
+            )
+        return raw
 
     @staticmethod
     def _align_schemas(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -1685,8 +1842,31 @@ class SilverTable:
         side's missing columns are added as typed nulls so stored state
         and an evolved batch union under one merged schema — a batch
         may ADD columns (old rows read them as null) or OMIT columns
-        (an old writer; its rows get nulls).  Changing an existing
-        column's type is not supported, as in Delta."""
+        (an old writer; its rows get nulls).  A column whose types
+        differ across the sides WIDENS when the change is lossless
+        (Delta type widening: up the integer chain, float→double,
+        sub-long integers→double); the committed schema adopts the
+        wider type while already-written narrow files stay put —
+        Spark 4's parquet readers apply the promotion at scan time
+        (probed: INT32 pages read fine under a bigint/double read
+        schema), so no rewrite is ever needed.  Lossy or unrelated
+        changes (long→int, string→int, ...) raise, as in Delta."""
+        at, bt = dict(a.dtypes), dict(b.dtypes)
+        for c in at.keys() & bt.keys():
+            if at[c] == bt[c]:
+                continue
+            w = SilverTable._widened_type(at[c], bt[c])
+            if w is None:
+                raise ValueError(
+                    f"column {c!r}: cannot merge type {bt[c]} into "
+                    f"{at[c]} — only lossless widenings are supported "
+                    "(tinyint<smallint<int<bigint, float<double, "
+                    "sub-long integers<double)"
+                )
+            if at[c] != w:
+                a = a.withColumn(c, F.col(c).cast(w))
+            if bt[c] != w:
+                b = b.withColumn(c, F.col(c).cast(w))
         at, bt = dict(a.dtypes), dict(b.dtypes)
         for c, t in bt.items():
             if c not in at:
@@ -1695,6 +1875,25 @@ class SilverTable:
             if c not in bt:
                 b = b.withColumn(c, F.lit(None).cast(t))
         return a, b
+
+    _INT_CHAIN = ("tinyint", "smallint", "int", "bigint")
+
+    @staticmethod
+    def _widened_type(ta: str, tb: str) -> str | None:
+        """The common lossless type of two Spark dtypes, or None.
+        bigint→double is refused (doubles hold 53 mantissa bits)."""
+        if ta == tb:
+            return ta
+        chain = SilverTable._INT_CHAIN
+        if ta in chain and tb in chain:
+            return chain[max(chain.index(ta), chain.index(tb))]
+        floats = {"float", "double"}
+        if ta in floats and tb in floats:
+            return "double"
+        small = set(chain[:3])
+        if (ta in small and tb in floats) or (tb in small and ta in floats):
+            return "double"
+        return None
 
     def _claim_generation(self) -> tuple[str, str]:
         """Reserve a fresh generation dir name.  ``mkdir`` is the atomic
@@ -1762,7 +1961,10 @@ class SilverTable:
           the layers; ``maybe_optimize`` bounds the depth."""
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"unknown write_mode {write_mode!r}")
-        batch, quarantined = self._enforce_constraints(batch, on_violation)
+        batch, synthetic = self._apply_generated(batch)
+        batch, quarantined = self._enforce_constraints(
+            batch, on_violation, extra=synthetic
+        )
         if quarantined is not None:
             quarantined.write.mode("append").parquet(
                 os.path.join(self.path, "_quarantine")
@@ -1978,17 +2180,17 @@ class SilverTable:
             fstats.update(new_fstats)
             # bloom bitmaps follow the same O(touched) maintenance
             blooms.update(self._harvest_blooms(list(written.values())))
-        if write_mode == "mor":
-            schema_df = merged
-            prev_schema = (
-                self.table_schema(current_gen) if current_gen else None
-            )
-            if prev_schema is not None:
-                # committed schema must stay a superset of every layer
-                empty = self.spark.createDataFrame([], prev_schema)
-                _, schema_df = self._align_schemas(empty, merged)
-        else:
-            schema_df = merged
+        # the committed schema must stay a (widened) superset of every
+        # generation's files in EVERY mode: a batch that omits columns
+        # and lands only in fresh buckets must not shrink the table
+        # schema (untouched buckets still hold the column), and a
+        # widened column type must be adopted table-wide so old narrow
+        # files read under the promoted type
+        schema_df = merged
+        prev_schema = self.table_schema(current_gen) if current_gen else None
+        if prev_schema is not None:
+            empty = self.spark.createDataFrame([], prev_schema)
+            _, schema_df = self._align_schemas(empty, merged)
         mf = {
             "buckets": buckets,
             "n_buckets": self.n_buckets,
@@ -2008,8 +2210,7 @@ class SilverTable:
         if cmap_new is not None:
             mf["colmap"] = cmap_new
             mf["retired"] = retired
-        with open(os.path.join(out, "manifest.json"), "w") as f:
-            json.dump(mf, f)
+        self._write_manifest(out, mf)
         if self._try_commit(current_gen, gen, locked=locked):
             return True, metrics
         # lost the race — but if the winner(s) touched DISJOINT buckets,
@@ -2097,8 +2298,7 @@ class SilverTable:
                         rebased[key][b] = ours[key][b]
                     else:
                         rebased[key].pop(b, None)
-            with open(os.path.join(out, "manifest.json"), "w") as f:
-                json.dump(rebased, f)
+            self._write_manifest(out, rebased)
             if self._try_commit(winner, gen):
                 return True
         return False

@@ -1,0 +1,90 @@
+"""Reader feature gating (Delta protocol readerFeatures parity) and
+O(metadata) row counts (Delta numRecords / Iceberg snapshot summary).
+
+A manifest stamped with a feature this reader does not implement must
+refuse loudly — a pre-DV reader pointed at a DV table would silently
+return deleted rows as live, which is strictly worse than an error.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from huracan_spark.pipeline.silver import SilverTable
+
+SCHEMA = "_id string, version_ long, deleted boolean, val long"
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _seed(spark, t, n=12):
+    t.merge(_mk(spark, [(f"k{i:02d}", 1, False, i) for i in range(n)]))
+
+
+def test_manifests_stamp_the_features_they_use(spark, tmp_path):
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    _seed(spark, t)
+    raw = t._manifest_raw(t.current_generation())
+    assert "features" not in raw  # plain COW needs no special reader
+    t.merge(_mk(spark, [("k00", 2, False, 100)]), write_mode="mor")
+    assert t._manifest_raw(t.current_generation())["features"] == ["mor"]
+    t.delete_where([("val", "=", 1)], write_mode="dv")
+    assert set(t._manifest_raw(t.current_generation())["features"]) == {
+        "mor",
+        "dv",
+    }
+    t.compact()  # absorbs both: back to plain
+    assert "features" not in t._manifest_raw(t.current_generation())
+    t.rename_column("val", "amount")
+    assert t._manifest_raw(t.current_generation())["features"] == ["colmap"]
+
+
+def test_unknown_reader_feature_refuses_loudly(spark, tmp_path):
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    _seed(spark, t)
+    gen = t.current_generation()
+    mfp = os.path.join(t.path, gen, "manifest.json")
+    with open(mfp) as f:
+        raw = json.load(f)
+    raw["features"] = ["dv", "paradox_vectors_v9"]
+    with open(mfp, "w") as f:
+        json.dump(raw, f)
+    fresh = SilverTable(spark, t.path, n_buckets=2)
+    with pytest.raises(ValueError, match="paradox_vectors_v9"):
+        fresh.read()
+
+
+def test_count_rows_matches_read_count_across_modes(spark, tmp_path):
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=4)
+    _seed(spark, t, 16)
+    assert t.count_rows() == t.read().count() == 16
+    # MOR layers: new key + an update (update must not double-count)
+    t.merge(
+        _mk(spark, [("zz", 1, False, 99), ("k00", 5, False, 50)]),
+        write_mode="mor",
+    )
+    assert t.count_rows() == t.read().count() == 17
+    # DV delete: tombstones stay state rows — count unchanged
+    t.delete_where([("val", "<", 3)], write_mode="dv")
+    assert t.count_rows() == t.read().count() == 17
+    t.compact()
+    assert t.count_rows() == t.read().count() == 17
+    assert t.detail()["rows"] == 17
+
+
+def test_count_rows_on_pure_cow_runs_no_spark_job(spark, tmp_path):
+    """The Delta numRecords contract: a pure copy-on-write table
+    answers from committed stats alone — metadata, not a scan."""
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=4)
+    _seed(spark, t, 16)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    n = t.count_rows()
+    after = tracker.getJobIdsForGroup(None)
+    assert n == 16
+    assert before == after, "count_rows launched a Spark job on pure COW"

@@ -1,0 +1,260 @@
+"""Schema robustness on MERGE: type widening (Delta typeWidening
+parity — lossless promotions adopt the wider type table-wide while
+already-written narrow files stay put, Spark 4's parquet readers
+promote at scan time) and the committed-schema superset invariant (a
+batch that omits columns and lands only in fresh buckets must not
+shrink the table schema).
+
+Reference parity: the reference's store is schemaless BSON
+(main/src/etl.rs:1244-1267 upserts whole documents), so widening is
+the typed-lakehouse analog of its "later writers may carry more/less
+shape" behavior.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from huracan_spark.pipeline.silver import SilverTable
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def _other_bucket_key(spark, n_buckets, avoid_key):
+    def bucket(k):
+        return (
+            spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(k)), F.lit(n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .first()
+            .b
+        )
+
+    ba = bucket(avoid_key)
+    return next(f"x{i}" for i in range(200) if bucket(f"x{i}") != ba)
+
+
+def test_omitting_batch_into_fresh_bucket_keeps_schema(spark, tmp_path):
+    """The committed schema is a superset invariant, not 'whatever the
+    last merge happened to union': a narrow batch landing ONLY in
+    buckets that held no prior state must not drop table columns."""
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=64)
+    t.merge(
+        _mk(
+            spark,
+            [("a", 1, False, 10)],
+            "_id string, version_ long, deleted boolean, val long",
+        )
+    )
+    k = _other_bucket_key(spark, 64, "a")
+    t.merge(
+        _mk(spark, [(k, 1, False)], "_id string, version_ long, deleted boolean")
+    )
+    got = {r._id: r.asDict() for r in t.read().collect()}
+    assert set(t.read().columns) == {"_id", "version_", "deleted", "val"}
+    assert got["a"]["val"] == 10
+    assert got[k]["val"] is None
+
+
+def test_int_widens_to_long_across_merges(spark, tmp_path):
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=4)
+    t.merge(
+        _mk(
+            spark,
+            [("a", 1, False, 10)],
+            "_id string, version_ long, deleted boolean, val int",
+        )
+    )
+    t.merge(
+        _mk(
+            spark,
+            [("b", 1, False, 2**40)],
+            "_id string, version_ long, deleted boolean, val long",
+        )
+    )
+    assert dict(t.read().dtypes)["val"] == "bigint"
+    got = {r._id: r.val for r in t.read().collect()}
+    assert got == {"a": 10, "b": 2**40}
+    # stats-pruned reads still work through the widened column
+    assert [r._id for r in t.read_where([("val", ">", 100)]).collect()] == ["b"]
+
+
+def test_float_and_int_widen_to_double(spark, tmp_path):
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=4)
+    t.merge(
+        _mk(
+            spark,
+            [("a", 1, False, 1.5)],
+            "_id string, version_ long, deleted boolean, v float",
+        )
+    )
+    t.merge(
+        _mk(
+            spark,
+            [("b", 1, False, 2.5)],
+            "_id string, version_ long, deleted boolean, v double",
+        )
+    )
+    t.merge(
+        _mk(
+            spark,
+            [("c", 1, False, 3)],
+            "_id string, version_ long, deleted boolean, v int",
+        )
+    )
+    assert dict(t.read().dtypes)["v"] == "double"
+    got = {r._id: r.v for r in t.read().collect()}
+    assert got == {"a": 1.5, "b": 2.5, "c": 3.0}
+
+
+def test_widening_applies_on_mor_layers_too(spark, tmp_path):
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    t.merge(
+        _mk(
+            spark,
+            [("a", 1, False, 7)],
+            "_id string, version_ long, deleted boolean, val int",
+        )
+    )
+    t.merge(
+        _mk(
+            spark,
+            [("a", 2, False, 2**40)],
+            "_id string, version_ long, deleted boolean, val long",
+        ),
+        write_mode="mor",
+    )
+    assert dict(t.read().dtypes)["val"] == "bigint"
+    assert [(r._id, r.val) for r in t.read().collect()] == [("a", 2**40)]
+    # compaction materializes the widened type
+    t.compact()
+    assert dict(t.read().dtypes)["val"] == "bigint"
+
+
+def test_lossy_type_change_raises(spark, tmp_path):
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    t.merge(
+        _mk(
+            spark,
+            [("a", 1, False, 10)],
+            "_id string, version_ long, deleted boolean, val long",
+        )
+    )
+    with pytest.raises(Exception, match="widen"):
+        t.merge(
+            _mk(
+                spark,
+                [("a", 2, False, "oops")],
+                "_id string, version_ long, deleted boolean, val string",
+            )
+        )
+    # bigint -> double is lossy (53 mantissa bits) and refused too
+    with pytest.raises(Exception, match="widen"):
+        t.merge(
+            _mk(
+                spark,
+                [("a", 2, False, 1.0)],
+                "_id string, version_ long, deleted boolean, val double",
+            )
+        )
+
+
+def test_bloom_int_probe_on_double_column_never_prunes(spark, tmp_path):
+    """A double column casts 1.0 to '1.0' while an int probe hashes
+    '1': the bitmap must not be consulted, or an equality lookup that
+    MATCHES (1 = 1.0) would prune its file away."""
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=1)
+    t.add_bloom_index("v", rebuild=False)
+    t.merge(
+        _mk(
+            spark,
+            [("a", 1, False, 1.0), ("b", 1, False, 2.0)],
+            "_id string, version_ long, deleted boolean, v double",
+        )
+    )
+    assert t.file_blooms(), "bitmaps harvested"
+    kept, skipped = t.prune_plan([("v", "=", 1)])
+    assert kept and not skipped
+    assert [r._id for r in t.read_where([("v", "=", 1)]).collect()] == ["a"]
+
+
+def test_bloom_stays_sound_across_int_chain_widening(spark, tmp_path):
+    """Integer widths all cast 7 to '7': bitmaps harvested from int
+    files keep pruning after the column widens to bigint."""
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=1)
+    t.add_bloom_index("val", rebuild=False)
+    t.merge(
+        _mk(
+            spark,
+            [("a", 1, False, 7)],
+            "_id string, version_ long, deleted boolean, val int",
+        )
+    )
+    t.merge(
+        _mk(
+            spark,
+            [("b", 1, False, 2**40)],
+            "_id string, version_ long, deleted boolean, val long",
+        )
+    )
+    # present value: kept; absent value: at least the old file prunes
+    kept_present, _ = t.prune_plan([("val", "=", 7)])
+    assert kept_present
+    assert [
+        r._id for r in t.read_where([("val", "=", 7)]).collect()
+    ] == ["a"]
+    kept_absent, _ = t.prune_plan([("val", "=", 12345)])
+    assert len(kept_absent) < len(kept_present) + 1 or kept_absent == []
+    assert t.read_where([("val", "=", 12345)]).count() == 0
+
+
+def test_diff_and_cdf_stream_across_widening(spark, tmp_path):
+    from huracan_spark.sources.silver_cdf_source import (
+        register_silver_cdf_source,
+    )
+
+    register_silver_cdf_source(spark)
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    t.merge(
+        _mk(
+            spark,
+            [("a", 1, False, 10)],
+            "_id string, version_ long, deleted boolean, val int",
+        )
+    )
+    g1 = t.current_generation()
+    t.merge(
+        _mk(
+            spark,
+            [("b", 1, False, 2**40)],
+            "_id string, version_ long, deleted boolean, val long",
+        )
+    )
+    g2 = t.current_generation()
+    d = {r._id: r.change_type for r in t.diff(g1, g2).collect()}
+    assert d == {"b": "insert"}
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("silver_cdf")
+        .option("path", t.path)
+        .option("starting", "earliest")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    feed = {
+        r._id: (r._change_type, r.val)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert feed == {"a": ("insert", 10), "b": ("insert", 2**40)}
