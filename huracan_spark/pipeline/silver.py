@@ -1520,6 +1520,65 @@ class SilverTable:
             self.merge(upd, write_mode=write_mode)
         return n
 
+    def files(self, generation: str | None = None) -> DataFrame | None:
+        """Metadata table of every file the generation references
+        (Iceberg ``files`` / Delta DESCRIBE DETAIL inspection surface):
+        ``(generation, bucket, layer, path, size_bytes, n_rows)`` where
+        layer is base/delta/dv.  Built from manifests + directory
+        listings — O(#files) metadata, no data file opened; n_rows
+        comes from the committed footer stats when present (base files
+        of stats-bearing commits), else null.  File count stays
+        bounded by buckets x referenced generations, which
+        ``maybe_optimize`` keeps small on continuous streams."""
+        gen = generation or self.current_generation()
+        if gen is None:
+            return None
+        raw = self._manifest_raw(gen)
+        fstats = raw.get("fstats", {})
+        entries = []
+
+        def _list(rel: str, bucket: str, layer: str):
+            d = os.path.join(self.path, rel)
+            if not os.path.isdir(d):
+                return
+            per_file = fstats.get(bucket, {}) if layer == "base" else {}
+            for fn in sorted(os.listdir(d)):
+                if not fn.endswith(".parquet"):
+                    continue
+                st = per_file.get(fn)
+                rows = (
+                    max((c.get("n_rows", 0) for c in st.values()), default=None)
+                    if st
+                    else None
+                )
+                entries.append(
+                    (
+                        gen,
+                        bucket,
+                        layer,
+                        os.path.join(rel, fn),
+                        os.path.getsize(os.path.join(d, fn)),
+                        rows,
+                    )
+                )
+
+        for b, rel in sorted(raw.get("buckets", {}).items()):
+            _list(rel, b, "base")
+        for b, rels in sorted(raw.get("deltas", {}).items()):
+            for rel in rels:
+                _list(rel, b, "delta")
+        seen = set()
+        for b, rels in sorted(raw.get("dvs", {}).items()):
+            for rel in rels:
+                if rel not in seen:  # one sidecar can mark many buckets
+                    seen.add(rel)
+                    _list(rel, b, "dv")
+        return self.spark.createDataFrame(
+            entries,
+            "generation string, bucket string, layer string, "
+            "path string, size_bytes long, n_rows long",
+        )
+
     def count_rows(self, generation: str | None = None) -> int | None:
         """O(metadata) state row count (Delta numRecords / Iceberg
         snapshot-summary parity): pure copy-on-write buckets answer

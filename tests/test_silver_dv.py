@@ -297,3 +297,47 @@ def test_cow_and_dv_deletes_converge_bit_identically(
             n2 = dv.delete_where(flt, write_mode="dv")
             assert n1 == n2
     assert _state(cow) == _state(dv)
+
+
+def test_concurrent_merge_and_dv_delete_serialize(spark, tmp_path):
+    """The DV DELETE holds the commit lock across read-mark-commit
+    (positions cannot rebase); a concurrent optimistic merge must
+    retry around it and neither commit may be lost."""
+    import threading
+
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=4)
+    _seed(spark, t, 12)
+    spark.sparkContext.setLogLevel("ERROR")
+    errs = []
+
+    def _merge():
+        try:
+            h = SilverTable(spark, t.path, n_buckets=4)
+            h.merge(
+                _rows(spark, [(f"m{i}", 1, False, 100 + i) for i in range(4)])
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def _delete():
+        try:
+            h = SilverTable(spark, t.path, n_buckets=4)
+            h.delete_where([("val", "<", 6)], write_mode="dv")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = [threading.Thread(target=_merge), threading.Thread(target=_delete)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs, errs
+    got = {r._id: (r.version_, r.deleted, r.val) for r in t.read().collect()}
+    # every merged key present and live
+    for i in range(4):
+        assert got[f"m{i}"] == (1, False, 100 + i)
+    # every originally-matching seeded key tombstoned at version 2
+    for i in range(6):
+        assert got[f"k{i:02d}"][1] is True, (i, got[f"k{i:02d}"])
+    for i in range(6, 12):
+        assert got[f"k{i:02d}"] == (1, False, i)

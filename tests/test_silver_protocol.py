@@ -88,3 +88,21 @@ def test_count_rows_on_pure_cow_runs_no_spark_job(spark, tmp_path):
     after = tracker.getJobIdsForGroup(None)
     assert n == 16
     assert before == after, "count_rows launched a Spark job on pure COW"
+
+
+def test_files_metadata_table(spark, tmp_path):
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    _seed(spark, t, 8)
+    t.merge(_mk(spark, [("zz", 1, False, 99)]), write_mode="mor")
+    t.delete_where([("val", "=", 0)], write_mode="dv")
+    df = t.files()
+    rows = df.collect()
+    layers = {r.layer for r in rows}
+    assert layers == {"base", "delta", "dv"}
+    assert all(r.size_bytes > 0 for r in rows)
+    # base n_rows come from footer stats; a delta'd bucket drops its
+    # per-file stats by design (file pruning is unsound there), so
+    # only the pure-COW bucket's base files carry counts
+    base_rows = sum(r.n_rows or 0 for r in rows if r.layer == "base")
+    assert base_rows > 0
+    assert df.schema["n_rows"].dataType.simpleString() == "bigint"

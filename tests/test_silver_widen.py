@@ -258,3 +258,134 @@ def test_diff_and_cdf_stream_across_widening(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert feed == {"a": ("insert", 10), "b": ("insert", 2**40)}
+
+
+def test_widening_composes_with_column_mapping(spark, tmp_path):
+    """A renamed column still widens: the physical parquet name stays
+    put while the committed logical schema adopts the wider type."""
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    t.merge(
+        _mk(
+            spark,
+            [("a", 1, False, 10)],
+            "_id string, version_ long, deleted boolean, val int",
+        )
+    )
+    t.rename_column("val", "amount")
+    t.merge(
+        _mk(
+            spark,
+            [("b", 1, False, 2**40)],
+            "_id string, version_ long, deleted boolean, amount long",
+        )
+    )
+    assert dict(t.read().dtypes)["amount"] == "bigint"
+    assert sorted((r._id, r.amount) for r in t.read().collect()) == [
+        ("a", 10),
+        ("b", 2**40),
+    ]
+    assert [
+        r._id for r in t.read_where([("amount", ">", 100)]).collect()
+    ] == ["b"]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_TYPES = ["int", "bigint", "float", "double"]
+
+
+@settings(
+    deadline=None,
+    max_examples=6,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.tuples(
+            st.sampled_from(_TYPES),  # the batch's val dtype
+            st.booleans(),  # write mode: cow / mor
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=3),  # key
+                    st.integers(min_value=1, max_value=4),  # version
+                    st.integers(min_value=0, max_value=100),  # value
+                ),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_widening_merge_property(spark, tmp_path_factory, batches):
+    """ANY sequence of merges whose val dtype wanders the widening
+    lattice converges to the same state as the pure-python golden,
+    with the committed type = the widest seen (ints stay exact,
+    int+float mixes land on double).  bigint batches use values > 2^33
+    so a lossy narrow would be observable."""
+    # bigint next to float/double is refused -- keep lattice-compatible
+    kinds = {t for t, _, _ in batches}
+    if "bigint" in kinds and ("float" in kinds or "double" in kinds):
+        return
+    root = tmp_path_factory.mktemp("widenprop")
+    t = SilverTable(spark, str(root / "t"), n_buckets=2)
+    golden = {}  # key -> (version, value)
+    chain = {"int": 0, "bigint": 1, "float": 0, "double": 1}
+    widest = None
+    for dtype, mor, rows in batches:
+        # one row per (key, version): equal-version in-batch duplicates
+        # with different payloads have no defined winner (K1 requires
+        # unique source keys) and would make the golden nondeterministic
+        uniq = {}
+        for k, v, x in rows:
+            uniq.setdefault((k, v), x)
+        payload = []
+        for (k, v), x in uniq.items():
+            val = x * (2**33) if dtype == "bigint" else x
+            if dtype in ("float", "double"):
+                val = float(x) + 0.5
+            payload.append((f"k{k}", v, False, val))
+        t.merge(
+            _mk(
+                spark,
+                payload,
+                f"_id string, version_ long, deleted boolean, val {dtype}",
+            ),
+            write_mode="mor" if mor else "cow",
+        )
+        # golden fold: strictly-higher version wins (stored wins ties);
+        # in-batch the last listed row of the max version wins is NOT
+        # guaranteed -- pre-reduce like merge_into: max version, and
+        # among equal versions any single row (values equal by key
+        # construction? no) -- so make in-batch versions unique per key
+        best = {}
+        for kk, v, _, val in payload:
+            cur = best.get(kk)
+            if cur is None or v > cur[0]:
+                best[kk] = (v, val)
+        for kk, (v, val) in best.items():
+            cur = golden.get(kk)
+            if cur is None or v > cur[0]:
+                golden[kk] = (v, float(val))
+        if widest is None:
+            widest = dtype
+        else:
+            fam_f = widest in ("float", "double") or dtype in ("float", "double")
+            if fam_f:
+                widest = (
+                    "double"
+                    if chain[widest] or chain[dtype] or widest != dtype
+                    else "float"
+                )
+            else:
+                widest = "bigint" if "bigint" in (widest, dtype) else "int"
+    got = {
+        r._id: (r.version_, float(r.val)) for r in t.read().collect()
+    }
+    assert got == golden
+    if "float" in kinds or "double" in kinds:
+        assert dict(t.read().dtypes)["val"] in ("float", "double")
+    elif "bigint" in kinds:
+        assert dict(t.read().dtypes)["val"] == "bigint"
