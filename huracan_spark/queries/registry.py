@@ -76,6 +76,7 @@ def _load_all_modules() -> None:
         silverq,
         similarity,
         sketches,
+        streamq,
         text,
         timeseries,
         tpch,

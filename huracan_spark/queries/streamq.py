@@ -1,0 +1,113 @@
+"""Driver-visible exercise of REAL Structured Streaming machinery.
+
+Every other streaming surface in the repo is pytest-covered (the
+driver's correctness gate compares batch DataFrames); this query puts
+an actual ``readStream`` file source -> event-time windowed aggregation
+-> ``foreachBatch`` state fold under the DuckDB oracle: the events
+fixture is staged to parquet, streamed back in MULTIPLE micro-batches
+(``maxFilesPerTrigger``), aggregated in update mode, and the
+last-update-wins fold of the emitted changes must equal the plain
+batch GROUP BY — exactly the convergence contract the reference's
+checkpoint-stream (etl.rs poll loop, SURVEY §2.7) relies on: totals
+are independent of how the stream was micro-batched.
+
+Update mode emits a changed group once per micro-batch that touches
+it; the LAST emission carries the running total, so folding by key
+converges to the batch answer for ANY batch split.  No watermark is
+set, so no row can be late-dropped — the query pins exactness (a
+production deployment bounds state with ``withWatermark`` and accepts
+the documented lateness cutoff instead; see streaming/windows.py).
+
+Scale notes: the foreachBatch fold collects only the CHANGED GROUP
+rows (|windows x event types|, a bounded grid — never raw events);
+the staged copy is one pass over the input and the stream reads files
+in parallel per micro-batch.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from huracan_spark.queries.registry import register
+from huracan_spark.sources.tables import load_table
+
+_SF_MATERIALIZED: dict[tuple, DataFrame] = {}
+
+_STREAM_TUMBLING_ORACLE = """
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "stream_tumbling_totals",
+    _STREAM_TUMBLING_ORACLE,
+    doc="a REAL availableNow stream (file source, >=2 micro-batches) "
+    "through an update-mode tumbling-window aggregation, folded "
+    "last-update-wins in foreachBatch — the final state must equal "
+    "the declarative batch GROUP BY regardless of micro-batching "
+    "(SURVEY §2.7 exactly-once convergence, driven under the oracle)",
+)
+def q_stream_tumbling_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "streamtumble")
+    cached = _SF_MATERIALIZED.get(key)
+    if cached is not None:
+        return cached
+
+    root = tempfile.mkdtemp(prefix="hs_streamq_")
+    staged = os.path.join(root, "in")
+    # stage through load_table (events.parquet is TIMESTAMP(NANOS); the
+    # loader owns the conversion) as timestamp-micros parquet the
+    # streaming file source reads natively; 4 files + 2-per-trigger
+    # forces the aggregation through multiple micro-batches
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(staged)
+
+    acc: dict[tuple, tuple] = {}
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        # bounded: only the groups this micro-batch CHANGED
+        for r in batch_df.collect():
+            acc[(r.window_start_ms, r.event_type)] = (r.n, r.sum_value)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged)
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias(
+                "window_start_ms"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", os.path.join(root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.createDataFrame(
+        [
+            (ws, et, int(n), float(sv))
+            for (ws, et), (n, sv) in sorted(acc.items())
+        ],
+        "window_start_ms long, event_type string, n long, sum_value double",
+    ).withColumn("sum_value", F.round("sum_value", 2))
+    out = out.localCheckpoint(eager=True)
+    _SF_MATERIALIZED[key] = out
+    return out
