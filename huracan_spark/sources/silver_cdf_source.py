@@ -220,6 +220,19 @@ class _SilverCdfStreamReader(DataSourceStreamReader):
         # downstream aggregate can fold -old/+new adjustments from the
         # feed ALONE, never touching the table
         self.preimages = options.get("preimages", "false").lower() == "true"
+        # admission control (Delta maxFilesPerTrigger analog): bound
+        # how many COMMITS one micro-batch may span, so a consumer
+        # whose trigger interval outpaces the table's commit rate
+        # catches up in bounded batches instead of one giant one.
+        # Effective from the SECOND planned batch of a run: the engine
+        # asks for latestOffset before initialOffset, and seeding the
+        # position from `starting` instead would regress committed
+        # offsets after a restart (duplicate emission) — so the first
+        # batch of each run is uncapped, exactly like Delta's
+        # maxFilesPerTrigger under Trigger.Once.  Correctness never
+        # depends on the cap.
+        self.max_gens = int(options.get("max_generations_per_batch", "0"))
+        self._pos: str | None = None
         self.cmap = _colmap(self.path)
 
     def initialOffset(self) -> dict:
@@ -227,19 +240,38 @@ class _SilverCdfStreamReader(DataSourceStreamReader):
             # "" = before the first commit: the first micro-batch
             # emits the oldest generation's content as inserts (Delta's
             # startingVersion=0 includes the initial adds), then pairs
-            return {"generation": ""}
-        if self.starting == "latest":
-            return {"generation": _current(self.path) or ""}
-        if self.starting not in _gens(self.path):
-            raise ValueError(
-                f"unknown starting generation {self.starting!r}"
-            )
-        return {"generation": self.starting}
+            off = {"generation": ""}
+        elif self.starting == "latest":
+            off = {"generation": _current(self.path) or ""}
+        else:
+            if self.starting not in _gens(self.path):
+                raise ValueError(
+                    f"unknown starting generation {self.starting!r}"
+                )
+            off = {"generation": self.starting}
+        self._pos = off["generation"]
+        return off
 
     def latestOffset(self) -> dict:
-        return {"generation": _current(self.path) or ""}
+        cur = _current(self.path) or ""
+        if not self.max_gens or self._pos is None or not cur:
+            return {"generation": cur}
+        gens = _gens(self.path)
+        hi = gens.index(cur)
+        if self._pos == "":
+            # the initial snapshot counts as the first step
+            capped = min(self.max_gens - 1, hi)
+        else:
+            if self._pos not in gens:
+                return {"generation": cur}  # vacuumed: partitions() raises
+            capped = min(gens.index(self._pos) + self.max_gens, hi)
+        return {"generation": gens[capped]}
 
     def partitions(self, start: dict, end: dict):
+        # track planned progress so the NEXT latestOffset caps relative
+        # to this batch's end (also re-seeds the position on restart,
+        # when the engine replans from its checkpoint)
+        self._pos = end["generation"]
         gens = _gens(self.path)
         s, e = start["generation"], end["generation"]
         if not e or s == e:
@@ -250,6 +282,13 @@ class _SilverCdfStreamReader(DataSourceStreamReader):
                 "vacuumed or corrupted past this stream's offset"
             )
         hi = gens.index(e)
+        if s and s in gens and gens.index(s) > hi:
+            # defense in depth: an end offset BEHIND the start would
+            # regress the committed position and re-emit pairs on the
+            # next batch — refuse instead of silently planning it
+            raise ValueError(
+                f"offset inversion: start {s!r} is ahead of end {e!r}"
+            )
         parts = []
         if s:
             if s not in gens:

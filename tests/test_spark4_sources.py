@@ -526,3 +526,71 @@ def test_cdf_stream_fails_loudly_past_vacuum_horizon(spark, tmp_path):
             {"generation": gone},
             {"generation": t.current_generation()},
         )
+
+
+def test_silver_cdf_max_generations_per_batch(spark, tmp_path):
+    """Admission control (Delta maxFilesPerTrigger analog): a consumer
+    whose trigger outpaces the table's commit rate catches up in
+    bounded micro-batches — after the (uncapped) first batch of the
+    run, every planned batch spans at most max_generations_per_batch
+    commits."""
+    import os
+    import time
+
+    from huracan_spark.pipeline.silver import SilverTable
+    from huracan_spark.sources.silver_cdf_source import (
+        register_silver_cdf_source,
+    )
+
+    register_silver_cdf_source(spark)
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+
+    def _row(i):
+        return spark.createDataFrame(
+            [(f"k{i}", 1, False, i)],
+            "_id string, version_ long, deleted boolean, val long",
+        )
+
+    t.merge(_row(0))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("silver_cdf")
+        .option("path", t.path)
+        .option("starting", "earliest")
+        .option("max_generations_per_batch", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+
+    def _count():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    deadline = time.time() + 120
+    while _count() < 1 and time.time() < deadline:
+        time.sleep(0.5)
+    assert _count() >= 1, "initial snapshot batch never arrived"
+    # backlog: 4 commits land between triggers
+    for i in range(1, 5):
+        t.merge(_row(i))
+        time.sleep(0.003)
+    while _count() < 5 and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    got = sorted(r._id for r in spark.read.parquet(out).collect())
+    assert got == [f"k{i}" for i in range(5)]
+    batches = [
+        o
+        for o in os.listdir(os.path.join(ck, "offsets"))
+        if not o.startswith(".")
+    ]
+    # snapshot batch + >=4 capped catch-up batches (one per commit)
+    assert len(batches) >= 5, batches
