@@ -28,8 +28,10 @@ from huracan_spark.pipeline.silver import SilverTable
 
 _OP = st.one_of(
     st.tuples(
-        st.just("merge"),
-        st.sampled_from(["cow", "mor"]),
+        # mode "cow:int" merges the batch with an INT payload column:
+        # the committed bigint schema must widen/promote transparently
+        # (type-widening interplay with every other feature)
+        st.sampled_from(["cow", "mor", "cow:int", "mor:int"]),
         st.lists(
             st.tuples(
             st.integers(min_value=0, max_value=4),  # key
@@ -40,7 +42,7 @@ _OP = st.one_of(
             min_size=1,
             max_size=4,
         ),
-    ),
+    ).map(lambda t: ("merge", t[0], t[1])),
     st.tuples(
         st.just("delete"),
         st.sampled_from(["cow", "mor", "dv"]),
@@ -126,11 +128,13 @@ def test_silver_lakehouse_torture(spark, tmp_path_factory, ops, restore_pick):
             batch = list(
                 {(k, v): (k, v, d, x) for (k, v, d, x) in payload}.values()
             )
+            mode, _, narrow = arg.partition(":")
+            dtype = "int" if narrow else "long"
             df = spark.createDataFrame(
                 [(f"k{k}", v, d, None if d else x) for (k, v, d, x) in batch],
-                f"_id string, version_ long, deleted boolean, {col} long",
+                f"_id string, version_ long, deleted boolean, {col} {dtype}",
             )
-            t.merge(df, write_mode=arg)
+            t.merge(df, write_mode=mode)
             _golden_merge(model, batch)
         elif op == "delete":
             if not model:
