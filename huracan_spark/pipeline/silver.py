@@ -1520,6 +1520,43 @@ class SilverTable:
             self.merge(upd, write_mode=write_mode)
         return n
 
+    def _commit_ts_ms(self, generation: str) -> int:
+        """Commit wall time: the manifest's recorded ts_ms, falling
+        back to the millisecond stamp in the generation name."""
+        try:
+            ts = self._manifest_raw(generation).get("commit", {}).get("ts_ms")
+            if ts is not None:
+                return int(ts)
+        except FileNotFoundError:
+            pass
+        try:
+            return int(generation.split("-")[1])
+        except (IndexError, ValueError):
+            return 0
+
+    def partitions(self, generation: str | None = None) -> DataFrame | None:
+        """Per-bucket rollup of ``files()`` (the Iceberg ``partitions``
+        metadata table): file/layer counts, bytes, and stats-known rows
+        per bucket — the skew/fragmentation inspection surface."""
+        df = self.files(generation)
+        if df is None:
+            return None
+        return (
+            df.groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_files"),
+                F.sum(
+                    F.when(F.col("layer") == "delta", 1).otherwise(0)
+                ).cast("long").alias("n_delta_files"),
+                F.sum(
+                    F.when(F.col("layer") == "dv", 1).otherwise(0)
+                ).cast("long").alias("n_dv_files"),
+                F.sum("size_bytes").alias("total_bytes"),
+                F.sum("n_rows").alias("stats_rows"),
+            )
+            .orderBy("bucket")
+        )
+
     def files(self, generation: str | None = None) -> DataFrame | None:
         """Metadata table of every file the generation references
         (Iceberg ``files`` / Delta DESCRIBE DETAIL inspection surface):
@@ -1636,10 +1673,18 @@ class SilverTable:
 
     # -- vacuum ---------------------------------------------------------
 
-    def vacuum(self, keep: int = 3, dry_run: bool = False) -> list[str]:
+    def vacuum(
+        self,
+        keep: int = 3,
+        dry_run: bool = False,
+        retention_ms: int | None = None,
+    ) -> list[str]:
         """Drop old generations, but NEVER data still referenced by a
         retained generation: the retained set is (newest ``keep``
-        generations + current), closed transitively over manifest
+        generations + current + every generation committed within
+        ``retention_ms``, when given — the ``VACUUM ... RETAIN``
+        time-based guard; time only EXTENDS protection, it never
+        shrinks the keep-count set), closed transitively over manifest
         references, so every retained generation remains readable.
         ``dry_run=True`` (VACUUM DRY RUN) only reports what would be
         removed.  Returns removed (or removable) generation names."""
@@ -1650,6 +1695,11 @@ class SilverTable:
         kept = set(gens[-keep:]) if keep else set()
         if current:
             kept.add(current)
+        if retention_ms is not None:
+            cutoff = int(time.time() * 1000) - retention_ms
+            for g in gens:
+                if self._commit_ts_ms(g) >= cutoff:
+                    kept.add(g)
         # transitive closure over flattened manifest references
         work = list(kept)
         while work:

@@ -106,3 +106,34 @@ def test_files_metadata_table(spark, tmp_path):
     base_rows = sum(r.n_rows or 0 for r in rows if r.layer == "base")
     assert base_rows > 0
     assert df.schema["n_rows"].dataType.simpleString() == "bigint"
+
+
+def test_partitions_metadata_rollup(spark, tmp_path):
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    _seed(spark, t, 8)
+    t.merge(_mk(spark, [("zz", 1, False, 99)]), write_mode="mor")
+    p = {r.bucket: r for r in t.partitions().collect()}
+    assert set(p) == set(t.manifest(t.current_generation()))
+    assert all(r.n_files >= 1 and r.total_bytes > 0 for r in p.values())
+    assert sum(r.n_delta_files for r in p.values()) >= 1
+
+
+def test_vacuum_time_retention_extends_protection(spark, tmp_path):
+    """retention_ms keeps recently-committed generations alive even
+    when the keep-count would drop them (VACUUM RETAIN semantics)."""
+    import time
+
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    for i in range(4):
+        t.merge(_mk(spark, [(f"k{i}", 1, False, i)]))
+        time.sleep(0.002)
+    gens = t.generations()
+    # everything committed "just now": a 1-hour retention keeps all,
+    # even with keep=1
+    assert t.vacuum(keep=1, retention_ms=3_600_000, dry_run=True) == []
+    # zero retention degrades to pure keep-count behavior
+    removable = t.vacuum(keep=1, retention_ms=0, dry_run=True)
+    assert removable == t.vacuum(keep=1, dry_run=True)
+    assert set(removable) <= set(gens)
+    t.vacuum(keep=1, retention_ms=3_600_000)
+    assert t.generations() == gens, "time guard must prevent removal"
