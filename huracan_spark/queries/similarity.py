@@ -1189,3 +1189,91 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(correct.cast("double") / F.count("*"), 6).alias("accuracy"),
         )
     )
+
+
+_CENTROID_DRIFT_ORACLE = f"""
+WITH e AS (
+  SELECT label, vec_id % 2 AS epoch, embedding FROM embeddings
+),
+comp AS (
+  SELECT label, epoch, dim.d AS pos, round(avg(embedding[dim.d]), 9) AS m
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS d) dim
+  GROUP BY 1, 2, 3
+),
+paired AS (
+  SELECT a.label, a.m AS m0, b.m AS m1
+  FROM comp a JOIN comp b ON a.label = b.label AND a.pos = b.pos
+  WHERE a.epoch = 0 AND b.epoch = 1
+),
+agg AS (
+  SELECT label,
+         round(sqrt(sum((m0 - m1) * (m0 - m1))), 6) AS l2_shift,
+         round(sum(m0 * m1)
+               / (sqrt(sum(m0 * m0)) * sqrt(sum(m1 * m1))), 6)
+           AS centroid_cos
+  FROM paired GROUP BY 1
+),
+counts AS (
+  SELECT label,
+         CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (WHERE vec_id % 2 = 1) AS BIGINT) AS n_b
+  FROM embeddings GROUP BY 1
+)
+SELECT c.label, c.n_a, c.n_b, a.l2_shift, a.centroid_cos
+FROM counts c JOIN agg a ON a.label = c.label
+"""
+
+
+@register(
+    "embedding_centroid_drift",
+    _CENTROID_DRIFT_ORACLE,
+    doc="embedding-space drift monitor: per label, the centroid SHIFT "
+    "between two ingestion epochs (vec_id parity) as L2 distance and "
+    "centroid-vs-centroid cosine — detects encoder-version or "
+    "distribution drift between pipeline runs.  Scale shape: the "
+    "posexplode fans out 64x but map-side partial aggregation folds to "
+    "the |labels| x dims x 2 grid before the one shuffle; no vector "
+    "leaves the grid",
+)
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", "embedding",
+        (F.col("vec_id") % 2).cast("int").alias("epoch"),
+    )
+    comp = (
+        e.select(
+            "label", "epoch", F.posexplode("embedding").alias("pos", "v")
+        )
+        .groupBy("label", "epoch", "pos")
+        .agg(F.round(F.avg("v"), 9).alias("m"))
+    )
+    a = comp.filter(F.col("epoch") == 0).select(
+        "label", "pos", F.col("m").alias("m0")
+    )
+    b = comp.filter(F.col("epoch") == 1).select(
+        "label", "pos", F.col("m").alias("m1")
+    )
+    agg = (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("m0") - F.col("m1")) ** 2)), 6
+            ).alias("l2_shift"),
+            F.round(
+                F.sum(F.col("m0") * F.col("m1"))
+                / (
+                    F.sqrt(F.sum(F.col("m0") ** 2))
+                    * F.sqrt(F.sum(F.col("m1") ** 2))
+                ),
+                6,
+            ).alias("centroid_cos"),
+        )
+    )
+    counts = e.groupBy("label").agg(
+        F.count(F.when(F.col("epoch") == 0, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("epoch") == 1, 1)).cast("long").alias("n_b"),
+    )
+    return counts.join(agg, "label").select(
+        "label", "n_a", "n_b", "l2_shift", "centroid_cos"
+    )
