@@ -1034,3 +1034,74 @@ def test_stateful_dedup_on_rocksdb_state_store(spark, tmp_path):
     # emits 1 and 3; batch 2 emits 4 AND the lower 2 (a live version is
     # never a floor for lower versions — cross-batch DLQ fallback)
     assert got == {("a", 1), ("a", 2), ("a", 3), ("a", 4)}
+
+
+def test_medallion_end_to_end_with_dv_delete(spark, tmp_path):
+    """The full medallion wiring in one flow: bronze file stream ->
+    silver via MOR streaming MERGE -> a deletion-vector DELETE landing
+    BETWEEN runs (metadata-only, marks positions in base and delta
+    layers) -> resumed ingest whose equal-version live arrival must
+    lose to the DV tombstone -> a decoupled gold view fed ONLY by the
+    CDF stream.  Final state equals the batch-driven golden and the
+    gold aggregate equals a recompute of the final table."""
+    from huracan_spark.pipeline.incr_view import grouped_view
+    from huracan_spark.streaming.gold_view import (
+        read_gold_view,
+        run_gold_view,
+    )
+
+    content = _pt_content(spark)
+    part1 = [
+        (_PT_KEYS[0], 1, False, 2000),
+        (_PT_KEYS[1], 1, False, 2001),
+        (_PT_KEYS[2], 1, False, 2002),
+        (_PT_KEYS[1], 2, False, 2003),
+    ]
+    part2 = [
+        (_PT_KEYS[0], 2, False, 2004),  # ties the DV tombstone: loses
+        (_PT_KEYS[2], 4, False, 2005),  # revives above the tombstone
+        (_PT_KEYS[1], 4, False, 2006),
+    ]
+
+    golden = SilverTable(spark, str(tmp_path / "golden"), n_buckets=4)
+    run_backfill(spark, _pt_changes(spark, part1), content, golden)
+    golden.delete_where([("version_", "<", 2)], write_mode="cow")
+    run_backfill(spark, _pt_changes(spark, part2), content, golden)
+    expected = sorted(map(tuple, golden.read().collect()))
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    for row in part1:
+        _pt_changes(spark, [row]).coalesce(1).write.mode("append").parquet(
+            feed
+        )
+    s = SilverTable(spark, str(tmp_path / "stream"), n_buckets=4)
+    cfg = StreamConfig(
+        checkpoint_dir=str(tmp_path / "ckpt"), merge_write_mode="mor"
+    )
+    _await(
+        run_stream(spark, changes_file_stream(spark, feed, 1), content, s, cfg)
+    )
+    n = s.delete_where([("version_", "<", 2)], write_mode="dv")
+    assert n == 2 and s.dvs(), "DV delete must mark the two v1 keys"
+    for row in part2:
+        _pt_changes(spark, [row]).coalesce(1).write.mode("append").parquet(
+            feed
+        )
+    _await(
+        run_stream(spark, changes_file_stream(spark, feed, 1), content, s, cfg)
+    )
+    assert sorted(map(tuple, s.read().collect())) == expected
+
+    view, ck2 = str(tmp_path / "gold"), str(tmp_path / "gold_ck")
+    q = run_gold_view(spark, s.path, view, "owner_kind", "version_", ck2)
+    q.awaitTermination(120)
+
+    def _snap(df):
+        return sorted(
+            (r.owner_kind, r.n_rows, r.sum_value) for r in df.collect()
+        )
+
+    assert _snap(read_gold_view(spark, view)) == _snap(
+        grouped_view(s.read(), "owner_kind", "version_")
+    )
