@@ -1277,3 +1277,55 @@ def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(agg, "label").select(
         "label", "n_a", "n_b", "l2_shift", "centroid_cos"
     )
+
+
+_FILTERED_KNN_ORACLE = f"""
+WITH n AS ({_NORMALIZED_SQL}),
+q AS (SELECT vec_id, label, nemb FROM n WHERE vec_id < {N_QUERIES}),
+sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round({_dot_sql('q.nemb', 'e.nemb')}, 6) AS cosine
+  FROM q JOIN n e ON e.label <> q.label
+)
+SELECT query_id, neighbor_id, cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM sims
+) WHERE rn <= {TOP_K}
+"""
+
+
+@register(
+    "ann_filtered_search",
+    _FILTERED_KNN_ORACLE,
+    doc=f"filtered vector search: top-{TOP_K} cosine neighbors for "
+    f"{N_QUERIES} probes among vectors whose LABEL DIFFERS from the "
+    "probe's — the attribute predicate applies DURING candidate "
+    "generation (pre-filter), not to the result, so the top-k is over "
+    "the admissible set only.  Scale shape: probes broadcast, the "
+    "corpus filter is a pushed-down join predicate, corpus never "
+    "shuffles; the window partitions by probe id (|Q| bounded)",
+)
+def q_ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _normalized(_emb(spark, sf_dir)).persist()
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("nemb").alias("q_emb"),
+    )
+    sims = n.join(
+        F.broadcast(q), F.col("label") != F.col("q_label")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_dot(F.col("q_emb"), F.col("nemb")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
