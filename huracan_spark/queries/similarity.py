@@ -1329,3 +1329,199 @@ def q_ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+# -- MMR diversified retrieval ------------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedily pick
+# items maximizing lambda*relevance - (1-lambda)*max-similarity-to-
+# already-selected — the diversified top-k used to de-redundify
+# retrieval pools when curating training data.  The greedy loop is
+# depth-bounded (3 picks) so both engines unroll it EXACTLY: every
+# cosine is rounded to 6 before entering a score, every score rounded
+# to 6 before the argmax, ties broken by neighbor_id — the same
+# fixed-order arithmetic on both sides (the quality_logreg_train
+# unrolling pattern).
+
+MMR_LAMBDA = 0.7
+MMR_POOL = 10
+MMR_K = 3
+
+_MMR_ORACLE = f"""
+WITH n AS ({_NORMALIZED_SQL}),
+q AS (SELECT vec_id, nemb FROM n WHERE vec_id < {N_QUERIES}),
+pool AS (
+  SELECT * FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.nemb,
+           round({_dot_sql('q.nemb', 'e.nemb')}, 6) AS rel,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({_dot_sql('q.nemb', 'e.nemb')}, 6) DESC,
+                      e.vec_id
+           ) AS rn
+    FROM q JOIN n e ON e.vec_id <> q.vec_id
+  ) WHERE rn <= {MMR_POOL}
+),
+s1 AS (
+  SELECT query_id, neighbor_id, nemb, rel FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, neighbor_id
+    ) AS r FROM pool
+  ) WHERE r = 1
+),
+sc2 AS (
+  SELECT p.query_id, p.neighbor_id, p.nemb, p.rel,
+         round({MMR_LAMBDA} * p.rel
+               - {round(1 - MMR_LAMBDA, 6)}
+                 * round({_dot_sql('p.nemb', 's1.nemb')}, 6), 6) AS score
+  FROM pool p JOIN s1 ON s1.query_id = p.query_id
+  WHERE p.neighbor_id <> s1.neighbor_id
+),
+s2 AS (
+  SELECT query_id, neighbor_id, nemb, rel FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id
+    ) AS r FROM sc2
+  ) WHERE r = 1
+),
+sc3 AS (
+  SELECT p.query_id, p.neighbor_id, p.rel,
+         round({MMR_LAMBDA} * p.rel
+               - {round(1 - MMR_LAMBDA, 6)}
+                 * greatest(round({_dot_sql('p.nemb', 's1.nemb')}, 6),
+                            round({_dot_sql('p.nemb', 's2.nemb')}, 6)),
+               6) AS score
+  FROM pool p
+  JOIN s1 ON s1.query_id = p.query_id
+  JOIN s2 ON s2.query_id = p.query_id
+  WHERE p.neighbor_id <> s1.neighbor_id
+    AND p.neighbor_id <> s2.neighbor_id
+),
+s3 AS (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id
+    ) AS r FROM sc3
+  ) WHERE r = 1
+)
+SELECT query_id, CAST(1 AS BIGINT) AS rank, neighbor_id, rel
+  AS relevance FROM s1
+UNION ALL
+SELECT query_id, CAST(2 AS BIGINT) AS rank, neighbor_id, rel
+  AS relevance FROM s2
+UNION ALL
+SELECT query_id, CAST(3 AS BIGINT) AS rank, neighbor_id, rel
+  AS relevance FROM s3
+"""
+
+
+@register(
+    "mmr_diversified_topk",
+    _MMR_ORACLE,
+    doc=f"Maximal Marginal Relevance retrieval: from each probe's "
+    f"top-{MMR_POOL} relevance pool, greedily pick {MMR_K} items "
+    f"maximizing lambda*rel - (1-lambda)*max-cos-to-selected — the "
+    "diversified top-k that de-redundifies retrieval pools in "
+    "training-data curation.  Scale shape: the pool bound makes every "
+    "greedy step a |Q| x pool-sized join (probes and selections "
+    "broadcast); the corpus participates only in the one pool scan",
+)
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lam = MMR_LAMBDA
+    mu = round(1 - MMR_LAMBDA, 6)
+    n = _normalized(_emb(spark, sf_dir)).persist()
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("nemb").alias("q_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id")
+    )
+    pool = (
+        n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "nemb",
+            F.round(_dot(F.col("q_emb"), F.col("nemb")), 6).alias("rel"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_POOL)
+        .drop("rn")
+        .persist()
+    )
+
+    def _argmax(df, score_col):
+        return df.groupBy("query_id").agg(
+            F.max_by(
+                F.struct("neighbor_id", "nemb", "rel"),
+                F.struct(F.col(score_col), -F.col("neighbor_id")),
+            ).alias("_w")
+        ).select(
+            "query_id",
+            F.col("_w.neighbor_id").alias("sel_id"),
+            F.col("_w.nemb").alias("sel_emb"),
+            F.col("_w.rel").alias("sel_rel"),
+        )
+
+    s1 = _argmax(pool, "rel")
+    sc2 = (
+        pool.join(F.broadcast(s1), "query_id")
+        .filter(F.col("neighbor_id") != F.col("sel_id"))
+        .withColumn(
+            "score",
+            F.round(
+                lam * F.col("rel")
+                - mu * F.round(_dot(F.col("nemb"), F.col("sel_emb")), 6),
+                6,
+            ),
+        )
+    )
+    s2 = _argmax(sc2, "score")
+    sc3 = (
+        pool.join(
+            F.broadcast(
+                s1.select(
+                    "query_id",
+                    F.col("sel_id").alias("id1"),
+                    F.col("sel_emb").alias("emb1"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                s2.select(
+                    "query_id",
+                    F.col("sel_id").alias("id2"),
+                    F.col("sel_emb").alias("emb2"),
+                )
+            ),
+            "query_id",
+        )
+        .filter(
+            (F.col("neighbor_id") != F.col("id1"))
+            & (F.col("neighbor_id") != F.col("id2"))
+        )
+        .withColumn(
+            "score",
+            F.round(
+                lam * F.col("rel")
+                - mu
+                * F.greatest(
+                    F.round(_dot(F.col("nemb"), F.col("emb1")), 6),
+                    F.round(_dot(F.col("nemb"), F.col("emb2")), 6),
+                ),
+                6,
+            ),
+        )
+    )
+    s3 = _argmax(sc3, "score")
+
+    def _out(s, rank):
+        return s.select(
+            "query_id",
+            F.lit(rank).cast("long").alias("rank"),
+            F.col("sel_id").alias("neighbor_id"),
+            F.col("sel_rel").alias("relevance"),
+        )
+
+    return _out(s1, 1).unionAll(_out(s2, 2)).unionAll(_out(s3, 3))
