@@ -850,6 +850,39 @@ class SilverTable:
             return clean, quarantined
         raise ValueError(f"unknown on_violation mode: {on_violation!r}")
 
+    def replay_quarantine(self) -> int:
+        """Re-admit quarantined rows that NOW pass the table's checks —
+        the sink-edge replay loop (K7's retry-DLQ contract at the
+        quarantine): after a constraint is dropped, relaxed, or the
+        offending upstream is fixed and a touch-up batch is expected,
+        passing rows MERGE through the normal versioned path (so the
+        usual total order still decides against newer stored state)
+        and the quarantine rewrites to only the still-failing rows.
+        Returns the number of rows re-admitted.  Idempotent: a second
+        call finds nothing newly passing."""
+        q = self.read_quarantine()
+        if q is None:
+            return 0
+        rows = q.drop("_violated", "_quarantined_ts_ms").localCheckpoint(
+            eager=True
+        )
+        passing, _ = self._enforce_constraints(rows, "drop")
+        passing = passing.localCheckpoint(eager=True)
+        n = passing.count()
+        if n == 0:
+            return 0
+        still_failing = self._enforce_constraints(rows, "quarantine")[1]
+        self.merge(passing)
+        # rewrite the quarantine to the residue (lineage was cut above,
+        # so overwriting the dir the frames came from is safe)
+        import shutil
+
+        qdir = os.path.join(self.path, "_quarantine")
+        shutil.rmtree(qdir, ignore_errors=True)
+        if still_failing is not None and still_failing.count() > 0:
+            still_failing.write.mode("overwrite").parquet(qdir)
+        return n
+
     def read_quarantine(self) -> DataFrame | None:
         """Rows rejected by quarantine-mode merges, with the violated
         constraint names (``_violated``) and rejection timestamp —

@@ -492,3 +492,42 @@ def test_constraints_persist_across_table_handles(spark, tmp_path):
     assert SilverTable(spark, path).constraints() == {}
     reopened.merge(_rows(spark, [("a", -1, False, "t", 1)]))
     assert reopened.read().count() == 1
+
+
+def test_replay_quarantine_readmits_passing_rows(spark, tmp_path):
+    """The sink-edge replay loop: after a constraint is dropped, rows
+    it quarantined re-admit through the normal versioned MERGE; rows
+    still failing OTHER constraints stay quarantined."""
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    t.add_check("pos", "val > 0")
+    t.add_check("small", "val < 100")
+    rows = spark.createDataFrame(
+        [
+            ("ok", 1, False, 5),
+            ("neg", 1, False, -1),     # fails pos
+            ("huge", 1, False, 500),   # fails small
+        ],
+        "_id string, version_ long, deleted boolean, val long",
+    )
+    t.merge(rows, on_violation="quarantine")
+    assert {r._id for r in t.read().collect()} == {"ok"}
+    assert t.read_quarantine().count() == 2
+    # nothing passes yet: replay is a no-op
+    assert t.replay_quarantine() == 0
+    assert t.read_quarantine().count() == 2
+    # relax one constraint: only its victims re-admit
+    t.drop_check("pos")
+    assert t.replay_quarantine() == 1
+    got = {r._id: r.val for r in t.read().collect()}
+    assert got == {"ok": 5, "neg": -1}
+    q = t.read_quarantine()
+    assert [(r._id, list(r._violated)) for r in q.collect()] == [
+        ("huge", ["small"])
+    ]
+    # idempotent
+    assert t.replay_quarantine() == 0
+    # relax the rest: quarantine drains completely
+    t.drop_check("small")
+    assert t.replay_quarantine() == 1
+    assert t.read_quarantine() is None
+    assert {r._id for r in t.read().collect()} == {"ok", "neg", "huge"}
