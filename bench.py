@@ -14,6 +14,16 @@ floor-measurement methodology (GC stalls land on random queries, so
 per-query minima over repeats are the stable signal; a single-run
 total scatters with ambient load).  ``value`` is then the sum of
 minima and the line carries "repeat": N.
+
+Shared-materialization attribution: pipelines built ONCE per (app,
+sf_dir) — dedup label tables, silver on-disk drives, the streaming
+staging run — report their one-time build cost under ``groups``
+(first-consumer attribution via ``queries/matcost.py``), and the
+member queries' numbers are the steady cached-read costs.  Without
+this, whichever member ran first absorbed the whole build in its
+number while the published floor (a warm-cache minimum) didn't, and
+every bench diff flagged phantom ">100x" regressions on it.
+``value`` = sum of per-query times + sum of group build costs.
 """
 
 from __future__ import annotations
@@ -40,7 +50,11 @@ def main() -> None:
     for df in load_all(spark, sf_dir).values():
         df.count()
 
+    from huracan_spark.queries import matcost
+
+    matcost.drain()  # table warm-up must not charge any group
     per_query: dict[str, float] = {}
+    groups: dict[str, float] = {}
     for _ in range(repeat):
         for name, spec in sorted(REGISTRY.items()):
             t0 = time.perf_counter()
@@ -48,7 +62,13 @@ def main() -> None:
             # noop sink: full plan execution (count() would let Catalyst
             # prune projection-only work like hash/fingerprint columns)
             df.write.mode("overwrite").format("noop").save()
-            dt = round(time.perf_counter() - t0, 4)
+            dt = time.perf_counter() - t0
+            # shared builds triggered by this query are charged to their
+            # named group, not to whichever member happened to run first
+            for grp, cost in matcost.drain():
+                groups[grp] = round(groups.get(grp, 0.0) + cost, 4)
+                dt -= cost
+            dt = round(max(dt, 0.0), 4)
             prev = per_query.get(name)
             per_query[name] = dt if prev is None else min(prev, dt)
             # drop per-query DataFrame persists so caches from earlier
@@ -56,7 +76,7 @@ def main() -> None:
             # shared state — e.g. the dedup cluster-labels table — is RDD
             # blocks, not catalog cache, and survives this on purpose)
             spark.catalog.clearCache()
-    total = round(sum(per_query.values()), 4)
+    total = round(sum(per_query.values()) + sum(groups.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -64,6 +84,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "groups": groups,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if repeat > 1:

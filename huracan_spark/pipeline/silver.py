@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from huracan_spark.operators.compaction import latest_state, merge_into
 from huracan_spark.pipeline import bloom, skipping
+from huracan_spark.pipeline.features import READER_FEATURES
 
 __all__ = ["SilverTable", "MergeMetrics", "CommitConflict", "ConstraintViolation"]
 
@@ -859,29 +860,53 @@ class SilverTable:
         usual total order still decides against newer stored state)
         and the quarantine rewrites to only the still-failing rows.
         Returns the number of rows re-admitted.  Idempotent: a second
-        call finds nothing newly passing."""
-        q = self.read_quarantine()
-        if q is None:
-            return 0
-        rows = q.drop("_violated", "_quarantined_ts_ms").localCheckpoint(
-            eager=True
-        )
-        passing, _ = self._enforce_constraints(rows, "drop")
-        passing = passing.localCheckpoint(eager=True)
-        n = passing.count()
-        if n == 0:
-            return 0
-        still_failing = self._enforce_constraints(rows, "quarantine")[1]
-        self.merge(passing)
-        # rewrite the quarantine to the residue (lineage was cut above,
-        # so overwriting the dir the frames came from is safe)
-        import shutil
+        call finds nothing newly passing.
 
-        qdir = os.path.join(self.path, "_quarantine")
-        shutil.rmtree(qdir, ignore_errors=True)
-        if still_failing is not None and still_failing.count() > 0:
-            still_failing.write.mode("overwrite").parquet(qdir)
-        return n
+        Holds the commit lock across the whole read-merge-rewrite span:
+        a quarantine-mode merge landing between the snapshot and the
+        rewrite would otherwise have its fresh quarantine rows silently
+        deleted (same multi-writer protocol as every other writer; the
+        inner merge runs pessimistically under the held lock)."""
+        lock = self._acquire_commit_lock(timeout=300.0)
+        try:
+            q = self.read_quarantine()
+            if q is None:
+                return 0
+            rows = q.drop("_violated", "_quarantined_ts_ms").localCheckpoint(
+                eager=True
+            )
+            # re-validate exactly as merge() does: computed/provided
+            # generated columns ride the same synthetic <=> checks —
+            # without them a quarantined generated-column mismatch row
+            # (a supported disposition) would pass this pre-check and
+            # then blow up the inner merge's on_violation="fail" pass,
+            # making replay unusable on generated-column tables
+            checked, synthetic = self._apply_generated(rows)
+            passing, _ = self._enforce_constraints(
+                checked, "drop", extra=synthetic
+            )
+            passing = passing.localCheckpoint(eager=True)
+            n = passing.count()
+            if n == 0:
+                return 0
+            still_failing = self._enforce_constraints(
+                checked, "quarantine", extra=synthetic
+            )[1]
+            if still_failing is not None:
+                still_failing = still_failing.localCheckpoint(eager=True)
+            self.merge(passing, _locked=True)
+            # rewrite the quarantine to the residue (lineage was cut
+            # above, so overwriting the dir the frames came from is
+            # safe; the lock guarantees no concurrent merge appended)
+            import shutil
+
+            qdir = os.path.join(self.path, "_quarantine")
+            shutil.rmtree(qdir, ignore_errors=True)
+            if still_failing is not None and still_failing.count() > 0:
+                still_failing.write.mode("overwrite").parquet(qdir)
+            return n
+        finally:
+            os.unlink(lock)
 
     def read_quarantine(self) -> DataFrame | None:
         """Rows rejected by quarantine-mode merges, with the violated
@@ -1179,6 +1204,23 @@ class SilverTable:
         pat = re.compile(rf"\b{re.escape(col)}\b")
         return [n for n, expr in self.constraints().items() if pat.search(expr)]
 
+    def _generated_refs_column(self, col: str) -> list[str]:
+        """Generated columns that ARE ``col`` or whose expression
+        mentions it.  Rename/drop must refuse both: a renamed/dropped
+        generated column leaves a stale _GENERATED entry that the next
+        merge silently re-adds under the old logical name (fresh
+        physical name, recomputed values — silent divergence), and a
+        renamed expression input breaks every subsequent merge with
+        AnalysisException."""
+        import re
+
+        pat = re.compile(rf"\b{re.escape(col)}\b")
+        return [
+            c
+            for c, expr in self.generated_columns().items()
+            if c == col or pat.search(expr)
+        ]
+
     def _alter_schema_commit(self, mutate, op: str, **commit_extra) -> str:
         """Shared metadata-only ALTER TABLE commit: ``mutate(fields,
         cmap, retired)`` edits the logical field list + mapping in
@@ -1240,8 +1282,9 @@ class SilverTable:
         """ALTER TABLE RENAME COLUMN — metadata-only (no data rewrite):
         the logical name changes, the physical parquet name stays.
         Older generations keep reading under their own names (time
-        travel is name-faithful).  Refused for protected columns and
-        columns referenced by a CHECK constraint."""
+        travel is name-faithful).  Refused for protected columns,
+        columns referenced by a CHECK constraint, and generated
+        columns (or their expression inputs)."""
         if old in self._PROTECTED_COLS or new in self._PROTECTED_COLS:
             raise ValueError(f"cannot rename protected column {old!r}/{new!r}")
         refs = self._check_refs_column(old)
@@ -1249,6 +1292,12 @@ class SilverTable:
             raise ValueError(
                 f"column {old!r} is referenced by CHECK constraints {refs}; "
                 "drop them first"
+            )
+        grefs = self._generated_refs_column(old)
+        if grefs:
+            raise ValueError(
+                f"column {old!r} is a generated column or referenced by "
+                f"generated columns {grefs}; drop_generated_column first"
             )
 
         def mutate(fields, cmap, retired):
@@ -1271,8 +1320,9 @@ class SilverTable:
     def drop_column(self, col: str) -> str:
         """ALTER TABLE DROP COLUMN — metadata-only: the physical column
         is retired, never read again, and never reused for a future
-        column of the same logical name.  Refused for protected columns
-        and columns referenced by a CHECK constraint."""
+        column of the same logical name.  Refused for protected
+        columns, columns referenced by a CHECK constraint, and
+        generated columns (or their expression inputs)."""
         if col in self._PROTECTED_COLS:
             raise ValueError(f"cannot drop protected column {col!r}")
         refs = self._check_refs_column(col)
@@ -1280,6 +1330,12 @@ class SilverTable:
             raise ValueError(
                 f"column {col!r} is referenced by CHECK constraints {refs}; "
                 "drop them first"
+            )
+        grefs = self._generated_refs_column(col)
+        if grefs:
+            raise ValueError(
+                f"column {col!r} is a generated column or referenced by "
+                f"generated columns {grefs}; drop_generated_column first"
             )
 
         def mutate(fields, cmap, retired):
@@ -1536,6 +1592,12 @@ class SilverTable:
         for col in assignments:
             if col in ("_id", "version_", "deleted"):
                 raise ValueError(f"cannot assign protected column {col!r}")
+        unknown = sorted(set(assignments) - set(upd.columns))
+        if unknown:
+            # Delta UPDATE refuses unknown columns; silently dropping a
+            # typo'd assignment would report n updated keys with no
+            # visible effect
+            raise ValueError(f"UPDATE assigns unknown columns {unknown}")
         upd = upd.select(
             *[
                 F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
@@ -1943,8 +2005,10 @@ class SilverTable:
     #: readerFeatures parity).  A manifest stamped with a feature
     #: OUTSIDE this set was written by newer code whose generations
     #: this reader would silently misread (e.g. a pre-DV reader would
-    #: return deleted rows as live) — refuse loudly instead.
-    _READER_FEATURES = {"mor", "dv", "colmap"}
+    #: return deleted rows as live) — refuse loudly instead.  Shared
+    #: with the CDF streaming source's pure-Python manifest loaders
+    #: (pipeline/features.py) so both gates can never drift apart.
+    _READER_FEATURES = READER_FEATURES
 
     @staticmethod
     def _stamp_features(mf: dict) -> dict:
@@ -1966,17 +2030,11 @@ class SilverTable:
             json.dump(self._stamp_features(mf), f)
 
     def _manifest_raw(self, generation: str) -> dict:
+        from huracan_spark.pipeline.features import check_reader_features
+
         with open(os.path.join(self.path, generation, "manifest.json")) as f:
             raw = json.load(f)
-        unknown = set(raw.get("features", ())) - self._READER_FEATURES
-        if unknown:
-            raise ValueError(
-                f"generation {generation} requires reader features "
-                f"{sorted(unknown)} this version does not implement — "
-                "reading it would silently return wrong rows; upgrade "
-                "the reader (Delta protocol readerFeatures semantics)"
-            )
-        return raw
+        return check_reader_features(raw, generation)
 
     @staticmethod
     def _align_schemas(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -2061,6 +2119,7 @@ class SilverTable:
         max_commit_attempts: int = 6,
         on_violation: str = "fail",
         write_mode: str = "cow",
+        _locked: bool = False,
     ) -> MergeMetrics | None:
         """Versioned MERGE of a batch of silver-shaped rows (K1/K2).
 
@@ -2113,19 +2172,27 @@ class SilverTable:
             )
         batch = batch.withColumn("_bucket", self._bucket_col()).persist()
         try:
-            for _ in range(max(max_commit_attempts - 1, 0)):
+            # _locked=True: the caller already holds the commit lock
+            # (replay_quarantine's read-merge-rewrite span) — go
+            # straight to the pessimistic attempt; re-acquiring would
+            # self-deadlock and optimistic CAS is pointless under an
+            # exclusively-held lock
+            for _ in range(0 if _locked else max(max_commit_attempts - 1, 0)):
                 done, metrics = self._merge_attempt(
                     batch, collect_metrics, write_mode=write_mode
                 )
                 if done:
                     return metrics
-            lock = self._acquire_commit_lock(timeout=300.0)
+            lock = (
+                None if _locked else self._acquire_commit_lock(timeout=300.0)
+            )
             try:
                 done, metrics = self._merge_attempt(
                     batch, collect_metrics, locked=True, write_mode=write_mode
                 )
             finally:
-                os.unlink(lock)
+                if lock is not None:
+                    os.unlink(lock)
             if done:
                 return metrics
             raise CommitConflict(

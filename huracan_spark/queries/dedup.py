@@ -612,10 +612,15 @@ _SF_MATERIALIZED: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _materialized(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
+    from huracan_spark.queries.matcost import charged_build
+
     key = (spark.sparkContext.applicationId, sf_dir, tag)
     df = _SF_MATERIALIZED.get(key)
     if df is None:
-        df = build().localCheckpoint(eager=True)
+        # first consumer triggers the build: charge it to the named
+        # group so bench numbers don't blame whichever query ran first
+        with charged_build(f"dedup:{tag}"):
+            df = build().localCheckpoint(eager=True)
         _SF_MATERIALIZED[key] = df
     return df
 

@@ -845,8 +845,6 @@ FROM tot CROSS JOIN gini
     "decision input, operators/salting.py)",
 )
 def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = _events(spark, sf_dir)
     freq = ev.groupBy("user_id").agg(F.count("*").alias("f"))
     coc = freq.groupBy("f").agg(F.count("*").alias("m"))
@@ -855,10 +853,17 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("f") * F.col("m")).cast("long").alias("n_rows"),
         F.max("f").alias("max_key_rows"),
     )
-    cum = Window.orderBy("f").rowsBetween(Window.unboundedPreceding, 0)
-    cumd = coc.select(
-        "f", "m", F.sum(F.col("f") * F.col("m")).over(cum).alias("cum_fm")
-    )
+    # count-of-counts rows are O(distinct frequencies) — tiny under
+    # Zipf but worst-case O(#keys), so the running sum goes through
+    # the distributed prefix sum, not a single-partition window
+    from huracan_spark.operators.prefix_sum import global_cumsum
+
+    cumd = global_cumsum(
+        coc.withColumn("_fm", (F.col("f") * F.col("m")).cast("long")),
+        "_fm",
+        "f",
+        out_col="cum_fm",
+    ).drop("_fm")
     g_term = (
         (F.col("m").cast("double") / F.col("n_keys"))
         * (2.0 * (F.col("cum_fm") - F.col("f") * F.col("m"))

@@ -33,10 +33,12 @@ versions or sides and is resolved by the deterministic MERGE order.
 from __future__ import annotations
 
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from huracan_spark.queries.matcost import BUILD_LEDGER
 from huracan_spark.queries.registry import register
 from huracan_spark.sources.tables import load_table
 
@@ -89,6 +91,7 @@ def q_silver_cdf_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SF_MATERIALIZED.get(key)
     if cached is not None:
         return cached
+    _t0 = time.perf_counter()
 
     from huracan_spark.pipeline.incr_view import grouped_view, refresh_view
     from huracan_spark.pipeline.silver import SilverTable
@@ -136,6 +139,11 @@ def q_silver_cdf_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         F.round("sum_value", 4).alias("sum_value"),
     ).localCheckpoint()
+    # first-consumer attribution: the on-disk drive runs once per
+    # (app, sf); bench charges it to the group, not to whoever ran first
+    BUILD_LEDGER.append(
+        ("silver:cdf_view", round(time.perf_counter() - _t0, 4))
+    )
     _SF_MATERIALIZED[key] = out
     return out
 
@@ -187,6 +195,7 @@ def q_silver_mor_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SF_MATERIALIZED.get(key)
     if cached is not None:
         return cached
+    _t0 = time.perf_counter()
 
     from huracan_spark.pipeline.silver import SilverTable
 
@@ -232,6 +241,9 @@ def q_silver_mor_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("v"), 4).alias("sum_value"),
         )
         .localCheckpoint()
+    )
+    BUILD_LEDGER.append(
+        ("silver:mor_state", round(time.perf_counter() - _t0, 4))
     )
     _SF_MATERIALIZED[key] = out
     return out
@@ -314,6 +326,7 @@ def q_silver_evolution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SF_MATERIALIZED.get(key)
     if cached is not None:
         return cached
+    _t0 = time.perf_counter()
 
     from huracan_spark.pipeline.silver import SilverTable
 
@@ -406,6 +419,9 @@ def q_silver_evolution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     pre.unpersist()
+    BUILD_LEDGER.append(
+        ("silver:evolution_state", round(time.perf_counter() - _t0, 4))
+    )
     _SF_MATERIALIZED[key] = out
     return out
 
@@ -489,6 +505,7 @@ def q_silver_dv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SF_MATERIALIZED.get(key)
     if cached is not None:
         return cached
+    _t0 = time.perf_counter()
 
     from huracan_spark.pipeline.silver import SilverTable
 
@@ -545,5 +562,154 @@ def q_silver_dv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     pre.unpersist()
+    BUILD_LEDGER.append(
+        ("silver:dv_state", round(time.perf_counter() - _t0, 4))
+    )
+    _SF_MATERIALIZED[key] = out
+    return out
+
+
+_DLQ_REPLAY_ORACLE = """
+WITH ch AS (
+  SELECT CASE WHEN event_id % 13 = 0 THEN 'deleted'
+              WHEN event_id % 17 = 0 THEN 'wrapped'
+              WHEN event_id % 2 = 0 THEN 'created'
+              ELSE 'mutated' END AS change_type,
+         'o' || CAST(user_id AS VARCHAR) AS object_id,
+         user_id,
+         event_id % 7 AS version,
+         event_id AS ts_first_seen
+  FROM events
+),
+kept AS (
+  SELECT *, change_type = 'deleted' AS deletion FROM ch
+  WHERE change_type IN ('created', 'mutated', 'deleted')
+),
+reduced AS (
+  SELECT object_id, user_id, version, deletion FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY object_id
+      ORDER BY version DESC, CAST(deletion AS INT) DESC,
+               ts_first_seen DESC
+    ) AS rn FROM kept
+  ) WHERE rn = 1
+)
+SELECT CASE WHEN deletion THEN NULL
+            ELSE 'ty' || CAST((user_id + version) % 5 AS VARCHAR)
+       END AS object_type,
+       CAST(count(*) AS BIGINT) AS n_objects,
+       CAST(max(version) AS BIGINT) AS max_version
+FROM reduced
+GROUP BY 1
+"""
+
+
+@register(
+    "dlq_replay_state",
+    _DLQ_REPLAY_ORACLE,
+    doc="K7 retry-DLQ driven END-TO-END on disk: a derived change "
+    "stream enriches against a content table with missing rows -> "
+    "failures land in the JSONL DLQ (sources/dlq.py) while successes "
+    "MERGE into silver -> the content gap is fixed -> replay_dlq "
+    "re-runs the failed rows through parse/enrich/merge -> the final "
+    "silver state must equal the no-failure single-pass golden "
+    "(reference contract: Pulsar retry topic, main/src/pulsar.rs:10-20, "
+    "consumed at main/src/etl.rs:480-488).  Triage precedes version "
+    "dedup, so a DLQ'd high version never suppresses its own retry.",
+)
+def q_dlq_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "dlq_replay")
+    cached = _SF_MATERIALIZED.get(key)
+    if cached is not None:
+        return cached
+    _t0 = time.perf_counter()
+
+    import os
+
+    from huracan_spark.pipeline.ingest import (
+        build_silver_batch,
+        enrich,
+        parse_changes,
+    )
+    from huracan_spark.pipeline.silver import SilverTable
+    from huracan_spark.sources.dlq import replay_dlq, write_dlq
+
+    ev = load_table(spark, sf_dir, "events")
+    ch_type = (
+        F.when(F.col("event_id") % 13 == 0, F.lit("deleted"))
+        .when(F.col("event_id") % 17 == 0, F.lit("wrapped"))
+        .when(F.col("event_id") % 2 == 0, F.lit("created"))
+        .otherwise(F.lit("mutated"))
+    )
+    changes = ev.select(
+        (F.col("event_id") % 5).alias("cp"),
+        F.concat(F.lit("tx"), F.col("event_id")).alias("tx_digest"),
+        ch_type.alias("change_type"),
+        F.concat(F.lit("o"), F.col("user_id").cast("string")).alias(
+            "object_id"
+        ),
+        (F.col("event_id") % 7).alias("version"),
+        F.lit(None).cast("long").alias("ts_sui"),
+        F.col("event_id").alias("ts_first_seen"),
+        F.lit("poll").alias("ingested_via"),
+    )
+    # deterministic content table over every (object, version) pair the
+    # stream can reference — payload arithmetic mirrored in the oracle
+    pairs = (
+        ev.select(
+            F.col("user_id"), (F.col("event_id") % 7).alias("version")
+        )
+        .distinct()
+    )
+    content_full = pairs.select(
+        F.concat(F.lit("o"), F.col("user_id").cast("string")).alias(
+            "object_id"
+        ),
+        "version",
+        F.concat(
+            F.lit("ty"), ((F.col("user_id") + F.col("version")) % 5)
+        ).alias("object_type"),
+        F.lit("address").alias("owner_kind"),
+        F.concat(F.lit("addr"), (F.col("user_id") % 97)).alias(
+            "owner_address"
+        ),
+        F.lit(None).cast("long").alias("initial_shared_version"),
+        F.concat(
+            F.lit("dg"), F.col("user_id"), F.lit("_"), F.col("version")
+        ).alias("digest"),
+        F.lit(None).cast("string").alias("previous_transaction"),
+        F.lit("0").alias("storage_rebate"),
+        F.lit(True).alias("has_public_transfer"),
+        F.lit(None).cast("string").alias("fields_json"),
+        F.lit(None).cast("string").alias("bcs_b64"),
+        F.lit(None).cast("string").alias("rpc_error"),
+    )
+    # first fetch: versions {2, 5} missing -> their live changes DLQ
+    content_partial = content_full.filter(F.col("version") % 3 != 2)
+
+    root = tempfile.mkdtemp(prefix="hs_dlq_replay_")
+    dlq_path = os.path.join(root, "dlq")
+    silver = SilverTable(
+        spark, os.path.join(root, "silver"), n_buckets=8
+    )
+    parsed = parse_changes(changes)
+    res = enrich(parsed, content_partial)
+    silver.merge(build_silver_batch(res.enriched))
+    write_dlq(res.dlq, dlq_path)
+    # the gap is fixed upstream; the retry consumer re-runs the chain
+    replay_dlq(spark, dlq_path, content_full, silver)
+
+    out = (
+        silver.read()
+        .groupBy("object_type")
+        .agg(
+            F.count("*").cast("long").alias("n_objects"),
+            F.max("version_").cast("long").alias("max_version"),
+        )
+        .localCheckpoint()
+    )
+    BUILD_LEDGER.append(
+        ("silver:dlq_replay", round(time.perf_counter() - _t0, 4))
+    )
     _SF_MATERIALIZED[key] = out
     return out

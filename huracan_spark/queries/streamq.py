@@ -18,10 +18,14 @@ set, so no row can be late-dropped — the query pins exactness (a
 production deployment bounds state with ``withWatermark`` and accepts
 the documented lateness cutoff instead; see streaming/windows.py).
 
-Scale notes: the foreachBatch fold collects only the CHANGED GROUP
-rows (|windows x event types|, a bounded grid — never raw events);
-the staged copy is one pass over the input and the stream reads files
-in parallel per micro-batch.
+Scale notes: the foreachBatch fold is EXECUTOR-SIDE (the
+``streaming/gold_view.py`` pattern): each micro-batch's changed-group
+rows MERGE last-update-wins into a persisted keyed parquet state via
+an anti-join — no driver materialization of aggregate rows, so the
+fold stays distributed however large the |windows x event types| grid
+grows (years of events x wide type dimension at 100 TB).  A batch-id
+marker makes replayed batches idempotent; the staged copy is one pass
+over the input and the stream reads files in parallel per micro-batch.
 """
 
 from __future__ import annotations
@@ -61,6 +65,11 @@ def q_stream_tumbling_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SF_MATERIALIZED.get(key)
     if cached is not None:
         return cached
+    import time
+
+    from huracan_spark.queries.matcost import BUILD_LEDGER
+
+    _t0 = time.perf_counter()
 
     root = tempfile.mkdtemp(prefix="hs_streamq_")
     staged = os.path.join(root, "in")
@@ -71,12 +80,43 @@ def q_stream_tumbling_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
     ev.repartition(4).write.mode("overwrite").parquet(staged)
 
-    acc: dict[tuple, tuple] = {}
+    state_dir = os.path.join(root, "state")
 
-    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
-        # bounded: only the groups this micro-batch CHANGED
-        for r in batch_df.collect():
-            acc[(r.window_start_ms, r.event_type)] = (r.n, r.sum_value)
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # executor-side last-update-wins MERGE of the changed groups
+        # into the persisted keyed state (gold_view.py pattern): prior
+        # rows whose key this batch re-emitted are replaced; no
+        # aggregate row ever reaches the driver
+        import json
+
+        marker = os.path.join(root, "_LAST_BATCH")
+        last = -1
+        if os.path.exists(marker):
+            with open(marker) as f:
+                last = json.load(f)["batch_id"]
+        if batch_id <= last:
+            return  # replayed batch after restart — already folded
+        # several actions follow: persist, or re-evaluation re-runs the
+        # upstream stateful aggregation against advanced state
+        batch_df = batch_df.persist()
+        try:
+            s = batch_df.sparkSession
+            keys = ["window_start_ms", "event_type"]
+            if os.path.isdir(state_dir):
+                prior = s.read.parquet(state_dir)
+                merged = prior.join(
+                    batch_df.select(*keys), on=keys, how="left_anti"
+                ).unionByName(batch_df)
+            else:
+                merged = batch_df
+            # lineage reads state_dir, which the write replaces
+            merged = merged.localCheckpoint(eager=True)
+            merged.write.mode("overwrite").parquet(state_dir)
+            with open(marker + ".tmp", "w") as f:
+                json.dump({"batch_id": batch_id}, f)
+            os.replace(marker + ".tmp", marker)
+        finally:
+            batch_df.unpersist()
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -101,13 +141,20 @@ def q_stream_tumbling_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    out = spark.createDataFrame(
-        [
-            (ws, et, int(n), float(sv))
-            for (ws, et), (n, sv) in sorted(acc.items())
-        ],
-        "window_start_ms long, event_type string, n long, sum_value double",
-    ).withColumn("sum_value", F.round("sum_value", 2))
-    out = out.localCheckpoint(eager=True)
+    out = (
+        spark.read.parquet(state_dir)
+        .select(
+            "window_start_ms",
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # first-consumer attribution: staging + the availableNow streaming
+    # run happen once per (app, sf) — charge the group, not the query
+    BUILD_LEDGER.append(
+        ("stream:tumbling_staging", round(time.perf_counter() - _t0, 4))
+    )
     _SF_MATERIALIZED[key] = out
     return out

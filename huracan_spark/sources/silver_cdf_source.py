@@ -44,7 +44,21 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from huracan_spark.pipeline.features import check_reader_features
+
 __all__ = ["SilverCdfStreamDataSource", "register_silver_cdf_source"]
+
+
+def _manifest(path: str, gen: str) -> dict:
+    """Parse one generation's manifest WITH the reader feature gate —
+    the CDF source must refuse unknown-feature manifests exactly like
+    ``SilverTable._manifest_raw`` does, or a future-feature commit a
+    batch reader refuses would be silently misread by the stream (the
+    precise failure mode the gate exists to prevent)."""
+    with open(os.path.join(path, gen, "manifest.json")) as f:
+        raw = json.load(f)
+    return check_reader_features(raw, gen)
+
 
 # metadata columns appended after the table's own columns — the Delta
 # CDF shape (_change_type + commit info), plus the pre-image version
@@ -60,8 +74,7 @@ def _table_ddl(path: str) -> str:
     gen = _current(path)
     if gen is None:
         raise ValueError(f"silver table at {path!r} has no committed state")
-    with open(os.path.join(path, gen, "manifest.json")) as f:
-        sj = json.load(f).get("schema")
+    sj = _manifest(path, gen).get("schema")
     if sj is None:
         # pre-schema-manifest table: minimal envelope
         cols = "_id string, version_ bigint, deleted boolean"
@@ -93,8 +106,7 @@ def _manifest_refs(path: str, gen: str) -> tuple[dict, dict, dict]:
     for one commit — merge-on-read generations carry per-bucket delta
     layers that must reconcile before the diff, and deletion-vector
     generations carry position sidecars that overlay as tombstones."""
-    with open(os.path.join(path, gen, "manifest.json")) as f:
-        raw = json.load(f)
+    raw = _manifest(path, gen)
     return raw["buckets"], raw.get("deltas", {}), raw.get("dvs", {})
 
 
@@ -113,8 +125,7 @@ def _colmap(path: str) -> dict | None:
     gen = _current(path)
     if gen is None:
         return None
-    with open(os.path.join(path, gen, "manifest.json")) as f:
-        return json.load(f).get("colmap")
+    return _manifest(path, gen).get("colmap")
 
 
 class _CdfPartition(InputPartition):

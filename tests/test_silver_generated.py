@@ -103,6 +103,70 @@ def test_generated_column_through_dml_and_compact(spark, tmp_path):
     assert got == {"a": (11, 22), "b": (3, 6)}
 
 
+def test_replay_quarantine_on_generated_column_table(spark, tmp_path):
+    """Replay must re-validate generated columns with the same
+    synthetic <=> checks merge uses: a quarantined mismatch row stays
+    quarantined (no ConstraintViolation blow-up from the inner merge),
+    and re-admits once the generated column is dropped."""
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    t.add_generated_column("val2", "val * 2")
+    t.merge(
+        _mk(
+            spark,
+            [("a", 1, False, 10, 20), ("b", 1, False, 7, 99)],
+            SCHEMA_G,
+        ),
+        on_violation="quarantine",
+    )
+    assert t.read_quarantine().count() == 1
+    # still mismatching: replay is a clean no-op, not a crash
+    assert t.replay_quarantine() == 0
+    q = t.read_quarantine()
+    assert [(r._id, list(r._violated)) for r in q.collect()] == [
+        ("b", ["_generated_val2"])
+    ]
+    # relaxing the generated contract re-admits the row as provided
+    t.drop_generated_column("val2")
+    assert t.replay_quarantine() == 1
+    assert t.read_quarantine() is None
+    got = {r._id: r.val2 for r in t.read().collect()}
+    assert got == {"a": 20, "b": 99}
+
+
+def test_rename_and_drop_refuse_generated_columns(spark, tmp_path):
+    """Rename/drop of a generated column (or of an expression input)
+    must refuse: a stale _GENERATED entry would silently re-add the old
+    logical name on the next merge, and a renamed input breaks every
+    subsequent merge with AnalysisException."""
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    t.add_generated_column("val2", "val * 2")
+    t.merge(_mk(spark, [("a", 1, False, 10)]))
+    with pytest.raises(ValueError, match="generated"):
+        t.rename_column("val2", "doubled")
+    with pytest.raises(ValueError, match="generated"):
+        t.drop_column("val2")
+    # expression inputs are protected too
+    with pytest.raises(ValueError, match="generated"):
+        t.rename_column("val", "amount")
+    with pytest.raises(ValueError, match="generated"):
+        t.drop_column("val")
+    # dropping the generated contract unblocks the ALTER
+    t.drop_generated_column("val2")
+    t.rename_column("val2", "doubled")
+    assert "doubled" in t.read().columns
+
+
+def test_update_where_refuses_unknown_assignment_columns(spark, tmp_path):
+    """Delta UPDATE refuses unknown columns — silently dropping a
+    typo'd assignment would report n updated keys with no effect."""
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    t.merge(_mk(spark, [("a", 1, False, 10)]))
+    with pytest.raises(ValueError, match="unknown columns.*vall"):
+        t.update_where([("_id", "=", "a")], {"vall": "val + 1"})
+    # table unchanged
+    assert [(r.version_, r.val) for r in t.read().collect()] == [(1, 10)]
+
+
 def test_update_where_rhs_sees_the_old_row(spark, tmp_path):
     """Standard SQL UPDATE: assignment order must not matter — every
     right-hand side evaluates against the pre-update row."""

@@ -59,6 +59,32 @@ def test_unknown_reader_feature_refuses_loudly(spark, tmp_path):
         fresh.read()
 
 
+def test_cdf_source_manifest_loaders_share_the_feature_gate(
+    spark, tmp_path
+):
+    """The CDF streaming source's pure-Python manifest loaders must
+    refuse unknown reader features exactly like SilverTable — a
+    future-feature commit the batch reader refuses must not be
+    silently misread by the stream."""
+    from huracan_spark.sources import silver_cdf_source as cdf
+
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    _seed(spark, t)
+    gen = t.current_generation()
+    mfp = os.path.join(t.path, gen, "manifest.json")
+    with open(mfp) as f:
+        raw = json.load(f)
+    raw["features"] = ["paradox_vectors_v9"]
+    with open(mfp, "w") as f:
+        json.dump(raw, f)
+    with pytest.raises(ValueError, match="paradox_vectors_v9"):
+        cdf._manifest_refs(t.path, gen)
+    with pytest.raises(ValueError, match="paradox_vectors_v9"):
+        cdf._colmap(t.path)
+    with pytest.raises(ValueError, match="paradox_vectors_v9"):
+        cdf._table_ddl(t.path)
+
+
 def test_count_rows_matches_read_count_across_modes(spark, tmp_path):
     t = SilverTable(spark, str(tmp_path / "t"), n_buckets=4)
     _seed(spark, t, 16)
