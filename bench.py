@@ -1,8 +1,16 @@
 """Benchmark runner: all registered queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+Prints the full result JSON line (queries + groups maps) first, then a
+COMPACT summary as the FINAL stdout line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "n_queries": N,
+   "n_groups": G, "queries_total": Q, "groups_total": B, "sf": ...,
+   "detail": "BENCH_DETAIL.json"}
+The full per-query/per-group maps are also written to the sidecar file
+``BENCH_DETAIL.json`` next to this script.  Rationale: the driver's
+bench capture keeps only a 2000-char stdout tail — a ~218-entry query
+map overflows it and the official record parsed as null for six
+straight rounds.  The compact last line always fits the tail; the
+sidecar (committed with the round) carries the machine-readable detail.
 
 Each query is fully executed (count + collect of a bounded head) so
 lazy plans can't cheat; per-query wall time includes planning +
@@ -90,6 +98,26 @@ def main() -> None:
     if repeat > 1:
         out["repeat"] = repeat
     print(json.dumps(out))
+
+    # sidecar with the full maps + compact FINAL line (see module doc)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    summary = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(per_query),
+        "n_groups": len(groups),
+        "queries_total": round(sum(per_query.values()), 4),
+        "groups_total": round(sum(groups.values()), 4),
+        "sf": out["sf"],
+        "detail": "BENCH_DETAIL.json",
+    }
+    if repeat > 1:
+        summary["repeat"] = repeat
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

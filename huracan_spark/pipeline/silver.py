@@ -58,6 +58,14 @@ class CommitConflict(RuntimeError):
     (Delta's ConcurrentModificationException analog)."""
 
 
+class _LockHandle(str):
+    """Commit-lock path plus the identity nonce written into the file at
+    acquisition; ``_release_commit_lock`` verifies the nonce so a writer
+    whose stale lock was broken can never unlink a successor's lock."""
+
+    nonce: str = ""
+
+
 class MergeMetrics:
     """K3/K8 write-result audit: inserted/modified/unchanged counts
     (etl.rs:1280-1318)."""
@@ -117,14 +125,25 @@ class SilverTable:
     # be broken
     _LOCK_STALE_SECS = 600.0
 
-    def _acquire_commit_lock(self, timeout: float = 120.0) -> str:
+    def _acquire_commit_lock(self, timeout: float = 120.0) -> "_LockHandle":
         lock = os.path.join(self.path, "_COMMIT_LOCK")
         deadline = time.monotonic() + timeout
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                # identity nonce: release verifies the lock file still
+                # carries OUR nonce before unlinking — a long-held span
+                # (> _LOCK_STALE_SECS, e.g. replay_quarantine's multi-job
+                # read-merge-rewrite) can be stale-broken, and blindly
+                # unlinking by path would delete the NEXT writer's fresh
+                # lock, silently admitting a third writer into a
+                # supposedly pessimistic span
+                nonce = f"{os.getpid()}-{time.monotonic_ns()}"
+                os.write(fd, nonce.encode())
                 os.close(fd)
-                return lock
+                handle = _LockHandle(lock)
+                handle.nonce = nonce
+                return handle
             except FileExistsError:
                 try:  # break locks abandoned by a dead writer
                     if time.time() - os.path.getmtime(lock) > self._LOCK_STALE_SECS:
@@ -140,6 +159,22 @@ class SilverTable:
                 if time.monotonic() > deadline:
                     raise TimeoutError(f"commit lock busy: {lock}")
                 time.sleep(0.02)
+
+    def _release_commit_lock(self, lock: "_LockHandle") -> None:
+        """Unlink the commit lock only if it is still OURS (nonce
+        matches).  If a stale-breaker renamed our lock away and another
+        writer re-acquired, the file at this path belongs to them — we
+        lost the lock long ago and must not delete theirs."""
+        try:
+            with open(lock) as f:
+                if f.read() != getattr(lock, "nonce", None):
+                    return
+        except FileNotFoundError:
+            return
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
 
     def _try_commit(
         self, expected_gen: str | None, new_gen: str, locked: bool = False
@@ -159,7 +194,7 @@ class SilverTable:
             return True
         finally:
             if lock is not None:
-                os.unlink(lock)
+                self._release_commit_lock(lock)
 
     def current_generation(self) -> str | None:
         if not os.path.exists(self._pointer):
@@ -725,7 +760,7 @@ class SilverTable:
                 json.dump(cons, f)
             os.replace(tmp, self._constraints_path)
         finally:
-            os.unlink(lock)
+            self._release_commit_lock(lock)
 
     def drop_check(self, name: str) -> None:
         lock = self._acquire_commit_lock()
@@ -737,7 +772,7 @@ class SilverTable:
                 json.dump(cons, f)
             os.replace(tmp, self._constraints_path)
         finally:
-            os.unlink(lock)
+            self._release_commit_lock(lock)
 
     # -- generated columns (Delta GENERATED ALWAYS AS) --------------------
 
@@ -774,7 +809,7 @@ class SilverTable:
                 json.dump(gens, f)
             os.replace(tmp, self._generated_path)
         finally:
-            os.unlink(lock)
+            self._release_commit_lock(lock)
 
     def drop_generated_column(self, col: str) -> None:
         lock = self._acquire_commit_lock()
@@ -786,7 +821,7 @@ class SilverTable:
                 json.dump(gens, f)
             os.replace(tmp, self._generated_path)
         finally:
-            os.unlink(lock)
+            self._release_commit_lock(lock)
 
     def _apply_generated(self, batch: DataFrame) -> tuple[DataFrame, dict]:
         """Compute omitted generated columns; return synthetic CHECK
@@ -906,7 +941,7 @@ class SilverTable:
                 still_failing.write.mode("overwrite").parquet(qdir)
             return n
         finally:
-            os.unlink(lock)
+            self._release_commit_lock(lock)
 
     def read_quarantine(self) -> DataFrame | None:
         """Rows rejected by quarantine-mode merges, with the violated
@@ -1571,7 +1606,7 @@ class SilverTable:
                 )
             return n
         finally:
-            os.unlink(lock)
+            self._release_commit_lock(lock)
 
     def update_where(
         self, filters, assignments: dict[str, str], write_mode: str = "cow"
@@ -1989,7 +2024,7 @@ class SilverTable:
                 shutil.rmtree(out, ignore_errors=True)
             finally:
                 if lock is not None:
-                    os.unlink(lock)
+                    self._release_commit_lock(lock)
         raise CommitConflict("compact lost the commit race 6 times")
 
     @staticmethod
@@ -2192,7 +2227,7 @@ class SilverTable:
                 )
             finally:
                 if lock is not None:
-                    os.unlink(lock)
+                    self._release_commit_lock(lock)
             if done:
                 return metrics
             raise CommitConflict(

@@ -436,6 +436,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_sketch(spark, sf_dir).select("doc_id", "simhash")
 
 
+# Exactness-baseline sample bound (mirrors similarity.py): registered
+# all-pairs baselines run over a fixed id-prefix sample so the work is
+# O(CAP^2) — constant at any corpus scale.  Inert at sf<=0.01 (every
+# doc_id < CAP); the full-corpus lossless-twin equality stays pinned
+# by tests/test_scale_dedup.py::test_simhash_banding_lossless.
+EXACT_BASELINE_CAP = 1000
+
 _SIMHASH_PAIRS_ORACLE = f"""
 WITH sims AS ({_simhash_sql()})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -443,6 +450,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sims a JOIN sims b
   ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+  AND a.doc_id < {EXACT_BASELINE_CAP} AND b.doc_id < {EXACT_BASELINE_CAP}
 """
 
 
@@ -450,12 +458,15 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
     "simhash_near_dups",
     _SIMHASH_PAIRS_ORACLE,
     doc=f"SimHash near-dup pairs: hamming <= {SIMHASH_MAX_HAMMING} within source "
-    "(all-pairs EXACTNESS BASELINE — quadratic per source; the scale "
-    "path is simhash_banded_near_dups)",
+    f"— exactness baseline over the deterministic id-prefix sample doc_id < "
+    f"{EXACT_BASELINE_CAP} (bounded constant work at any scale); the scale "
+    "path is simhash_banded_near_dups",
 )
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pair join reads the (materialized) sketch table on both sides
-    sims = _simhash_sketch(spark, sf_dir)
+    sims = _simhash_sketch(spark, sf_dir).filter(
+        F.col("doc_id") < EXACT_BASELINE_CAP
+    )
     a = sims.alias("a")
     b = sims.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

@@ -25,14 +25,30 @@ from contextlib import contextmanager
 #: (group, seconds) entries appended by charged_build, drained by bench
 BUILD_LEDGER: list[tuple[str, float]] = []
 
+#: stack of accumulated DIRECT-child raw durations for open spans —
+#: charged_build spans can nest (e.g. the dedup cc_labels build calls
+#: q_minhash_lsh, whose own charged_build runs inside it); recording
+#: each span's raw wall time would charge the inner build twice (once
+#: under its own group, once inside the parent's).  Each span records
+#: SELF time (raw minus direct children's raw), so the ledger's sum
+#: equals the outermost span's wall time exactly.
+_OPEN_CHILD_RAW: list[float] = []
+
 
 @contextmanager
 def charged_build(group: str):
     t0 = time.perf_counter()
+    _OPEN_CHILD_RAW.append(0.0)
     try:
         yield
     finally:
-        BUILD_LEDGER.append((group, round(time.perf_counter() - t0, 4)))
+        raw = time.perf_counter() - t0
+        children = _OPEN_CHILD_RAW.pop()
+        BUILD_LEDGER.append((group, round(max(raw - children, 0.0), 4)))
+        if _OPEN_CHILD_RAW:
+            # a child's raw span (self + grandchildren) leaves the
+            # parent's self time; grandchild self is already netted out
+            _OPEN_CHILD_RAW[-1] += raw
 
 
 def drain() -> list[tuple[str, float]]:

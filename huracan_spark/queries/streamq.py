@@ -140,7 +140,14 @@ def q_stream_tumbling_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # timed out: state_dir is partially written and would be cached
+        # per (app, sf_dir) as a silently-wrong fold — fail loudly
+        q.stop()
+        raise TimeoutError(
+            "stream_tumbling_totals: availableNow run exceeded 300s; "
+            "refusing to read partial state"
+        )
     out = (
         spark.read.parquet(state_dir)
         .select(

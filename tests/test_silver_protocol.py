@@ -163,3 +163,42 @@ def test_vacuum_time_retention_extends_protection(spark, tmp_path):
     assert set(removable) <= set(gens)
     t.vacuum(keep=1, retention_ms=3_600_000)
     assert t.generations() == gens, "time guard must prevent removal"
+
+
+def test_release_commit_lock_verifies_identity_nonce(spark, tmp_path):
+    """A writer whose long-held lock was stale-broken must NOT unlink
+    the successor's fresh lock on release (that would silently admit a
+    third writer into a supposedly pessimistic span)."""
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    lock_path = os.path.join(t.path, "_COMMIT_LOCK")
+
+    h1 = t._acquire_commit_lock()
+    # simulate a stale-breaker renaming h1 away + a second writer
+    # re-acquiring (exactly what _acquire does after _LOCK_STALE_SECS)
+    os.rename(lock_path, lock_path + ".stale-test")
+    os.unlink(lock_path + ".stale-test")
+    h2 = t._acquire_commit_lock()
+    assert h1.nonce != h2.nonce
+
+    # first writer releases by path: must see a foreign nonce and leave
+    # the second writer's lock intact
+    t._release_commit_lock(h1)
+    assert os.path.exists(lock_path)
+
+    # rightful owner's release removes it
+    t._release_commit_lock(h2)
+    assert not os.path.exists(lock_path)
+
+    # releasing an already-gone lock is a no-op
+    t._release_commit_lock(h2)
+
+
+def test_release_commit_lock_normal_cycle(spark, tmp_path):
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    lock_path = os.path.join(t.path, "_COMMIT_LOCK")
+    h = t._acquire_commit_lock()
+    assert os.path.exists(lock_path)
+    with open(lock_path) as f:
+        assert f.read() == h.nonce
+    t._release_commit_lock(h)
+    assert not os.path.exists(lock_path)
