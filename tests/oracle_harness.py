@@ -62,8 +62,32 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def compare_query(spark, con, name: str, fn, oracle: str | None, sf_dir: str):
-    """Returns (ok: bool, detail: str)."""
+def compare_query(
+    spark,
+    con,
+    name: str,
+    fn,
+    oracle: str | None,
+    sf_dir: str,
+    record: dict | None = None,
+):
+    """Returns (ok: bool, detail: str).  If ``record`` is given it is
+    filled in the driver's CORRECTNESS_r{N}.json row schema
+    (rows_match/schema_match/hash_match/spark_rows/oracle_rows/err) so
+    run_all can emit a machine-diffable local correctness artifact."""
+
+    def _rec(**kw):
+        if record is not None:
+            record.update(kw)
+
+    _rec(
+        rows_match=False,
+        schema_match=False,
+        hash_match=False,
+        spark_rows=None,
+        oracle_rows=None,
+        err=None,
+    )
     sdf = fn(spark, sf_dir)
     # BOTH sides go through pandas, exactly like the driver.  This is
     # load-bearing for the dtype semantics:
@@ -77,14 +101,17 @@ def compare_query(spark, con, name: str, fn, oracle: str | None, sf_dir: str):
     spdf = sdf.toPandas()
     spark_cols = list(spdf.columns)
     spark_rows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+    _rec(spark_rows=len(spark_rows))
     if oracle is None:
         # rows-only checks still go through the driver's pandas canon —
         # exercise the same strictness (no container cells).
         _norm_rows(spark_cols, spark_rows)
+        _rec(rows_match=True, schema_match=True, err="no_oracle")
         return True, f"rows-only: {len(spark_rows)} rows"
     pdf = con.execute(oracle).df()
     ora_cols = list(pdf.columns)
     ora_rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+    _rec(oracle_rows=len(ora_rows))
     if sorted(spark_cols) != sorted(ora_cols):
         return False, f"schema mismatch: spark={sorted(spark_cols)} oracle={sorted(ora_cols)}"
     for c in ora_cols:
@@ -97,17 +124,31 @@ def compare_query(spark, con, name: str, fn, oracle: str | None, sf_dir: str):
                 f"{sdt} in Spark — CAST the narrower side (uncast integer "
                 "sums in DuckDB surface as HUGEINT->float64)"
             )
+    _rec(schema_match=True)
     if len(spark_rows) != len(ora_rows):
         return False, f"rowcount mismatch: spark={len(spark_rows)} oracle={len(ora_rows)}"
+    _rec(rows_match=True)
     a = _norm_rows(spark_cols, spark_rows)
     b = _norm_rows(ora_cols, ora_rows)
     if a != b:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
         return False, f"value mismatch; first diffs: {diffs}"
+    _rec(hash_match=True)
     return True, f"ok: {len(spark_rows)} rows"
 
 
-def run_all(sf_dir: str = "/root/testdata/sf0.01", names: list[str] | None = None):
+def run_all(
+    sf_dir: str = "/root/testdata/sf0.01",
+    names: list[str] | None = None,
+    out_path: str | None = None,
+):
+    """Run the parity check; if ``out_path`` is set (or the
+    SPARK_GRAFT_CORRECTNESS_OUT env var), also write a machine-diffable
+    JSON artifact in the driver's CORRECTNESS_r{N}.json row schema —
+    the committed `CORRECTNESS_local_r{N}.json` that covers ALL
+    registered queries, not just the driver's 50-query panel."""
+    import json
+
     from huracan_spark.queries.registry import REGISTRY, spark_queries
     from huracan_spark.session import get_spark
 
@@ -115,16 +156,29 @@ def run_all(sf_dir: str = "/root/testdata/sf0.01", names: list[str] | None = Non
     spark = get_spark("oracle-harness")
     con = duckdb_conn(sf_dir)
     failures = []
+    records: dict[str, dict] = {}
+    out_path = out_path or os.environ.get("SPARK_GRAFT_CORRECTNESS_OUT")
     for name, spec in sorted(REGISTRY.items()):
         if names and name not in names:
             continue
+        rec: dict = {}
         try:
-            ok, detail = compare_query(spark, con, name, spec.fn, spec.oracle, sf_dir)
+            ok, detail = compare_query(
+                spark, con, name, spec.fn, spec.oracle, sf_dir, record=rec
+            )
+            if not ok and rec.get("err") is None:
+                rec["err"] = detail
         except Exception as e:  # noqa: BLE001
             ok, detail = False, f"EXCEPTION: {type(e).__name__}: {e}"
+            rec["err"] = detail
+        records[name] = rec
         print(f"{'PASS' if ok else 'FAIL'} {name}: {detail}")
         if not ok:
             failures.append(name)
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(records, fh, indent=1)
+        print(f"wrote {len(records)} records to {out_path}")
     return failures
 
 
