@@ -28,6 +28,16 @@ is a scale bug):
   compact           OPTIMIZE: absorb deltas/DVs, rewrite all buckets
   count_rows_meta   O(metadata) row count after compact (no Spark job)
   time_travel       read_as_of the seed commit + count
+
+Commit-scaling probe (SPARK_GRAFT_SILVER_COMMITS=N): the long-lived
+table regime the per-op steps can't see — N narrow MOR merges with the
+auto-OPTIMIZE policy (maybe_optimize, Delta auto-compaction analog),
+sampling manifest size, _manifest_raw load cost, files()/history()
+latency, and count_rows at checkpoints, then vacuum reclamation at the
+end.  Any metadata op super-linear in committed generations is exactly
+what degrades first under production streams.  Prints a SECOND JSON
+line: {"metric": "huracan_spark_silver_commits", "samples": [...],
+"vacuum": {...}, "n_commits": N}.
 """
 
 from __future__ import annotations
@@ -37,6 +47,87 @@ import os
 import sys
 import tempfile
 import time
+
+
+def _commit_scaling_probe(spark, batch, root: str, n_commits: int) -> None:
+    """N narrow MOR merges + auto-OPTIMIZE; metadata-op latency sampled
+    at checkpoints.  Narrow batches are what a streaming writer commits
+    per trigger — the regime that fragments manifests."""
+    import pyspark.sql.functions as F
+
+    from huracan_spark.pipeline.silver import SilverTable
+
+    t = SilverTable(spark, os.path.join(root, "tc"), n_buckets=16)
+    seed = batch.limit(10_000).localCheckpoint(eager=True)
+    t.merge(seed)
+    keys = [r["_id"] for r in seed.select("_id").limit(400).collect()]
+
+    checkpoints = sorted(
+        {max(n_commits // 8, 1), n_commits // 4, n_commits // 2,
+         3 * n_commits // 4, n_commits} - {0}
+    )
+    samples = []
+    compactions = 0
+    t0_all = time.perf_counter()
+    for i in range(1, n_commits + 1):
+        # 20-key narrow batch, deterministic rotation through the keyspace
+        ks = [keys[(i * 7 + j) % len(keys)] for j in range(20)]
+        nb = (
+            seed.filter(F.col("_id").isin(ks))
+            .withColumn("version_", F.lit(i + 1).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        t.merge(nb, write_mode="mor")
+        compactions += 1 if t.maybe_optimize(max_refs=12) else 0
+        if i in checkpoints:
+            gen = t.current_generation()
+            man_path = os.path.join(t.path, gen, "manifest.json")
+            man_bytes = os.path.getsize(man_path) if os.path.exists(man_path) else None
+            s0 = time.perf_counter()
+            t._manifest_raw(gen)
+            manifest_load = time.perf_counter() - s0
+            s0 = time.perf_counter()
+            fdf = t.files()
+            n_files = fdf.count() if fdf is not None else 0
+            files_latency = time.perf_counter() - s0
+            s0 = time.perf_counter()
+            hist = t.history()
+            history_latency = time.perf_counter() - s0
+            s0 = time.perf_counter()
+            t.count_rows()
+            count_latency = time.perf_counter() - s0
+            samples.append({
+                "commit": i,
+                "generations": len(t.generations()),
+                "referenced": len(t.referenced_generations()),
+                "manifest_bytes": man_bytes,
+                "manifest_load_s": round(manifest_load, 4),
+                "files_s": round(files_latency, 4),
+                "n_files": n_files,
+                "history_s": round(history_latency, 4),
+                "history_len": len(hist),
+                "count_rows_s": round(count_latency, 4),
+            })
+    wall = round(time.perf_counter() - t0_all, 4)
+
+    gens_before = len(t.generations())
+    s0 = time.perf_counter()
+    removed = t.vacuum(keep=3)
+    vacuum_s = round(time.perf_counter() - s0, 4)
+    print(json.dumps({
+        "metric": "huracan_spark_silver_commits",
+        "unit": "sec",
+        "n_commits": n_commits,
+        "total_commit_wall_s": wall,
+        "compactions": compactions,
+        "samples": samples,
+        "vacuum": {
+            "gens_before": gens_before,
+            "removed": len(removed),
+            "gens_after": len(t.generations()),
+            "vacuum_s": vacuum_s,
+        },
+    }))
 
 
 def main() -> None:
@@ -122,6 +213,10 @@ def main() -> None:
             }
         )
     )
+
+    n_commits = int(os.environ.get("SPARK_GRAFT_SILVER_COMMITS", "0"))
+    if n_commits:
+        _commit_scaling_probe(spark, batch, root, n_commits)
 
 
 if __name__ == "__main__":
