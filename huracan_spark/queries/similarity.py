@@ -414,8 +414,14 @@ WHERE round({_dot_sql('na.nemb', 'nb.nemb')}, 6) >= {NEAR_DUP_COS}
     "probe keys",
 )
 def q_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persist: the candidate join reads the banded table on both sides
-    # (probe-exploded on one, exact on the other)
+    # Candidate generation is IDS-ONLY: the (band, sig) equi-join
+    # carries no vectors, so the cosine fold never runs inside a join
+    # condition, and a pair that meets through several probe keys is
+    # DISTINCT'd *before* verification — one fold per unique pair, in
+    # a post-shuffle stage that parallelizes across the cluster.  The
+    # 10x scale rehearsal caught the previous shape (fold in the join
+    # condition, distinct after): every probe collision re-evaluated
+    # the 64-term fold inside one map task — 81x at 10x data.
     bv = _banded_vectors(_emb(spark, sf_dir)).persist()
     # multi-probe side: exact signature + every Hamming-1 flip, so the
     # "within 1 flip" predicate stays an equi-join key.  One-sided
@@ -423,7 +429,6 @@ def q_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one flip of A equals B.
     probes = bv.select(
         "vec_id",
-        "nemb",
         "band",
         F.explode(
             F.array(
@@ -435,25 +440,23 @@ def q_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pbsig"),
     )
-    a = probes.alias("a")
-    b = bv.alias("b")
-    cos = F.round(_dot(F.col("a.nemb"), F.col("b.nemb")), 6)
+    build = bv.select(
+        F.col("vec_id").alias("vec_b"), "band", F.col("bsig").alias("pbsig")
+    )
+    cand = (
+        probes.join(build, ["band", "pbsig"])
+        .filter(F.col("vec_id") < F.col("vec_b"))
+        .select(F.col("vec_id").alias("vec_a"), "vec_b")
+        .distinct()  # shuffle: verification below runs cluster-wide
+    )
+    n = bv.select("vec_id", "nemb").dropDuplicates(["vec_id"])
+    na, nb = n.alias("na"), n.alias("nb")
+    cos = F.round(_dot(F.col("na.nemb"), F.col("nb.nemb")), 6)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.pbsig") == F.col("b.bsig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
+        cand.join(na, cand.vec_a == F.col("na.vec_id"))
+        .join(nb, cand.vec_b == F.col("nb.vec_id"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COS)
-        # a pair can meet through several probe keys/bands; cosine is
-        # deterministic so full-row distinct collapses the dups
-        .distinct()
     )
 
 

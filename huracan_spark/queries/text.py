@@ -405,15 +405,14 @@ GROUP BY cc.doc_id, t.n_distinct
 )
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.length("text") >= 1)
-    pos = d.select(
-        "doc_id",
-        "text",
-        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
-    )
+    # split('') yields the char array in ONE O(len) pass; the previous
+    # explode(sequence)+substr(text, i, 1) formulation re-seeked the
+    # UTF8 string from the start per position — O(len^2) per doc
+    # (measured: 15.5x at the 10x scale rehearsal, where the synthetic
+    # corpus also lengthens docs; linear now)
     cc = (
-        pos.select(
-            "doc_id", F.col("text").substr(F.col("i"), F.lit(1)).alias("ch")
-        )
+        d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .filter(F.length("ch") >= 1)
         .groupBy("doc_id", "ch")
         .agg(F.count("*").alias("c"))
     )
