@@ -1023,18 +1023,22 @@ def _semdedup_assigned(n: DataFrame) -> DataFrame:
     )
 
 
-def _semdedup_pairs(n: DataFrame) -> DataFrame:
-    # persist: the within-cluster self-join reads the assignment on
-    # both sides; the assignment is corpus-sized but narrow (id, vec,
-    # cell) — at 100 TB this is the materialized IVF index, which a
-    # real deployment stores anyway.
-    assigned = _semdedup_assigned(n).persist()
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    cos = F.round(_dot(F.col("a.nemb"), F.col("b.nemb")), 6)
-    return (
-        a.join(
-            b,
+def _semdedup_pairs_from(assigned: DataFrame) -> DataFrame:
+    """Within-cluster pairs >= SEMDEDUP_COS from a persisted
+    (vec_id, nemb, centroid_id) assignment.  Candidate generation is
+    IDS-ONLY (the cluster-id self-join carries no vectors) and the
+    candidates are REPARTITIONED before the cosine verify, so the
+    per-cluster quadratic work spreads across the cluster instead of
+    grinding inside the few tasks the cluster-id join planned — the
+    same shape the 10x scale rehearsal forced on the LSH pair
+    generator.  The quadratic itself stays bounded per IVF cell (the
+    published SemDeDup formulation); at production scale the cell
+    count scales with the corpus so cell sizes stay put."""
+    ids = assigned.select("vec_id", "centroid_id")
+    cand = (
+        ids.alias("a")
+        .join(
+            ids.alias("b"),
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
@@ -1042,10 +1046,25 @@ def _semdedup_pairs(n: DataFrame) -> DataFrame:
             F.col("a.centroid_id").alias("cluster_id"),
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
         )
+        .repartition("vec_a", "vec_b")
+    )
+    vecs = assigned.select("vec_id", "nemb")
+    cos = F.round(_dot(F.col("na.nemb"), F.col("nb.nemb")), 6)
+    return (
+        cand.join(vecs.alias("na"), cand.vec_a == F.col("na.vec_id"))
+        .join(vecs.alias("nb"), cand.vec_b == F.col("nb.vec_id"))
+        .select("cluster_id", "vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= SEMDEDUP_COS)
     )
+
+
+def _semdedup_pairs(n: DataFrame) -> DataFrame:
+    # persist: the self-join reads the assignment on both sides; the
+    # assignment is corpus-sized but narrow (id, vec, cell) — at
+    # 100 TB this is the materialized IVF index, which a real
+    # deployment stores anyway.
+    return _semdedup_pairs_from(_semdedup_assigned(n).persist())
 
 
 @register(
@@ -1086,17 +1105,9 @@ GROUP BY 1
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _normalized(_emb(spark, sf_dir))
     assigned = _semdedup_assigned(n).persist()
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    cos = F.round(_dot(F.col("a.nemb"), F.col("b.nemb")), 6)
     dropped = (
-        a.join(
-            b,
-            (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(cos >= SEMDEDUP_COS)
-        .select(F.col("b.vec_id").alias("vec_id"))
+        _semdedup_pairs_from(assigned)
+        .select(F.col("vec_b").alias("vec_id"))
         .distinct()
         .withColumn("_drop", F.lit(1))
     )

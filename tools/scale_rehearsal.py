@@ -57,6 +57,8 @@ PANEL = [
     "knn_label_accuracy",
     "pagerank_top_nodes",
     "corpus_clean",
+    "semdedup_pairs",
+    "semdedup_keep",
     # group drivers (their one-time builds land in `groups`)
     "dedup_clusters",
     "dedup_canonical",
