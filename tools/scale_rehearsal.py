@@ -110,7 +110,15 @@ def main() -> None:
         i = args.index("--repeat")
         repeat = int(args[i + 1])
         del args[i : i + 2]
+    run_all = "--all" in args
+    if run_all:
+        args.remove("--all")
     names = args or PANEL
+    if run_all:
+        from huracan_spark.queries.registry import REGISTRY, spark_queries
+
+        spark_queries()
+        names = sorted(REGISTRY)
 
     small = os.environ.get("SPARK_GRAFT_SMALL", "/root/testdata/sf0.1")
     big = os.environ.get("SPARK_GRAFT_BIG", "/root/repo/.scale/sf1")
