@@ -206,6 +206,15 @@ def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions = F.when(
         n_grams >= 1, F.sequence(F.lit(1), n_grams, F.lit(_STRIDE))
     ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    # substring(text, i, k) re-walks the string from byte 0 per
+    # position (UTF8 codepoint counting) — O(len^2/stride) per doc in
+    # theory, and the 10x rehearsal measures it ~1.2x over char-linear
+    # at fixture doc lengths.  The asymptotically-clean alternative
+    # (split('') once + O(k) array slices) was MEASURED 7x SLOWER at
+    # both scales (nested non-codegen HOF eval per gram dwarfs the
+    # byte-walk; see CLAUDE.md HOF gotcha) — keep substring; the
+    # byte-walk constant only matters for books-length documents,
+    # where chunking (doc_chunking) precedes fingerprinting anyway.
     grams = F.transform(
         positions,
         lambda i: X.hash60(F.substring(F.col("text"), i, F.lit(_KGRAM)), "rh"),

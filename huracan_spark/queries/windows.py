@@ -118,10 +118,15 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- GROUPING SETS (beyond cube/rollup: arbitrary subtotal combos) ----------
 
+# join fabric: doc_id is UNIQUE, so `event_id % 5000 = doc_id` matches
+# each event to AT MOST one document — output stays O(|events|) at any
+# scale.  The previous `% 1000 = doc_id % 1000` many-to-many fabric had
+# per-key fan-out (events/1000)x(docs/1000): quadratic growth the 10x
+# rehearsal measured at 28x.
 _GSETS_ORACLE = """
 SELECT event_type, lang, count(*) AS n, round(sum(value), 2) AS sum_value
 FROM (SELECT e.event_type, d.lang, e.value
-      FROM events e JOIN documents d ON e.event_id % 1000 = d.doc_id % 1000)
+      FROM events e JOIN documents d ON e.event_id % 5000 = d.doc_id)
 GROUP BY GROUPING SETS ((event_type), (lang), (event_type, lang))
 """
 
@@ -135,7 +140,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     joined = ev.join(
-        docs, ev.event_id % 1000 == docs.doc_id % 1000
+        docs, ev.event_id % 5000 == docs.doc_id
     ).select("event_type", "lang", "value")
     view = "gsets_input"
     joined.createOrReplaceTempView(view)
