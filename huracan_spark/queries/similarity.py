@@ -343,14 +343,28 @@ _BAND_MASK = (1 << PLANES_PER_BAND) - 1
 PROBE_HAMMING = 1
 
 
-def _banded_vectors(e: DataFrame) -> DataFrame:
+def _banded_vectors(
+    e: DataFrame,
+    n_bands: int = N_SIG_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> DataFrame:
     """(vec_id, nemb, band, bsig): normalized vector exploded to one
-    row per signature band.  One projection, shuffle-free."""
+    row per signature band.  One projection, shuffle-free.
+
+    ``planes_per_band`` is THE production scale knob: expected bucket
+    occupancy is n / 2^w per band, so candidate volume stays linear
+    when w grows with log2(corpus).  Wider bands trade recall at LOW
+    similarity thresholds (band-agreement p^w with p = 1 - theta/pi)
+    — for dup-grade thresholds (cos >= ~0.8, p >= ~0.8) selectivity
+    and recall coexist; the registered fixture config (2x6, probe 1)
+    matches the synthetic corpus's low 0.35 threshold.  Measured in
+    tests/test_scale_dedup.py::test_lsh_band_width_is_the_scale_knob."""
+    planes = [_plane(p) for p in range(n_bands * planes_per_band)]
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = e.withColumn("_d", dbl)
     nrm = F.sqrt(_dot(F.col("_d"), F.col("_d")))
     sig = None
-    for p, plane in enumerate(_PLANES):
+    for p, plane in enumerate(planes):
         plane_lit = F.array(*[F.lit(v) for v in plane])
         proj = F.aggregate(
             F.zip_with(F.col("_d"), plane_lit, lambda x, y: x * y),
@@ -366,20 +380,64 @@ def _banded_vectors(e: DataFrame) -> DataFrame:
         F.transform(F.col("_d"), lambda x: x / nrm).alias("nemb"),
         sig.alias("sig"),
     )
+    band_mask = (1 << planes_per_band) - 1
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("sig"), b * PLANES_PER_BAND)
-                .bitwiseAND(F.lit(_BAND_MASK))
+                F.shiftright(F.col("sig"), b * planes_per_band)
+                .bitwiseAND(F.lit(band_mask))
                 .alias("bsig"),
             )
-            for b in range(N_SIG_BANDS)
+            for b in range(n_bands)
         ]
     )
     return withsig.select(
         "vec_id", "nemb", F.explode(bands).alias("_b")
     ).select("vec_id", "nemb", F.col("_b.band").alias("band"), F.col("_b.bsig").alias("bsig"))
+
+
+def _lsh_candidates_from(
+    bv: DataFrame, planes_per_band: int, probe_hamming: int
+) -> DataFrame:
+    """(vec_a, vec_b) candidates from a (possibly persisted) banded
+    table: ids-only equi-join on (band, probe sig), distinct'd before
+    any verification math."""
+    probe_sigs = [F.col("bsig")]
+    if probe_hamming >= 1:
+        probe_sigs += [
+            F.col("bsig").bitwiseXOR(F.lit(1 << j))
+            for j in range(planes_per_band)
+        ]
+    probes = bv.select(
+        "vec_id", "band", F.explode(F.array(*probe_sigs)).alias("pbsig")
+    )
+    build = bv.select(
+        F.col("vec_id").alias("vec_b"), "band", F.col("bsig").alias("pbsig")
+    )
+    return (
+        probes.join(build, ["band", "pbsig"])
+        .filter(F.col("vec_id") < F.col("vec_b"))
+        .select(F.col("vec_id").alias("vec_a"), "vec_b")
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs(
+    e: DataFrame,
+    n_bands: int = N_SIG_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+    probe_hamming: int = PROBE_HAMMING,
+) -> DataFrame:
+    """(vec_a, vec_b) multi-probe LSH candidates at an arbitrary band
+    configuration — the parameterized generator behind
+    q_embedding_lsh_near_dups, exposed so deployments can scale
+    ``planes_per_band`` with corpus size."""
+    return _lsh_candidates_from(
+        _banded_vectors(e, n_bands, planes_per_band),
+        planes_per_band,
+        probe_hamming,
+    )
 
 
 _LSH_PAIRS_ORACLE = f"""
@@ -423,32 +481,12 @@ def q_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # condition, distinct after): every probe collision re-evaluated
     # the 64-term fold inside one map task — 81x at 10x data.
     bv = _banded_vectors(_emb(spark, sf_dir)).persist()
-    # multi-probe side: exact signature + every Hamming-1 flip, so the
-    # "within 1 flip" predicate stays an equi-join key.  One-sided
-    # probing covers both orientations: hamming(A,B)=1 means exactly
-    # one flip of A equals B.
-    probes = bv.select(
-        "vec_id",
-        "band",
-        F.explode(
-            F.array(
-                F.col("bsig"),
-                *[
-                    F.col("bsig").bitwiseXOR(F.lit(1 << j))
-                    for j in range(PLANES_PER_BAND)
-                ],
-            )
-        ).alias("pbsig"),
-    )
-    build = bv.select(
-        F.col("vec_id").alias("vec_b"), "band", F.col("bsig").alias("pbsig")
-    )
-    cand = (
-        probes.join(build, ["band", "pbsig"])
-        .filter(F.col("vec_id") < F.col("vec_b"))
-        .select(F.col("vec_id").alias("vec_a"), "vec_b")
-        .distinct()  # shuffle: verification below runs cluster-wide
-    )
+    # multi-probe: exact signature + every Hamming-1 flip stays an
+    # equi-join key; one-sided probing covers both orientations
+    # (hamming(A,B)=1 means exactly one flip of A equals B).  The
+    # distinct inside introduces the shuffle that runs verification
+    # cluster-wide.
+    cand = _lsh_candidates_from(bv, PLANES_PER_BAND, PROBE_HAMMING)
     n = bv.select("vec_id", "nemb").dropDuplicates(["vec_id"])
     na, nb = n.alias("na"), n.alias("nb")
     cos = F.round(_dot(F.col("na.nemb"), F.col("nb.nemb")), 6)

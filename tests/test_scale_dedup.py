@@ -195,3 +195,62 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             ).collect()
         }
         assert got == uf_components(edges), f"trial {trial}"
+
+
+def test_lsh_band_width_is_the_scale_knob(spark):
+    """The 100 TB LSH claim, measured: at a dup-grade threshold, wider
+    bands keep candidate volume selective (buckets ~ n / 2^w) while
+    recall on TRUE near-dups stays high — the fixture's narrow 2x6
+    config floods candidates on the same corpus.  Corpus: 60 planted
+    near-dup pairs (cosine ~0.98) inside 600 background vectors."""
+    import random
+
+    from huracan_spark.queries.similarity import DIM, lsh_candidate_pairs
+
+    rng = random.Random(0x5CA1E)
+
+    def unit():
+        v = [rng.gauss(0, 1) for _ in range(DIM)]
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    rows, truth = [], set()
+    vid = 0
+    for _ in range(300):
+        rows.append((vid, unit()))
+        vid += 1
+    for _ in range(60):  # planted dup pairs: tiny perturbation
+        base = unit()
+        dup = [x + rng.gauss(0, 0.02) for x in base]
+        rows.append((vid, base))
+        rows.append((vid + 1, dup))
+        truth.add((vid, vid + 1))
+        vid += 2
+    for _ in range(180):
+        rows.append((vid, unit()))
+        vid += 1
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+    def stats(n_bands, w):
+        cand = {
+            (r.vec_a, r.vec_b)
+            for r in lsh_candidate_pairs(e, n_bands, w).collect()
+        }
+        recall = len(cand & truth) / len(truth)
+        return len(cand), recall
+
+    n = len(rows)
+    all_pairs = n * (n - 1) // 2
+    narrow_cand, narrow_recall = stats(2, 6)
+    wide_cand, wide_recall = stats(2, 12)
+    # dup-grade pairs agree per plane with p ~ 1 - theta/pi ~ 0.96:
+    # even 12-bit bands keep them
+    assert wide_recall >= 0.9, f"wide-band recall {wide_recall}"
+    assert narrow_recall >= 0.9
+    # the knob: widening bands by 6 bits cuts candidate volume by an
+    # order of magnitude on the same corpus; narrow bands are dense
+    assert wide_cand < narrow_cand / 8, (wide_cand, narrow_cand)
+    assert wide_cand < all_pairs / 50, "wide bands must be selective"
