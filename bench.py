@@ -39,7 +39,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 
 def main() -> None:
@@ -51,39 +50,14 @@ def main() -> None:
     spark_queries()
     spark = get_spark("huracan-bench")
 
-    # warm the JVM + parquet footers once so per-query numbers measure
-    # the queries, not first-touch JIT/IO
-    from huracan_spark.sources.tables import load_all
+    # measurement methodology (warm-up, noop sink, group attribution,
+    # min fold, cache hygiene) lives in benchlib so the scale rehearsal
+    # measures IDENTICALLY — exponents stay comparable to these floors
+    from huracan_spark.benchlib import measure_queries
 
-    for df in load_all(spark, sf_dir).values():
-        df.count()
-
-    from huracan_spark.queries import matcost
-
-    matcost.drain()  # table warm-up must not charge any group
-    per_query: dict[str, float] = {}
-    groups: dict[str, float] = {}
-    for _ in range(repeat):
-        for name, spec in sorted(REGISTRY.items()):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            # noop sink: full plan execution (count() would let Catalyst
-            # prune projection-only work like hash/fingerprint columns)
-            df.write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            # shared builds triggered by this query are charged to their
-            # named group, not to whichever member happened to run first
-            for grp, cost in matcost.drain():
-                groups[grp] = round(groups.get(grp, 0.0) + cost, 4)
-                dt -= cost
-            dt = round(max(dt, 0.0), 4)
-            prev = per_query.get(name)
-            per_query[name] = dt if prev is None else min(prev, dt)
-            # drop per-query DataFrame persists so caches from earlier
-            # queries can't pressure later measurements (localCheckpointed
-            # shared state — e.g. the dedup cluster-labels table — is RDD
-            # blocks, not catalog cache, and survives this on purpose)
-            spark.catalog.clearCache()
+    per_query, groups = measure_queries(
+        spark, sf_dir, sorted(REGISTRY), repeat=repeat
+    )
     total = round(sum(per_query.values()) + sum(groups.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -99,11 +73,19 @@ def main() -> None:
         out["repeat"] = repeat
     print(json.dumps(out))
 
-    # sidecar with the full maps + compact FINAL line (see module doc)
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
-    with open(detail_path, "w") as fh:
-        json.dump(out, fh, indent=1)
+    # sidecar with the full maps + compact FINAL line (see module doc).
+    # The sidecar write must NEVER prevent the final summary line — a
+    # disk-full/read-only failure here would reproduce the exact
+    # truncated-record problem the summary line exists to fix.
+    detail_name = "BENCH_DETAIL.json"
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), detail_name
+        )
+        with open(detail_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError as e:
+        detail_name = f"UNWRITABLE ({e})"
     summary = {
         "metric": out["metric"],
         "value": total,
@@ -113,7 +95,7 @@ def main() -> None:
         "queries_total": round(sum(per_query.values()), 4),
         "groups_total": round(sum(groups.values()), 4),
         "sf": out["sf"],
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
     }
     if repeat > 1:
         summary["repeat"] = repeat

@@ -59,11 +59,15 @@ class CommitConflict(RuntimeError):
 
 
 class _LockHandle(str):
-    """Commit-lock path plus the identity nonce written into the file at
-    acquisition; ``_release_commit_lock`` verifies the nonce so a writer
-    whose stale lock was broken can never unlink a successor's lock."""
+    """Commit-lock path plus the identity nonce written into the file
+    at acquisition and the holder's heartbeat control.  The heartbeat
+    keeps a LIVE holder's mtime fresh so stale-breaking only ever hits
+    dead writers; the nonce lets release verify the file is still ours
+    before unlinking (defense in depth)."""
 
     nonce: str = ""
+    stop_heartbeat = None  # threading.Event, set by _acquire_commit_lock
+    heartbeat_thread = None
 
 
 class MergeMetrics:
@@ -124,25 +128,44 @@ class SilverTable:
     # across a whole Spark merge — only a truly dead writer's lock may
     # be broken
     _LOCK_STALE_SECS = 600.0
+    #: heartbeat period for held locks; a LIVE holder refreshes the
+    #: lock mtime every this-many seconds, so staleness (mtime age >
+    #: _LOCK_STALE_SECS) can only ever be true of a DEAD holder — a
+    #: long-held pessimistic span (replay_quarantine, DV commits) is
+    #: never broken mid-span no matter how many Spark jobs it runs
+    _LOCK_HEARTBEAT_SECS = 60.0
 
     def _acquire_commit_lock(self, timeout: float = 120.0) -> "_LockHandle":
+        import threading
+
         lock = os.path.join(self.path, "_COMMIT_LOCK")
         deadline = time.monotonic() + timeout
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 # identity nonce: release verifies the lock file still
-                # carries OUR nonce before unlinking — a long-held span
-                # (> _LOCK_STALE_SECS, e.g. replay_quarantine's multi-job
-                # read-merge-rewrite) can be stale-broken, and blindly
-                # unlinking by path would delete the NEXT writer's fresh
-                # lock, silently admitting a third writer into a
-                # supposedly pessimistic span
+                # carries OUR nonce before unlinking, as defense in
+                # depth under the heartbeat (a wrong unlink would
+                # delete the NEXT writer's fresh lock and silently
+                # admit a third writer into a pessimistic span)
                 nonce = f"{os.getpid()}-{time.monotonic_ns()}"
                 os.write(fd, nonce.encode())
                 os.close(fd)
                 handle = _LockHandle(lock)
                 handle.nonce = nonce
+                stop = threading.Event()
+                handle.stop_heartbeat = stop
+
+                def _beat():
+                    while not stop.wait(self._LOCK_HEARTBEAT_SECS):
+                        try:
+                            os.utime(lock)
+                        except FileNotFoundError:
+                            return  # lock gone: holder crashed mid-span
+
+                t = threading.Thread(target=_beat, daemon=True)
+                t.start()
+                handle.heartbeat_thread = t
                 return handle
             except FileExistsError:
                 try:  # break locks abandoned by a dead writer
@@ -161,10 +184,18 @@ class SilverTable:
                 time.sleep(0.02)
 
     def _release_commit_lock(self, lock: "_LockHandle") -> None:
-        """Unlink the commit lock only if it is still OURS (nonce
-        matches).  If a stale-breaker renamed our lock away and another
-        writer re-acquired, the file at this path belongs to them — we
-        lost the lock long ago and must not delete theirs."""
+        """Stop the heartbeat, then unlink the commit lock only if it
+        is still OURS (nonce matches).  The heartbeat guarantees a live
+        holder is never stale-broken, so by the time we release, the
+        file at this path is ours unless our PROCESS previously died
+        and restarted mid-span (impossible for one handle) — the nonce
+        check is belt-and-braces against protocol bugs, and the
+        read-then-unlink window is unreachable for a heartbeating
+        holder (our mtime is at most _LOCK_HEARTBEAT_SECS old, far
+        under _LOCK_STALE_SECS)."""
+        stop = getattr(lock, "stop_heartbeat", None)
+        if stop is not None:
+            stop.set()
         try:
             with open(lock) as f:
                 if f.read() != getattr(lock, "nonce", None):

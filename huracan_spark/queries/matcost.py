@@ -35,20 +35,39 @@ BUILD_LEDGER: list[tuple[str, float]] = []
 _OPEN_CHILD_RAW: list[float] = []
 
 
+def open_span(group: str) -> tuple:
+    """Explicit-bracket variant of ``charged_build`` for build sites
+    whose body isn't cleanly wrappable in a ``with`` (the silver
+    on-disk drives, the streaming staging run).  MUST be paired with
+    ``close_span`` on every non-exception path; participates in the
+    same nesting stack, so a build that transitively triggers another
+    charged build is never double-counted."""
+    _OPEN_CHILD_RAW.append(0.0)
+    return (group, time.perf_counter(), len(_OPEN_CHILD_RAW))
+
+
+def close_span(span: tuple) -> None:
+    group, t0, depth = span
+    # an exception between open/close may have leaked child frames
+    # (their builds died with it): fold them away before closing ours
+    while len(_OPEN_CHILD_RAW) > depth:
+        _OPEN_CHILD_RAW.pop()
+    raw = time.perf_counter() - t0
+    children = _OPEN_CHILD_RAW.pop()
+    BUILD_LEDGER.append((group, round(max(raw - children, 0.0), 4)))
+    if _OPEN_CHILD_RAW:
+        # a child's raw span (self + grandchildren) leaves the
+        # parent's self time; grandchild self is already netted out
+        _OPEN_CHILD_RAW[-1] += raw
+
+
 @contextmanager
 def charged_build(group: str):
-    t0 = time.perf_counter()
-    _OPEN_CHILD_RAW.append(0.0)
+    span = open_span(group)
     try:
         yield
     finally:
-        raw = time.perf_counter() - t0
-        children = _OPEN_CHILD_RAW.pop()
-        BUILD_LEDGER.append((group, round(max(raw - children, 0.0), 4)))
-        if _OPEN_CHILD_RAW:
-            # a child's raw span (self + grandchildren) leaves the
-            # parent's self time; grandchild self is already netted out
-            _OPEN_CHILD_RAW[-1] += raw
+        close_span(span)
 
 
 def drain() -> list[tuple[str, float]]:

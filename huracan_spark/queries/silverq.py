@@ -33,12 +33,11 @@ versions or sides and is resolved by the deterministic MERGE order.
 from __future__ import annotations
 
 import tempfile
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from huracan_spark.queries.matcost import BUILD_LEDGER
+from huracan_spark.queries.matcost import close_span, open_span
 from huracan_spark.queries.registry import register
 from huracan_spark.sources.tables import load_table
 
@@ -91,7 +90,7 @@ def q_silver_cdf_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SF_MATERIALIZED.get(key)
     if cached is not None:
         return cached
-    _t0 = time.perf_counter()
+    _span = open_span("silver:cdf_view")
 
     from huracan_spark.pipeline.incr_view import grouped_view, refresh_view
     from huracan_spark.pipeline.silver import SilverTable
@@ -141,9 +140,7 @@ def q_silver_cdf_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     # first-consumer attribution: the on-disk drive runs once per
     # (app, sf); bench charges it to the group, not to whoever ran first
-    BUILD_LEDGER.append(
-        ("silver:cdf_view", round(time.perf_counter() - _t0, 4))
-    )
+    close_span(_span)
     _SF_MATERIALIZED[key] = out
     return out
 
@@ -195,7 +192,7 @@ def q_silver_mor_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SF_MATERIALIZED.get(key)
     if cached is not None:
         return cached
-    _t0 = time.perf_counter()
+    _span = open_span("silver:mor_state")
 
     from huracan_spark.pipeline.silver import SilverTable
 
@@ -242,9 +239,7 @@ def q_silver_mor_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    BUILD_LEDGER.append(
-        ("silver:mor_state", round(time.perf_counter() - _t0, 4))
-    )
+    close_span(_span)
     _SF_MATERIALIZED[key] = out
     return out
 
@@ -326,7 +321,7 @@ def q_silver_evolution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SF_MATERIALIZED.get(key)
     if cached is not None:
         return cached
-    _t0 = time.perf_counter()
+    _span = open_span("silver:evolution_state")
 
     from huracan_spark.pipeline.silver import SilverTable
 
@@ -419,9 +414,7 @@ def q_silver_evolution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     pre.unpersist()
-    BUILD_LEDGER.append(
-        ("silver:evolution_state", round(time.perf_counter() - _t0, 4))
-    )
+    close_span(_span)
     _SF_MATERIALIZED[key] = out
     return out
 
@@ -505,7 +498,7 @@ def q_silver_dv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SF_MATERIALIZED.get(key)
     if cached is not None:
         return cached
-    _t0 = time.perf_counter()
+    _span = open_span("silver:dv_state")
 
     from huracan_spark.pipeline.silver import SilverTable
 
@@ -562,9 +555,7 @@ def q_silver_dv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     pre.unpersist()
-    BUILD_LEDGER.append(
-        ("silver:dv_state", round(time.perf_counter() - _t0, 4))
-    )
+    close_span(_span)
     _SF_MATERIALIZED[key] = out
     return out
 
@@ -622,7 +613,7 @@ def q_dlq_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SF_MATERIALIZED.get(key)
     if cached is not None:
         return cached
-    _t0 = time.perf_counter()
+    _span = open_span("silver:dlq_replay")
 
     import os
 
@@ -708,8 +699,6 @@ def q_dlq_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    BUILD_LEDGER.append(
-        ("silver:dlq_replay", round(time.perf_counter() - _t0, 4))
-    )
+    close_span(_span)
     _SF_MATERIALIZED[key] = out
     return out

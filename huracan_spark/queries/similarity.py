@@ -134,8 +134,9 @@ def _knn_from(n: DataFrame) -> DataFrame:
 # sf<=0.01 (every id < CAP), so the anchor semantics are unchanged
 # where the lossless-twin equality is pinned (test_scale_dedup.py runs
 # uncapped twins against this at sf0.001).  Full-corpus exactness
-# remains covered by that pytest anchor.
-EXACT_BASELINE_CAP = 1000
+# remains covered by that pytest anchor.  ONE constant shared with the
+# simhash baseline (dedup.py) — the two samples stay comparable.
+from huracan_spark.queries.dedup import EXACT_BASELINE_CAP  # noqa: E402
 
 _NEAR_ORACLE = f"""
 WITH n AS ({_NORMALIZED_SQL}),
@@ -358,8 +359,21 @@ def _banded_vectors(
     — for dup-grade thresholds (cos >= ~0.8, p >= ~0.8) selectivity
     and recall coexist; the registered fixture config (2x6, probe 1)
     matches the synthetic corpus's low 0.35 threshold.  Measured in
-    tests/test_scale_dedup.py::test_lsh_band_width_is_the_scale_knob."""
-    planes = [_plane(p) for p in range(n_bands * planes_per_band)]
+    tests/test_scale_dedup.py::test_lsh_band_width_is_the_scale_knob.
+
+    Capacity: all bands pack into ONE signed 64-bit sig, so
+    n_bands * planes_per_band <= 62 (bit 62 is the last safe plane;
+    bit 63 is the sign).  62 bits is 31-bit bands x 2 — occupancy
+    n/2^31, enough for ~10^11-vector corpora at dup-grade thresholds;
+    beyond that, split signatures across multiple sig columns."""
+    total_planes = n_bands * planes_per_band
+    if total_planes > 62:
+        raise ValueError(
+            f"n_bands*planes_per_band = {total_planes} exceeds the 62 "
+            "usable bits of the packed long signature; use multiple "
+            "sig columns beyond 62 planes"
+        )
+    planes = [_plane(p) for p in range(total_planes)]
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = e.withColumn("_d", dbl)
     nrm = F.sqrt(_dot(F.col("_d"), F.col("_d")))

@@ -65,11 +65,9 @@ def q_stream_tumbling_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SF_MATERIALIZED.get(key)
     if cached is not None:
         return cached
-    import time
+    from huracan_spark.queries.matcost import close_span, open_span
 
-    from huracan_spark.queries.matcost import BUILD_LEDGER
-
-    _t0 = time.perf_counter()
+    _span = open_span("stream:tumbling_staging")
 
     root = tempfile.mkdtemp(prefix="hs_streamq_")
     staged = os.path.join(root, "in")
@@ -160,8 +158,6 @@ def q_stream_tumbling_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # first-consumer attribution: staging + the availableNow streaming
     # run happen once per (app, sf) — charge the group, not the query
-    BUILD_LEDGER.append(
-        ("stream:tumbling_staging", round(time.perf_counter() - _t0, 4))
-    )
+    close_span(_span)
     _SF_MATERIALIZED[key] = out
     return out

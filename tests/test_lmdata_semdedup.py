@@ -111,14 +111,39 @@ def test_semdedup_pair_join_is_equi_never_cartesian(spark, sf_dir):
     p = _plan(spark, sf_dir, "semdedup_pairs")
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
-    # every nested-loop in the plan is a BuildRight broadcast of the
-    # 8-row centroid table, never corpus x corpus: the assignment
-    # lineage appears once per candidate/verify consumer (ids a/b,
-    # vecs na/nb — 4 in a cold plan; persist collapses them at run
-    # time), and each carries exactly one K-row centroid broadcast
-    assert p.count("BroadcastNestedLoopJoin") <= 4
-    for frag in p.split("BroadcastNestedLoopJoin")[1:]:
-        assert "BuildRight" in frag[:60] or "BuildLeft" in frag[:60]
+    # every nested-loop in the plan must be the K-row centroid
+    # broadcast, never corpus x corpus: walk the TREE (not the text —
+    # any substring check is satisfiable by unrelated later lines) and
+    # require each BroadcastNestedLoopJoinExec's BUILD side to be the
+    # vec_id < N_CENTROIDS scan.  The assignment lineage appears once
+    # per candidate/verify consumer (ids a/b, vecs na/nb) in a cold
+    # plan; persist collapses them at run time.
+    from huracan_spark.queries.similarity import N_CENTROIDS
+    from tests.test_registry_sweep import _walk_plan
+
+    spark_queries()
+    plan = (
+        REGISTRY["semdedup_pairs"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+    )
+    n_bnlj = 0
+    for node in _walk_plan(plan):
+        if node.getClass().getSimpleName() != "BroadcastNestedLoopJoinExec":
+            continue
+        n_bnlj += 1
+        # build side is right() under BuildRight, left() under BuildLeft
+        build = (
+            node.right()
+            if "BuildRight" in node.buildSide().toString()
+            else node.left()
+        )
+        bs = build.toString()
+        assert f"LessThan(vec_id,{N_CENTROIDS})" in bs, (
+            "nested-loop build side is not the centroid scan:\n" + bs[:500]
+        )
+    assert n_bnlj <= 4
 
 
 def test_bpe_merge_topk_is_take_ordered_partial_agg(spark, sf_dir):

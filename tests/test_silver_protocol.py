@@ -202,3 +202,35 @@ def test_release_commit_lock_normal_cycle(spark, tmp_path):
         assert f.read() == h.nonce
     t._release_commit_lock(h)
     assert not os.path.exists(lock_path)
+
+
+def test_live_holder_is_never_stale_broken(spark, tmp_path, monkeypatch):
+    """The heartbeat keeps a LIVE holder's lock mtime fresh, so another
+    writer times out instead of breaking the lock mid-span — even when
+    the span far exceeds the staleness threshold.  A DEAD holder's lock
+    (no heartbeat) is still broken."""
+    import time as _time
+
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+    monkeypatch.setattr(SilverTable, "_LOCK_STALE_SECS", 0.3)
+    monkeypatch.setattr(SilverTable, "_LOCK_HEARTBEAT_SECS", 0.1)
+
+    h = t._acquire_commit_lock()
+    _time.sleep(0.8)  # span far beyond staleness; heartbeat refreshes
+    import pytest as _pytest
+
+    with _pytest.raises(TimeoutError):
+        t._acquire_commit_lock(timeout=0.5)
+    t._release_commit_lock(h)
+    assert not os.path.exists(os.path.join(t.path, "_COMMIT_LOCK"))
+
+    # dead holder: lock exists but nobody heartbeats -> broken and
+    # re-acquired within the stale threshold
+    lock_path = os.path.join(t.path, "_COMMIT_LOCK")
+    with open(lock_path, "w") as f:
+        f.write("dead-writer-nonce")
+    old = _time.time() - 10
+    os.utime(lock_path, (old, old))
+    h2 = t._acquire_commit_lock(timeout=2.0)
+    assert h2.nonce != "dead-writer-nonce"
+    t._release_commit_lock(h2)

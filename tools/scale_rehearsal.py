@@ -31,7 +31,6 @@ import json
 import math
 import os
 import sys
-import time
 
 # the 20 heaviest registered queries by BASELINE.md per-query floor,
 # plus the shared-build group drivers (dedup CC pipeline, silver
@@ -75,32 +74,11 @@ PANEL = [
 
 
 def _run_panel(spark, sf_dir: str, names: list[str], repeat: int):
-    from huracan_spark.queries import matcost
-    from huracan_spark.queries.registry import REGISTRY
-    from huracan_spark.sources.tables import load_all
+    # IDENTICAL methodology to bench.py, by construction: both call the
+    # same benchlib loop, so exponents are comparable to the floors
+    from huracan_spark.benchlib import measure_queries
 
-    for df in load_all(spark, sf_dir).values():
-        df.count()
-    matcost.drain()
-    per_query: dict[str, float] = {}
-    groups: dict[str, float] = {}
-    for r in range(repeat):
-        for name in names:
-            spec = REGISTRY[name]
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            for grp, cost in matcost.drain():
-                # builds fire once per (app, sf_dir): only round 0 sees
-                # them, so record (not min) is correct
-                groups[grp] = round(groups.get(grp, 0.0) + cost, 4)
-                dt -= cost
-            dt = round(max(dt, 0.0), 4)
-            prev = per_query.get(name)
-            per_query[name] = dt if prev is None else min(prev, dt)
-            spark.catalog.clearCache()
-    return per_query, groups
+    return measure_queries(spark, sf_dir, names, repeat=repeat)
 
 
 def main() -> None:
@@ -108,6 +86,8 @@ def main() -> None:
     repeat = 1
     if "--repeat" in args:
         i = args.index("--repeat")
+        if i + 1 >= len(args) or not args[i + 1].isdigit():
+            sys.exit("usage: scale_rehearsal.py [--repeat N] [--all] [names...]")
         repeat = int(args[i + 1])
         del args[i : i + 2]
     run_all = "--all" in args
