@@ -145,6 +145,30 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
 """
 
 
+
+#: broadcast a corpus-derived "hot key" list only when it is ACTUALLY
+#: small: Catalyst under-estimates post-aggregate sizes and would
+#: static-plan a broadcast of an unbounded side (the 100x rehearsal
+#: blew spark.driver.maxResultSize on exactly that), while always
+#: forcing a shuffle costs 3x at fixture scale (measured).  One
+#: bounded count job decides — the manual form of what AQE does for
+#: runtime-sized sides it is allowed to re-plan.
+_BROADCAST_ROW_CAP = 200_000
+
+
+def _anti_join_hot(sh: DataFrame, hot: DataFrame) -> DataFrame:
+    # one agg job total: checkpoint the hot list (executor-local
+    # blocks, never the driver), probe its size from the materialized
+    # blocks, then join from them — without this the size probe and
+    # the join would each recompute the corpus-wide df aggregate
+    hot = hot.localCheckpoint(eager=True)
+    if hot.limit(_BROADCAST_ROW_CAP + 1).count() <= _BROADCAST_ROW_CAP:
+        hot = F.broadcast(hot)
+    else:
+        hot = hot.hint("shuffle_hash")
+    return sh.join(hot, ["source", "shingle"], "left_anti")
+
+
 def jaccard_pairs(sh: DataFrame, df_cap: int = JACCARD_DF_CAP) -> DataFrame:
     """Exact Jaccard pairs over a (doc_id, source, shingle) table with
     document-frequency winnowing.
@@ -164,7 +188,7 @@ def jaccard_pairs(sh: DataFrame, df_cap: int = JACCARD_DF_CAP) -> DataFrame:
         .filter(F.col("df") > df_cap)
         .select("source", "shingle")
     )
-    capped = sh.join(F.broadcast(hot), ["source", "shingle"], "left_anti")
+    capped = _anti_join_hot(sh, hot)
     sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = capped.alias("a")
     b = capped.alias("b")
@@ -207,7 +231,7 @@ def _shingle_commons(spark: SparkSession, sf_dir: str):
             .filter(F.col("df") > JACCARD_DF_CAP)
             .select("source", "shingle")
         )
-        return sh.join(F.broadcast(hot), ["source", "shingle"], "left_anti")
+        return _anti_join_hot(sh, hot)
 
     capped = _materialized(spark, sf_dir, "capped_shingles", build_capped)
     sizes = _materialized(
@@ -1140,7 +1164,15 @@ def q_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_nd") > 1)
         .select("block_hash")
     )
-    dw = blocks.join(dup, "block_hash").select("doc_id", "w")
+    # shuffle_hash hint: the dup-hash set grows with the corpus, but
+    # Catalyst under-estimates post-aggregate sizes and static-plans a
+    # broadcast of it — at the 100x rehearsal the collect blew
+    # spark.driver.maxResultSize (1.4 GB).  An unbounded side must
+    # never be a planner-estimated broadcast; AQE can still not
+    # convert this one (hints win), which is exactly right here.
+    dw = blocks.join(dup.hint("shuffle_hash"), "block_hash").select(
+        "doc_id", "w"
+    )
     isl = dw.withColumn(
         "g",
         F.col("w")
