@@ -1666,3 +1666,67 @@ def q_fk_orphan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _check("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey")
     c = _check("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey")
     return a.unionByName(b).unionByName(c)
+
+
+# -- VARIANT dynamic fields (Spark 4 semi-structured type) -------------------
+#
+# Extends props_variant_stats (above) to the full dynamic-field
+# surface the reference serves through Q7/Q8 (server GraphQL field
+# lookups are NESTED paths on arbitrary objects): nested-path
+# extraction ($.meta.k), string-typed extraction, a PREDICATE on an
+# extracted field (the dynamic-field filter shape), and missing-path
+# semantics (try_variant_get -> NULL, counted as 0).  Both sides build
+# the SAME enriched JSON document from columns (ints/strings only — no
+# float formatting divergence), so the DuckDB json_extract oracle pins
+# the VARIANT machinery end-to-end.
+
+_VARIANT_ORACLE = """
+WITH j AS (
+  SELECT '{"meta":' || props || ',"type":"' || event_type || '","user":'
+         || CAST(user_id AS VARCHAR) || '}' AS doc
+  FROM events
+)
+SELECT json_extract_string(doc, '$.type') AS vtype,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(doc, '$.meta.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       CAST(count(json_extract(doc, '$.absent')) AS BIGINT) AS n_absent
+FROM j
+WHERE CAST(json_extract(doc, '$.meta.k') AS BIGINT) % 7 = 0
+GROUP BY 1
+"""
+
+
+@register(
+    "variant_dynamic_fields",
+    _VARIANT_ORACLE,
+    doc="Spark 4 VARIANT semi-structured path for dynamic fields "
+    "(Q7/Q8): parse_json once, variant_get typed extraction + "
+    "predicate, try_variant_get missing-path NULL semantics; "
+    "single-scan hash agg — parse/extract are JVM expressions, "
+    "shredding-ready at scale",
+)
+def q_variant_dynamic_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    doc = F.concat(
+        F.lit('{"meta":'), F.col("props"),
+        F.lit(',"type":"'), F.col("event_type"),
+        F.lit('","user":'), F.col("user_id").cast("string"),
+        F.lit("}"),
+    )
+    v = F.parse_json(doc)
+    k = F.variant_get(v, "$.meta.k", "bigint")
+    return (
+        ev.select(
+            F.variant_get(v, "$.type", "string").alias("vtype"),
+            k.alias("k"),
+            F.try_variant_get(v, "$.absent", "bigint").alias("absent"),
+        )
+        .filter(F.col("k") % 7 == 0)
+        .groupBy("vtype")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count("absent").alias("n_absent"),
+        )
+    )

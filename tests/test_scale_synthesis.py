@@ -63,7 +63,7 @@ def test_keys_unique_and_fk_integrity(out_dir):
     assert set(_col(out_dir, "lineitem", "l_orderkey")) <= set(ok)
 
 
-def test_copy0_documents_identical_others_token_disjoint(out_dir):
+def test_copy0_documents_identical_others_bijected(out_dir):
     src_ids = _col(SRC, "documents", "doc_id")
     src_txt = _col(SRC, "documents", "text")
     out_ids = _col(out_dir, "documents", "doc_id")
@@ -73,18 +73,53 @@ def test_copy0_documents_identical_others_token_disjoint(out_dir):
     # copy 0 is the identity: sf_small is a subset of the 10x set
     for d, t in zip(src_ids[:50], src_txt[:50]):
         assert by_id[d] == t
-    # n_chars recomputed from the transformed text
+    # the char bijection is LENGTH-PRESERVING and n_chars carries over
     for t, n in list(zip(out_txt, out_nc))[:200]:
         assert n == len(t)
-    # cross-copy token sets are disjoint (the bijection marker)
     base = max(src_ids) + 1
     for d in src_ids[:20]:
-        toks0 = set(by_id[d].split())
-        toks3 = set(by_id[d + 3 * base].split())
-        assert not (toks0 & toks3), "cross-copy token sets must be disjoint"
+        t0, t3 = by_id[d], by_id[d + 3 * base]
+        # length preserved EXACTLY (no per-level text-growth confound)
+        assert len(t3) == len(t0)
+        toks0, toks3 = set(t0.split()), set(t3.split())
         # bijection: token COUNT structure preserved exactly
-        assert len(by_id[d].split()) == len(by_id[d + 3 * base].split())
+        assert len(t0.split()) == len(t3.split())
         assert len(toks0) == len(toks3)
+        # cross-copy token sets near-disjoint: a collision needs
+        # pi_3(w) to spell a token of copy 0 — only short tokens can
+        inter = toks0 & toks3
+        assert len(inter) <= max(1, len(toks0) // 20), inter
+        assert all(len(w) <= 3 for w in inter), inter
+
+
+def test_chained_levels_with_distinct_seeds_share_no_transform(
+        out_dir, tmp_path_factory):
+    """Decade-2 chaining pin: with per-level seeds, composed copies
+    (k,0) and (0,k) must NOT be exact text twins (the shared-seed
+    construction made pi_k . id == id . pi_k — 9 spurious exact-dup
+    pairs per source doc that inflated decade-2 dup exponents)."""
+    out2 = str(tmp_path_factory.mktemp("scale100"))
+    subprocess.run(
+        [sys.executable, "tools/make_scale10.py", out_dir, out2,
+         "--seed", "2"],
+        check=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+    )
+    src_ids = _col(SRC, "documents", "doc_id")
+    base1 = max(src_ids) + 1                      # level-1 copy stride
+    ids2 = _col(out2, "documents", "doc_id")
+    txt2 = _col(out2, "documents", "text")
+    by_id = dict(zip(ids2, txt2))
+    # level-2 stride = max level-1 doc_id + 1 = 10 * base1
+    stride2 = max(ids2) + 1
+    assert stride2 % 10 == 0
+    stride2 //= 10
+    for d in src_ids[:20]:
+        for k in (1, 4, 9):
+            t_k0 = by_id[d + k * base1]            # level-1 copy k, level-2 copy 0
+            t_0k = by_id[d + k * stride2]          # level-1 copy 0, level-2 copy k
+            assert t_k0 != t_0k, "chained copies (k,0) and (0,k) must differ"
 
 
 def test_embedding_transform_preserves_within_copy_cosines(out_dir):
