@@ -12,7 +12,8 @@ import time
 
 
 def measure_queries(
-    spark, sf_dir: str, names: list[str], repeat: int = 1
+    spark, sf_dir: str, names: list[str], repeat: int = 1,
+    verbose: bool = False,
 ) -> tuple[dict[str, float], dict[str, float]]:
     """Run each registered query fully at ``sf_dir``; returns
     (per_query_seconds, group_build_seconds).
@@ -30,7 +31,11 @@ def measure_queries(
     - clears the catalog cache between queries so one query's persists
       can't pressure the next (localCheckpointed shared state is RDD
       blocks, not catalog cache, and survives on purpose)
+    - ``verbose`` prints one stderr line per completed query, so a
+      crash mid-run (the decade-3 rehearsal's disk-spill abort) still
+      leaves the completed measurements recoverable from the log
     """
+    import sys
     from huracan_spark.queries import matcost
     from huracan_spark.queries.registry import REGISTRY
     from huracan_spark.sources.tables import load_all
@@ -54,5 +59,7 @@ def measure_queries(
             dt = round(max(dt, 0.0), 4)
             prev = per_query.get(name)
             per_query[name] = dt if prev is None else min(prev, dt)
+            if verbose:
+                print(f"#done {sf_dir} {name} {dt}", file=sys.stderr, flush=True)
             spark.catalog.clearCache()
     return per_query, groups

@@ -51,8 +51,16 @@ from huracan_spark.sources.tables import load_table
 N_MINHASH = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_MINHASH // N_BANDS
-SIMHASH_BITS = 32
-SIMHASH_MAX_HAMMING = 6
+# Manku et al. (WWW'07) production shape: wide fingerprint, small
+# hamming radius, segment width >= log2(corpus).  The r8 decade-3
+# rehearsal measured the old 32-bit/hamming-6 config quadratic
+# (7 segments of 4-5 bits = 16-32 bucket values — a BOUNDED keyspace
+# that saturates around 1e5 docs; 322 s / exponent 1.68 at 5M docs).
+# 60 bits is hash60's full usable width; 4 segments of 15 bits give
+# 32768-value buckets, so expected bucket load stays O(1) docs deep
+# into the measured decades and candidate volume stays ~linear.
+SIMHASH_BITS = 60
+SIMHASH_MAX_HAMMING = 3
 # pigeonhole: > SIMHASH_MAX_HAMMING segments => any pair within the
 # hamming radius shares at least one untouched segment
 SIMHASH_SEGMENTS = SIMHASH_MAX_HAMMING + 1

@@ -23,7 +23,6 @@ stays in codegen.
 from __future__ import annotations
 
 import hashlib
-import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1031,65 +1030,101 @@ SEMDEDUP_COS = 0.35
 # the round-8 rehearsal's measured scale bug: cells grow 10x per
 # decade, pair work 100x (decade-1 exponent 1.09 and climbing).
 #
-# The ASSIGNMENT is two-level (the FAISS coarse-quantizer shape,
-# measured mandatory at decade 2: brute N x K nearest-centroid read
-# exponent 1.40): C = sqrt(K/8) coarse cells over the K fine
-# centroids; each vector finds its nearest coarse cell (N x C dots),
-# then probes ONLY that cell's fine centroids (N x ~K/C dots) — per-
-# vector cost ~2*sqrt(8K) instead of K.  The cell DEFINITION is the
-# probe-limited argmax itself (deterministic on both engines; cells
-# are a partition, not a nearest-neighbor truth claim — the published
-# SemDeDup only needs a clustering).  At the sf0.1 anchor K=8
-# (2000//250) and C=1, which collapses BOTH levels to the exact
-# brute-nearest semantics the suite has always pinned — fixture
-# results and floors are unchanged.  Beyond the measured regime the
-# per-vector probe still grows as sqrt(K); the next rung is a
-# log-depth centroid tree or LSH-bucketed assignment (ann_lsh_buckets
-# machinery), out of scope for the decades measured here.
+# The ASSIGNMENT is a THREE-LEVEL centroid tree (the FAISS/SCaNN
+# coarse-quantizer shape, one rung deeper).  The r8 decade rehearsals
+# forced each rung in turn: fixed K read exponent 1.09 at decade 1
+# (quadratic pairs), K ~ N with brute assignment read 1.40 at decade 2
+# (N x K scan), a two-level sqrt(K) probe read 1.47 at decade 3 (the
+# sqrt term).  The tree: level sizes m1 = icbrt(K/8), m2 = m1^2, K;
+# a vector walks nearest-of-m1, then nearest among that cell's L2
+# centroids, then nearest among that L2 cell's fine centroids —
+# per-vector cost ~3*(K/8)^(1/3) + 8; the tree itself is built with
+# the same stacked probe (never a global m_i x m_j scan), so build
+# cost is ~K per level.  Level sizes use INTEGER cube roots (largest
+# m with m^3 <= K//8) — no float pow whose last-ulp could diverge
+# between engines.  The cell DEFINITION is the probe-limited argmax
+# itself (deterministic on both engines; cells are a partition, not a
+# nearest-neighbor truth claim — the published SemDeDup only needs a
+# clustering).  At the sf0.1 anchor K=8 (2000//250) so m1 = m2 = 1,
+# which collapses every level to the exact brute-nearest semantics the
+# suite has always pinned — fixture results and floors are unchanged.
+# Each probe stage UNION-adds the walker's current pick as its own
+# candidate: guarantees a non-empty candidate set even if round-ties
+# strand a cell with no members, and makes the collapse exact.
 SEMDEDUP_CELL = 250
 _SEMDEDUP_K_SQL = f"(SELECT GREATEST({N_CENTROIDS}, COUNT(*) // {SEMDEDUP_CELL}) FROM n)"
-_SEMDEDUP_C_SQL = (
-    f"(SELECT GREATEST(1, CAST(FLOOR(SQRT({_SEMDEDUP_K_SQL} / 8.0)) AS BIGINT)))"
+# largest m in [1, 200] with m^3 <= K//8 (bounds N <= 16e9 vectors)
+_SEMDEDUP_M1_SQL = (
+    "(SELECT MAX(i) FROM generate_series(1, 200) t(i) "
+    f"WHERE i*i*i <= {_SEMDEDUP_K_SQL} // 8)"
 )
 
+
+def _probe_sql(walkers: str, w_id: str, w_vec: str, w_pick: str,
+               cands: str, c_id: str, c_vec: str, c_parent: str,
+               out_pick: str) -> str:
+    """One tree-probe stage: each walker row (id, vec, current pick)
+    considers candidates whose parent == pick, plus its own pick as a
+    self-candidate, and keeps the nearest (round-6 cosine, lowest id
+    tie-break)."""
+    return f"""
+  SELECT {w_id}, {w_vec}, {c_id} AS {out_pick} FROM (
+    SELECT cd.{w_id}, cd.{w_vec}, cd.{c_id},
+           row_number() OVER (PARTITION BY cd.{w_id}
+                              ORDER BY round({_dot_sql(f'cd.{w_vec}', f'cd.{c_vec}')}, 6) DESC,
+                                       cd.{c_id}) AS rn
+    FROM (
+      SELECT w.{w_id}, w.{w_vec}, c.{c_id}, c.{c_vec}
+      FROM {walkers} w JOIN {cands} c ON c.{c_parent} = w.{w_pick}
+      UNION ALL
+      SELECT w.{w_id}, w.{w_vec}, c.{c_id}, c.{c_vec}
+      FROM {walkers} w JOIN {cands} c ON c.{c_id} = w.{w_pick}
+    ) cd
+  ) WHERE rn = 1"""
+
+
 _SEMDEDUP_ASSIGNED_SQL = f"""
-fine AS (SELECT vec_id AS fid, nemb AS femb FROM n
+l1 AS (SELECT vec_id AS cid, nemb AS cemb FROM n
+       WHERE vec_id < {_SEMDEDUP_M1_SQL}),
+l2 AS (SELECT vec_id AS fid, nemb AS femb FROM n
+       WHERE vec_id < {_SEMDEDUP_M1_SQL} * {_SEMDEDUP_M1_SQL}),
+fine AS (SELECT vec_id AS gid, nemb AS gemb FROM n
          WHERE vec_id < {_SEMDEDUP_K_SQL}),
-coarse AS (SELECT vec_id AS cid, nemb AS cemb FROM n
-           WHERE vec_id < {_SEMDEDUP_C_SQL}),
-fparent AS (
+p1l2 AS (
   SELECT fid, femb, cid AS parent FROM (
     SELECT f.fid, f.femb, c.cid,
            row_number() OVER (PARTITION BY f.fid
                               ORDER BY round({_dot_sql('f.femb', 'c.cemb')}, 6) DESC,
                                        c.cid) AS rn
-    FROM fine f CROSS JOIN coarse c
+    FROM l2 f CROSS JOIN l1 c
   ) WHERE rn = 1
 ),
+g1 AS (
+  SELECT gid, gemb, cid AS pick FROM (
+    SELECT g.gid, g.gemb, c.cid,
+           row_number() OVER (PARTITION BY g.gid
+                              ORDER BY round({_dot_sql('g.gemb', 'c.cemb')}, 6) DESC,
+                                       c.cid) AS rn
+    FROM fine g CROSS JOIN l1 c
+  ) WHERE rn = 1
+),
+p2fine AS ({_probe_sql('g1', 'gid', 'gemb', 'pick',
+                       'p1l2', 'fid', 'femb', 'parent', 'parent2')}),
 v1 AS (
-  SELECT vec_id, nemb, cid AS p1 FROM (
+  SELECT vec_id, nemb, cid AS pick FROM (
     SELECT v.vec_id, v.nemb, c.cid,
            row_number() OVER (PARTITION BY v.vec_id
                               ORDER BY round({_dot_sql('v.nemb', 'c.cemb')}, 6) DESC,
                                        c.cid) AS rn
-    FROM n v CROSS JOIN coarse c
+    FROM n v CROSS JOIN l1 c
   ) WHERE rn = 1
 ),
-cand AS (
-  SELECT v.vec_id, v.nemb, fp.fid, fp.femb
-  FROM v1 v JOIN fparent fp ON fp.parent = v.p1
-  UNION ALL
-  SELECT v.vec_id, v.nemb, fp.fid, fp.femb
-  FROM v1 v JOIN fparent fp ON fp.fid = v.p1
-),
+v2 AS ({_probe_sql('v1', 'vec_id', 'nemb', 'pick',
+                   'p1l2', 'fid', 'femb', 'parent', 'pick')}),
 assigned AS (
-  SELECT vec_id, nemb, fid AS centroid_id FROM (
-    SELECT cd.vec_id, cd.nemb, cd.fid,
-           row_number() OVER (PARTITION BY cd.vec_id
-                              ORDER BY round({_dot_sql('cd.nemb', 'cd.femb')}, 6) DESC,
-                                       cd.fid) AS rn
-    FROM cand cd
-  ) WHERE rn = 1
+  SELECT vec_id, nemb, centroid_id FROM ({_probe_sql(
+      'v2', 'vec_id', 'nemb', 'pick',
+      'p2fine', 'gid', 'gemb', 'parent2', 'centroid_id')})
 )"""
 
 _SEMDEDUP_PAIRS_SQL = f"""
@@ -1110,107 +1145,150 @@ FROM pairs WHERE cosine >= {SEMDEDUP_COS}
 
 
 def _semdedup_assigned(n: DataFrame) -> DataFrame:
-    """(vec_id, nemb, centroid_id): TWO-LEVEL nearest-centroid
-    assignment (see the SEMDEDUP_CELL comment above) — vector finds
-    its coarse cell (N x C broadcast join + map-side max_by argmax),
-    then probes only that cell's fine centroids (equi-join on the
-    parent cell).  Nothing corpus-sized crosses an exchange beyond the
-    two argmax partial-aggs; the count() is one cheap scalar job over
-    the narrow embedding scan.  At the fixture anchor C=1, which makes
-    both levels collapse to exact brute-nearest-of-K."""
+    """(vec_id, nemb, centroid_id): THREE-LEVEL centroid-tree
+    assignment (see the SEMDEDUP_CELL comment above).  Every stage is
+    a broadcast join + map-side max_by argmax — the centroid tables
+    are corpus-DERIVED but bounded (m1, m1^2, K=N/250 rows):
+    explicitly broadcast, safe through the measured decades (K*dim <<
+    budget); past that the probe joins flip to shuffle-hash equi-joins
+    on the parent key (r7 planner-broadcast lesson).  The count() is
+    one cheap scalar job over the narrow embedding scan.  At the
+    fixture anchor m1 = m2 = 1, so every level collapses to exact
+    brute-nearest-of-K."""
     cnt = n.count()
     k = max(N_CENTROIDS, cnt // SEMDEDUP_CELL)
-    c = max(1, math.floor(math.sqrt(k / 8.0)))
-    fine = n.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("fid"), F.col("nemb").alias("femb")
-    )
-    coarse = n.filter(F.col("vec_id") < c).select(
-        F.col("vec_id").alias("cid"), F.col("nemb").alias("cemb")
-    )
+    # integer cube root: matches the oracle's generate_series scan
+    m1 = max(i for i in range(1, 201) if i * i * i <= k // 8)
+    m2 = m1 * m1
 
-    def _argmax_cell(df, id_col: str, vec_col: str, out: str) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(coarse)).select(
-            id_col,
-            vec_col,
+    def _argmax_all(walkers, w_id, w_vec, cents, out) -> DataFrame:
+        """Nearest centroid over the WHOLE (broadcast) level."""
+        scored = walkers.crossJoin(F.broadcast(cents)).select(
+            w_id,
+            w_vec,
             "cid",
-            F.round(_dot(F.col(vec_col), F.col("cemb")), 6).alias("_cc"),
+            F.round(_dot(F.col(w_vec), F.col("cemb")), 6).alias("_cc"),
         )
-        return scored.groupBy(id_col).agg(
+        return scored.groupBy(w_id).agg(
             F.max_by(
                 "cid", F.struct(F.col("_cc"), (-F.col("cid")).cast("long"))
             ).alias(out),
-            F.first(vec_col).alias(vec_col),
+            F.first(w_vec).alias(w_vec),
         )
 
-    # fparent / v1 are corpus-DERIVED aggregates: fparent is K rows
-    # (bounded by N/SEMDEDUP_CELL) — explicitly broadcast-safe in the
-    # measured decades (K*dim << budget); past that it flips to a
-    # shuffle-hash equi-join on `parent` (r7 planner-broadcast lesson)
-    fparent = _argmax_cell(fine, "fid", "femb", "parent").persist()
-    v1 = _argmax_cell(n, "vec_id", "nemb", "p1").persist()
-    cand = (
-        v1.join(F.broadcast(fparent), v1.p1 == fparent.parent)
-        .select("vec_id", "nemb", "fid", "femb")
-        .unionByName(
-            # the vector's own coarse pick is always a valid fine
-            # candidate — guarantees a non-empty candidate set even if
-            # round-ties strand a coarse cell with no fine members
-            v1.join(
-                F.broadcast(fparent.select("fid", "femb")),
-                v1.p1 == F.col("fid"),
-            ).select("vec_id", "nemb", "fid", "femb")
+    def _probe(walkers, w_id, w_vec, cands, c_id, c_vec, c_parent, out):
+        """Nearest candidate whose parent == walker's current `pick`,
+        with the pick itself union-added as a self-candidate (non-empty
+        set even if round-ties strand a cell; exact brute collapse at
+        m=1)."""
+        cd = (
+            walkers.join(F.broadcast(cands), F.col(c_parent) == F.col("pick"))
+            .select(w_id, w_vec, c_id, c_vec)
+            .unionByName(
+                walkers.join(
+                    F.broadcast(cands.select(c_id, c_vec)),
+                    F.col(c_id) == F.col("pick"),
+                ).select(w_id, w_vec, c_id, c_vec)
+            )
         )
+        return (
+            cd.select(
+                w_id,
+                w_vec,
+                c_id,
+                F.round(_dot(F.col(w_vec), F.col(c_vec)), 6).alias("_fc"),
+            )
+            .groupBy(w_id)
+            .agg(
+                F.max_by(
+                    c_id, F.struct(F.col("_fc"), (-F.col(c_id)).cast("long"))
+                ).alias(out),
+                F.first(w_vec).alias(w_vec),
+            )
+        )
+
+    fine = n.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("gid"), F.col("nemb").alias("gemb")
     )
-    return (
-        cand.select(
-            "vec_id",
-            "nemb",
-            "fid",
-            F.round(_dot(F.col("nemb"), F.col("femb")), 6).alias("_fc"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "fid", F.struct(F.col("_fc"), (-F.col("fid")).cast("long"))
-            ).alias("centroid_id"),
-            F.first("nemb").alias("nemb"),
-        )
-        .select("vec_id", "nemb", "centroid_id")
+    if m1 == 1:
+        # degenerate tree (fixture scales, k <= 63): every level
+        # collapses to brute-nearest-of-k — run the single argmax
+        # directly; output is IDENTICAL to the 3-level walk (which is
+        # what the static 3-level oracle SQL computes), one corpus
+        # pass instead of three
+        return _argmax_all(
+            n, "vec_id", "nemb",
+            fine.select(F.col("gid").alias("cid"), F.col("gemb").alias("cemb")),
+            "centroid_id",
+        ).select("vec_id", "nemb", "centroid_id")
+    l1 = n.filter(F.col("vec_id") < m1).select(
+        F.col("vec_id").alias("cid"), F.col("nemb").alias("cemb")
     )
+    l2 = n.filter(F.col("vec_id") < m2).select(
+        F.col("vec_id").alias("fid"), F.col("nemb").alias("femb")
+    )
+    # tree build: stacked probes, never a global m_i x m_j scan.
+    # persists: every walker/candidate table feeds TWO join branches
+    # (cell members + self-candidate) — without a persist each branch
+    # recomputes the upstream argmax
+    p1l2 = _argmax_all(l2, "fid", "femb", l1, "parent").persist()
+    g1 = _argmax_all(fine, "gid", "gemb", l1, "pick").persist()
+    p2fine = _probe(
+        g1, "gid", "gemb", p1l2, "fid", "femb", "parent", "parent2"
+    ).persist()
+    # corpus walk
+    v1 = _argmax_all(n, "vec_id", "nemb", l1, "pick").persist()
+    v2 = _probe(
+        v1, "vec_id", "nemb", p1l2, "fid", "femb", "parent", "pick"
+    ).persist()
+    assigned = _probe(
+        v2, "vec_id", "nemb", p2fine, "gid", "gemb", "parent2",
+        "centroid_id",
+    )
+    return assigned.select("vec_id", "nemb", "centroid_id")
 
 
 def _semdedup_pairs_from(assigned: DataFrame) -> DataFrame:
     """Within-cluster pairs >= SEMDEDUP_COS from a persisted
-    (vec_id, nemb, centroid_id) assignment.  Candidate generation is
-    IDS-ONLY (the cluster-id self-join carries no vectors) and the
-    candidates are REPARTITIONED before the cosine verify, so the
-    per-cluster quadratic work spreads across the cluster instead of
-    grinding inside the few tasks the cluster-id join planned — the
-    same shape the 10x scale rehearsal forced on the LSH pair
-    generator.  The quadratic itself stays bounded per IVF cell (the
-    published SemDeDup formulation); at production scale the cell
-    count scales with the corpus so cell sizes stay put."""
-    ids = assigned.select("vec_id", "centroid_id")
-    cand = (
-        ids.alias("a")
-        .join(
-            ids.alias("b"),
-            (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.centroid_id").alias("cluster_id"),
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-        )
-        .repartition("vec_a", "vec_b")
+    (vec_id, nemb, centroid_id) assignment: ONE shuffle-hash self-join
+    on the cluster id, vectors carried on both sides, the cosine fold
+    streaming through the join output.
+
+    Why NOT the LSH shape (ids-only candidates, repartition, join
+    vectors back): semdedup candidates are n^2/2 per cell — they
+    OUTNUMBER the corpus ~CELL/2-fold, so joining vectors onto the
+    pair stream moves |pairs| x 2 x |vec| bytes through SMJ sorts
+    (decade-3 rehearsal: 250M pairs x 520B x 2 = a measured 90GB+
+    spill abort at sf100).  Shuffling the CORPUS by cluster id instead
+    moves |corpus| x |vec| once (~1GB at sf100); the quadratic then
+    streams through the join's probe phase, distributed across the
+    K ~ N/250 cell keys (thousands of keys >> cores — no single-task
+    grind), and the r7 fold-in-join-condition hazard does not apply
+    because the join is a SHUFFLE hash join on bounded cells, not a
+    planner-estimated broadcast.  shuffle_hash hint: the build side is
+    a per-partition slice of the corpus (~|corpus|/shuffle.partitions
+    rows), and it also keeps the corpus-derived aggregate out of
+    planner broadcast estimation (r7 lesson)."""
+    a = assigned.select(
+        F.col("centroid_id").alias("cluster_id"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("nemb").alias("na"),
     )
-    vecs = assigned.select("vec_id", "nemb")
-    cos = F.round(_dot(F.col("na.nemb"), F.col("nb.nemb")), 6)
+    b = assigned.select(
+        F.col("centroid_id").alias("cluster_id"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("nemb").alias("nb"),
+    )
     return (
-        cand.join(vecs.alias("na"), cand.vec_a == F.col("na.vec_id"))
-        .join(vecs.alias("nb"), cand.vec_b == F.col("nb.vec_id"))
-        .select("cluster_id", "vec_a", "vec_b", cos.alias("cosine"))
+        a.hint("shuffle_hash")
+        .join(b, "cluster_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "cluster_id",
+            "vec_a",
+            "vec_b",
+            F.round(_dot(F.col("na"), F.col("nb")), 6).alias("cosine"),
+        )
         .filter(F.col("cosine") >= SEMDEDUP_COS)
     )
 

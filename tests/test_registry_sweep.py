@@ -58,6 +58,12 @@ def _walk_plan(node):
     if name.endswith("QueryStageExec"):
         yield from _walk_plan(node.plan())
         return
+    if name == "InMemoryTableScanExec":
+        # a persist() hides its subtree behind the cached relation —
+        # descend so cached lineages stay subject to every sweep
+        # (the r8 semdedup BNLJ pin went vacuous without this)
+        yield from _walk_plan(node.relation().cachedPlan())
+        return
     kids = node.children()
     for i in range(kids.size()):
         yield from _walk_plan(kids.apply(i))

@@ -78,7 +78,7 @@ def _run_panel(spark, sf_dir: str, names: list[str], repeat: int):
     # same benchlib loop, so exponents are comparable to the floors
     from huracan_spark.benchlib import measure_queries
 
-    return measure_queries(spark, sf_dir, names, repeat=repeat)
+    return measure_queries(spark, sf_dir, names, repeat=repeat, verbose=True)
 
 
 def main() -> None:
