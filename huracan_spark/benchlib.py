@@ -56,6 +56,9 @@ def measure_queries(
             for grp, cost in matcost.drain():
                 groups[grp] = round(groups.get(grp, 0.0) + cost, 4)
                 dt -= cost
+                if verbose:
+                    print(f"#group {sf_dir} {grp} {cost}",
+                          file=sys.stderr, flush=True)
             dt = round(max(dt, 0.0), 4)
             prev = per_query.get(name)
             per_query[name] = dt if prev is None else min(prev, dt)
