@@ -1030,33 +1030,39 @@ SEMDEDUP_COS = 0.35
 # the round-8 rehearsal's measured scale bug: cells grow 10x per
 # decade, pair work 100x (decade-1 exponent 1.09 and climbing).
 #
-# The ASSIGNMENT is a THREE-LEVEL centroid tree (the FAISS/SCaNN
-# coarse-quantizer shape, one rung deeper).  The r8 decade rehearsals
+# The ASSIGNMENT is a FOUR-LEVEL centroid tree (the FAISS/SCaNN
+# coarse-quantizer shape, two rungs deeper).  The r8 decade rehearsals
 # forced each rung in turn: fixed K read exponent 1.09 at decade 1
 # (quadratic pairs), K ~ N with brute assignment read 1.40 at decade 2
 # (N x K scan), a two-level sqrt(K) probe read 1.47 at decade 3 (the
-# sqrt term).  The tree: level sizes m1 = icbrt(K/8), m2 = m1^2, K;
-# a vector walks nearest-of-m1, then nearest among that cell's L2
-# centroids, then nearest among that L2 cell's fine centroids —
-# per-vector cost ~3*(K/8)^(1/3) + 8; the tree itself is built with
-# the same stacked probe (never a global m_i x m_j scan), so build
-# cost is ~K per level.  Level sizes use INTEGER cube roots (largest
-# m with m^3 <= K//8) — no float pow whose last-ulp could diverge
-# between engines.  The cell DEFINITION is the probe-limited argmax
-# itself (deterministic on both engines; cells are a partition, not a
+# sqrt term), and the depth-3 tree (m1 = icbrt(K/8), m2 = m1^2, K)
+# still carried a ~10*(K/8)^(1/3) per-vector term (decade-3 exponents
+# 1.19/1.32) because its last hop fanned out 8x the others.  Final
+# shape: a BALANCED depth-4 walk — level sizes r, r^2, r^3, K with
+# r = the largest integer with r^4 <= K, so every hop (including the
+# last) expects ~r candidates and per-vector cost is ~4*K^(1/4) + self
+# candidates.  A vector walks nearest-of-r, then nearest among that
+# cell's L2 centroids, then that L2 cell's L3 centroids, then that L3
+# cell's fine centroids; the tree itself is built with the same
+# stacked probe (never a global m_i x m_j scan), so build cost is ~K
+# per level.  Level sizes use INTEGER fourth roots (largest r with
+# r^4 <= K) — no float pow whose last-ulp could diverge between
+# engines.  The cell DEFINITION is the probe-limited argmax itself
+# (deterministic on both engines; cells are a partition, not a
 # nearest-neighbor truth claim — the published SemDeDup only needs a
-# clustering).  At the sf0.1 anchor K=8 (2000//250) so m1 = m2 = 1,
-# which collapses every level to the exact brute-nearest semantics the
+# clustering).  At the sf0.1 anchor K=8 (2000//250) so r = 1, which
+# collapses every level to the exact brute-nearest semantics the
 # suite has always pinned — fixture results and floors are unchanged.
 # Each probe stage UNION-adds the walker's current pick as its own
 # candidate: guarantees a non-empty candidate set even if round-ties
 # strand a cell with no members, and makes the collapse exact.
 SEMDEDUP_CELL = 250
 _SEMDEDUP_K_SQL = f"(SELECT GREATEST({N_CENTROIDS}, COUNT(*) // {SEMDEDUP_CELL}) FROM n)"
-# largest m in [1, 200] with m^3 <= K//8 (bounds N <= 16e9 vectors)
-_SEMDEDUP_M1_SQL = (
-    "(SELECT MAX(i) FROM generate_series(1, 200) t(i) "
-    f"WHERE i*i*i <= {_SEMDEDUP_K_SQL} // 8)"
+# largest r in [1, 300] with r^4 <= K (bounds K <= 8.2e9 centroids,
+# i.e. N <= 2e12 vectors)
+_SEMDEDUP_R_SQL = (
+    "(SELECT MAX(i) FROM generate_series(1, 300) t(i) "
+    f"WHERE i*i*i*i <= {_SEMDEDUP_K_SQL})"
 )
 
 
@@ -1085,9 +1091,11 @@ def _probe_sql(walkers: str, w_id: str, w_vec: str, w_pick: str,
 
 _SEMDEDUP_ASSIGNED_SQL = f"""
 l1 AS (SELECT vec_id AS cid, nemb AS cemb FROM n
-       WHERE vec_id < {_SEMDEDUP_M1_SQL}),
+       WHERE vec_id < {_SEMDEDUP_R_SQL}),
 l2 AS (SELECT vec_id AS fid, nemb AS femb FROM n
-       WHERE vec_id < {_SEMDEDUP_M1_SQL} * {_SEMDEDUP_M1_SQL}),
+       WHERE vec_id < {_SEMDEDUP_R_SQL} * {_SEMDEDUP_R_SQL}),
+l3 AS (SELECT vec_id AS lid, nemb AS lemb FROM n
+       WHERE vec_id < {_SEMDEDUP_R_SQL} * {_SEMDEDUP_R_SQL} * {_SEMDEDUP_R_SQL}),
 fine AS (SELECT vec_id AS gid, nemb AS gemb FROM n
          WHERE vec_id < {_SEMDEDUP_K_SQL}),
 p1l2 AS (
@@ -1099,6 +1107,17 @@ p1l2 AS (
     FROM l2 f CROSS JOIN l1 c
   ) WHERE rn = 1
 ),
+t1 AS (
+  SELECT lid, lemb, cid AS pick FROM (
+    SELECT g.lid, g.lemb, c.cid,
+           row_number() OVER (PARTITION BY g.lid
+                              ORDER BY round({_dot_sql('g.lemb', 'c.cemb')}, 6) DESC,
+                                       c.cid) AS rn
+    FROM l3 g CROSS JOIN l1 c
+  ) WHERE rn = 1
+),
+p2l3 AS ({_probe_sql('t1', 'lid', 'lemb', 'pick',
+                     'p1l2', 'fid', 'femb', 'parent', 'parent2')}),
 g1 AS (
   SELECT gid, gemb, cid AS pick FROM (
     SELECT g.gid, g.gemb, c.cid,
@@ -1108,8 +1127,10 @@ g1 AS (
     FROM fine g CROSS JOIN l1 c
   ) WHERE rn = 1
 ),
-p2fine AS ({_probe_sql('g1', 'gid', 'gemb', 'pick',
-                       'p1l2', 'fid', 'femb', 'parent', 'parent2')}),
+g2 AS ({_probe_sql('g1', 'gid', 'gemb', 'pick',
+                   'p1l2', 'fid', 'femb', 'parent', 'pick2')}),
+p3fine AS ({_probe_sql('g2', 'gid', 'gemb', 'pick2',
+                       'p2l3', 'lid', 'lemb', 'parent2', 'parent3')}),
 v1 AS (
   SELECT vec_id, nemb, cid AS pick FROM (
     SELECT v.vec_id, v.nemb, c.cid,
@@ -1121,10 +1142,12 @@ v1 AS (
 ),
 v2 AS ({_probe_sql('v1', 'vec_id', 'nemb', 'pick',
                    'p1l2', 'fid', 'femb', 'parent', 'pick')}),
+v3 AS ({_probe_sql('v2', 'vec_id', 'nemb', 'pick',
+                   'p2l3', 'lid', 'lemb', 'parent2', 'pick')}),
 assigned AS (
   SELECT vec_id, nemb, centroid_id FROM ({_probe_sql(
-      'v2', 'vec_id', 'nemb', 'pick',
-      'p2fine', 'gid', 'gemb', 'parent2', 'centroid_id')})
+      'v3', 'vec_id', 'nemb', 'pick',
+      'p3fine', 'gid', 'gemb', 'parent3', 'centroid_id')})
 )"""
 
 _SEMDEDUP_PAIRS_SQL = f"""
@@ -1145,21 +1168,20 @@ FROM pairs WHERE cosine >= {SEMDEDUP_COS}
 
 
 def _semdedup_assigned(n: DataFrame) -> DataFrame:
-    """(vec_id, nemb, centroid_id): THREE-LEVEL centroid-tree
+    """(vec_id, nemb, centroid_id): balanced FOUR-LEVEL centroid-tree
     assignment (see the SEMDEDUP_CELL comment above).  Every stage is
     a broadcast join + map-side max_by argmax — the centroid tables
-    are corpus-DERIVED but bounded (m1, m1^2, K=N/250 rows):
+    are corpus-DERIVED but bounded (r, r^2, r^3, K=N/250 rows):
     explicitly broadcast, safe through the measured decades (K*dim <<
     budget); past that the probe joins flip to shuffle-hash equi-joins
     on the parent key (r7 planner-broadcast lesson).  The count() is
     one cheap scalar job over the narrow embedding scan.  At the
-    fixture anchor m1 = m2 = 1, so every level collapses to exact
+    fixture anchor r = 1, so every level collapses to exact
     brute-nearest-of-K."""
     cnt = n.count()
     k = max(N_CENTROIDS, cnt // SEMDEDUP_CELL)
-    # integer cube root: matches the oracle's generate_series scan
-    m1 = max(i for i in range(1, 201) if i * i * i <= k // 8)
-    m2 = m1 * m1
+    # integer fourth root: matches the oracle's generate_series scan
+    r = max(i for i in range(1, 301) if i * i * i * i <= k)
 
     def _argmax_all(walkers, w_id, w_vec, cents, out) -> DataFrame:
         """Nearest centroid over the WHOLE (broadcast) level."""
@@ -1210,39 +1232,52 @@ def _semdedup_assigned(n: DataFrame) -> DataFrame:
     fine = n.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("gid"), F.col("nemb").alias("gemb")
     )
-    if m1 == 1:
-        # degenerate tree (fixture scales, k <= 63): every level
+    if r == 1:
+        # degenerate tree (fixture scales, k <= 15): every level
         # collapses to brute-nearest-of-k — run the single argmax
-        # directly; output is IDENTICAL to the 3-level walk (which is
-        # what the static 3-level oracle SQL computes), one corpus
-        # pass instead of three
+        # directly; output is IDENTICAL to the 4-level walk (which is
+        # what the static depth-4 oracle SQL computes), one corpus
+        # pass instead of four
         return _argmax_all(
             n, "vec_id", "nemb",
             fine.select(F.col("gid").alias("cid"), F.col("gemb").alias("cemb")),
             "centroid_id",
         ).select("vec_id", "nemb", "centroid_id")
-    l1 = n.filter(F.col("vec_id") < m1).select(
+    l1 = n.filter(F.col("vec_id") < r).select(
         F.col("vec_id").alias("cid"), F.col("nemb").alias("cemb")
     )
-    l2 = n.filter(F.col("vec_id") < m2).select(
+    l2 = n.filter(F.col("vec_id") < r * r).select(
         F.col("vec_id").alias("fid"), F.col("nemb").alias("femb")
+    )
+    l3 = n.filter(F.col("vec_id") < r * r * r).select(
+        F.col("vec_id").alias("lid"), F.col("nemb").alias("lemb")
     )
     # tree build: stacked probes, never a global m_i x m_j scan.
     # persists: every walker/candidate table feeds TWO join branches
     # (cell members + self-candidate) — without a persist each branch
     # recomputes the upstream argmax
     p1l2 = _argmax_all(l2, "fid", "femb", l1, "parent").persist()
+    t1 = _argmax_all(l3, "lid", "lemb", l1, "pick").persist()
+    p2l3 = _probe(
+        t1, "lid", "lemb", p1l2, "fid", "femb", "parent", "parent2"
+    ).persist()
     g1 = _argmax_all(fine, "gid", "gemb", l1, "pick").persist()
-    p2fine = _probe(
-        g1, "gid", "gemb", p1l2, "fid", "femb", "parent", "parent2"
+    g2 = _probe(
+        g1, "gid", "gemb", p1l2, "fid", "femb", "parent", "pick"
+    ).persist()
+    p3fine = _probe(
+        g2, "gid", "gemb", p2l3, "lid", "lemb", "parent2", "parent3"
     ).persist()
     # corpus walk
     v1 = _argmax_all(n, "vec_id", "nemb", l1, "pick").persist()
     v2 = _probe(
         v1, "vec_id", "nemb", p1l2, "fid", "femb", "parent", "pick"
     ).persist()
+    v3 = _probe(
+        v2, "vec_id", "nemb", p2l3, "lid", "lemb", "parent2", "pick"
+    ).persist()
     assigned = _probe(
-        v2, "vec_id", "nemb", p2fine, "gid", "gemb", "parent2",
+        v3, "vec_id", "nemb", p3fine, "gid", "gemb", "parent3",
         "centroid_id",
     )
     return assigned.select("vec_id", "nemb", "centroid_id")
