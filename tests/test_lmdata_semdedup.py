@@ -102,8 +102,8 @@ def test_semdedup_keep_agrees_with_pairs(spark, sf_dir):
 
 def test_semdedup_pair_join_is_equi_never_cartesian(spark, sf_dir):
     """The within-cluster quadratic must plan as an equi-join on the
-    cluster id (hash/sort-merge); the only nested-loop allowed is the
-    K-row centroid broadcast of the assignment step."""
+    cluster id (hash/sort-merge); the only nested-loop allowed — in
+    the ASSIGNMENT BUILD plan — is a bounded centroid broadcast."""
     # cache state changes the plan TEXT (InMemoryTableScan embeds the
     # cached subtree's description, double-counting its joins) — pin a
     # cold plan so the nested-loop census is deterministic
@@ -111,36 +111,40 @@ def test_semdedup_pair_join_is_equi_never_cartesian(spark, sf_dir):
     p = _plan(spark, sf_dir, "semdedup_pairs")
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
-    # every nested-loop in the plan must be the K-row centroid
-    # broadcast, never corpus x corpus: walk the TREE (not the text —
-    # any substring check is satisfiable by unrelated later lines) and
-    # require each BroadcastNestedLoopJoinExec's BUILD side to be the
-    # vec_id < N_CENTROIDS scan.  The assignment lineage appears once
-    # per candidate/verify consumer (ids a/b, vecs na/nb) in a cold
-    # plan; persist collapses them at run time.
+    # the registered query folds over the SHARED eagerly-checkpointed
+    # assignment (the materialized IVF index), so its plan must be
+    # nested-loop-FREE: an RDD scan self-joined on the cluster id
+    assert "BroadcastNestedLoopJoin" not in p
+    # every nested-loop in the assignment BUILD plan must be a bounded
+    # centroid broadcast, never corpus x corpus: walk the TREE (not
+    # the text — any substring check is satisfiable by unrelated later
+    # lines) and require each BroadcastNestedLoopJoinExec's BUILD side
+    # to be a vec_id < level-size scan
     from huracan_spark.queries.similarity import (
         N_CENTROIDS,
         SEMDEDUP_CELL,
         _emb,
+        _normalized,
+        _semdedup_assigned,
     )
     from tests.test_registry_sweep import _walk_plan
 
     spark_queries()
     plan = (
-        REGISTRY["semdedup_pairs"]
-        .fn(spark, sf_dir)
+        _semdedup_assigned(_normalized(_emb(spark, sf_dir)))
         ._jdf.queryExecution()
         .executedPlan()
     )
-    # the 3-level tree assignment's BNLJ build sides are the level
-    # centroid scans: vec_id < m1 / m2 / k
+    # the depth-4 tree assignment's BNLJ build sides are the level
+    # centroid scans: vec_id < r / r^2 / r^3 / k
     n = _emb(spark, sf_dir).count()
     k = max(N_CENTROIDS, n // SEMDEDUP_CELL)
-    m1 = max(i for i in range(1, 201) if i * i * i <= k // 8)
+    r = max(i for i in range(1, 301) if i * i * i * i <= k // 8)
     allowed = {
         f"LessThan(vec_id,{k})",
-        f"LessThan(vec_id,{m1})",
-        f"LessThan(vec_id,{m1 * m1})",
+        f"LessThan(vec_id,{r})",
+        f"LessThan(vec_id,{r * r})",
+        f"LessThan(vec_id,{r * r * r})",
     }
     n_bnlj = 0
     for node in _walk_plan(plan):
@@ -157,12 +161,9 @@ def test_semdedup_pair_join_is_equi_never_cartesian(spark, sf_dir):
         assert any(a in bs for a in allowed), (
             "nested-loop build side is not a centroid scan:\n" + bs[:500]
         )
-    # the cached assignment subtree must be VISIBLE to the walk
-    # (persist hides it behind InMemoryTableScan; _walk_plan descends).
-    # No upper census bound: the cold plan repeats persisted lineages
-    # combinatorially (persist collapses them at run time) — the pin
-    # is that EVERY nested-loop build side is a bounded centroid scan.
-    assert n_bnlj >= 1, "BNLJ census went vacuous - cached subtree not walked"
+    # the walk must SEE the centroid broadcast (at fixture scale the
+    # degenerate tree is a single brute argmax = exactly one BNLJ)
+    assert n_bnlj >= 1, "BNLJ census went vacuous - assignment plan not walked"
 
 
 def test_bpe_merge_topk_is_take_ordered_partial_agg(spark, sf_dir):
