@@ -1175,15 +1175,30 @@ FROM pairs WHERE cosine >= {SEMDEDUP_COS}
 
 def _semdedup_assigned(n: DataFrame) -> DataFrame:
     """(vec_id, nemb, centroid_id): balanced FOUR-LEVEL centroid-tree
-    assignment (see the SEMDEDUP_CELL comment above).  Every stage is
-    a broadcast join + map-side max_by argmax — the centroid tables
-    are corpus-DERIVED but bounded (r, r^2, r^3, K=N/250 rows):
+    assignment (see the SEMDEDUP_CELL comment above), computed as a
+    SHUFFLE-FREE projection pipeline.
+
+    Each hop's candidate set is pre-grouped into a broadcast ARRAY
+    column (per parent cell), the walker row joins it with a broadcast
+    hash join (map-side, no exchange), and the argmax is a
+    transform + array_max fold over the array — so the whole corpus
+    walk (4 hops) fuses into ONE stage: scan -> projections -> output.
+    The earlier shape (explode candidates, groupBy(vec_id) max_by)
+    shuffled the corpus WITH ITS VECTORS once per hop — 4 corpus-wide
+    exchanges plus corpus-sized materializations that measured
+    IO-bound at 20M vectors (3 x 10GB checkpoint writes dominated the
+    walk).  Per-row arithmetic is identical (same _dot fold, same
+    round-6, same (score, -cid) max ordering), so results are
+    bit-equal to the exploded shape and to the oracle's static walk.
+
+    The centroid tables are corpus-DERIVED but bounded (r, r^2, r^3,
+    K=N/250 rows; grouped-cell arrays total K*dim doubles per level):
     explicitly broadcast, safe through the measured decades (K*dim <<
-    budget); past that the probe joins flip to shuffle-hash equi-joins
-    on the parent key (r7 planner-broadcast lesson).  The count() is
-    one cheap scalar job over the narrow embedding scan.  At the
-    fixture anchor r = 1, so every level collapses to exact
-    brute-nearest-of-K."""
+    budget); past ~1e6 centroids the cell arrays outgrow broadcast and
+    the probe joins flip to shuffle-hash equi-joins on the parent key
+    (r7 planner-broadcast lesson).  The count() is one cheap scalar
+    job over the narrow embedding scan.  At the fixture anchor r = 1,
+    so every level collapses to exact brute-nearest-of-K."""
     cnt = n.count()
     k = max(N_CENTROIDS, cnt // SEMDEDUP_CELL)
     # integer fourth root of K//8: matches the oracle's
@@ -1191,50 +1206,67 @@ def _semdedup_assigned(n: DataFrame) -> DataFrame:
     # SEMDEDUP_CELL comment — balance over assignment speed)
     r = max(i for i in range(1, 301) if i * i * i * i <= k // 8)
 
+    def _best(vec_col, cands_col):
+        """Argmax over an array<struct<cid,cemb>> column: highest
+        round-6 cosine, lowest cid on ties — the exact (score, -cid)
+        ordering the oracle's row_number uses, order-independent."""
+        scored = F.transform(
+            cands_col,
+            lambda c: F.struct(
+                F.round(_dot(vec_col, c["cemb"]), 6).alias("s"),
+                (-c["cid"]).cast("long").alias("negc"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return F.array_max(scored)["cid"]
+
     def _argmax_all(walkers, w_id, w_vec, cents, out) -> DataFrame:
-        """Nearest centroid over the WHOLE (broadcast) level."""
-        scored = walkers.crossJoin(F.broadcast(cents)).select(
+        """Nearest centroid over the WHOLE level: the level is
+        collapsed to a single-row broadcast array, the argmax is a
+        per-row fold — no explode, no groupBy, no shuffle."""
+        carr = cents.agg(
+            F.collect_list(F.struct(F.col("cid"), F.col("cemb"))).alias(
+                "_cands"
+            )
+        )
+        return walkers.crossJoin(F.broadcast(carr)).select(
             w_id,
             w_vec,
-            "cid",
-            F.round(_dot(F.col(w_vec), F.col("cemb")), 6).alias("_cc"),
-        )
-        return scored.groupBy(w_id).agg(
-            F.max_by(
-                "cid", F.struct(F.col("_cc"), (-F.col("cid")).cast("long"))
-            ).alias(out),
-            F.first(w_vec).alias(w_vec),
+            _best(F.col(w_vec), F.col("_cands")).alias(out),
         )
 
     def _probe(walkers, w_id, w_vec, cands, c_id, c_vec, c_parent, out):
         """Nearest candidate whose parent == walker's current `pick`,
-        with the pick itself union-added as a self-candidate (non-empty
+        with the pick itself appended as a self-candidate (non-empty
         set even if round-ties strand a cell; exact brute collapse at
-        m=1)."""
-        cd = (
-            walkers.join(F.broadcast(cands), F.col(c_parent) == F.col("pick"))
-            .select(w_id, w_vec, c_id, c_vec)
-            .unionByName(
-                walkers.join(
-                    F.broadcast(cands.select(c_id, c_vec)),
-                    F.col(c_id) == F.col("pick"),
-                ).select(w_id, w_vec, c_id, c_vec)
+        r=1 — levels are nested id prefixes, so the pick is always a
+        member of the candidate level).  Cells are pre-grouped arrays
+        keyed by parent; both joins are broadcast hash joins of
+        <= K-row tables — map-side, shuffle-free."""
+        cell = cands.groupBy(c_parent).agg(
+            F.collect_list(
+                F.struct(
+                    F.col(c_id).alias("cid"), F.col(c_vec).alias("cemb")
+                )
+            ).alias("_cell")
+        )
+        selfrow = cands.select(
+            F.col(c_id).alias("_sid"), F.col(c_vec).alias("_svec")
+        )
+        selfarr = F.array(
+            F.struct(
+                F.col("_sid").alias("cid"), F.col("_svec").alias("cemb")
             )
         )
+        allc = F.when(F.col("_cell").isNull(), selfarr).otherwise(
+            F.concat(F.col("_cell"), selfarr)
+        )
         return (
-            cd.select(
-                w_id,
-                w_vec,
-                c_id,
-                F.round(_dot(F.col(w_vec), F.col(c_vec)), 6).alias("_fc"),
+            walkers.join(
+                F.broadcast(cell), F.col(c_parent) == F.col("pick"), "left"
             )
-            .groupBy(w_id)
-            .agg(
-                F.max_by(
-                    c_id, F.struct(F.col("_fc"), (-F.col(c_id)).cast("long"))
-                ).alias(out),
-                F.first(w_vec).alias(w_vec),
-            )
+            .join(F.broadcast(selfrow), F.col("_sid") == F.col("pick"))
+            .select(w_id, w_vec, _best(F.col(w_vec), allc).alias(out))
         )
 
     fine = n.filter(F.col("vec_id") < k).select(
@@ -1261,42 +1293,30 @@ def _semdedup_assigned(n: DataFrame) -> DataFrame:
         F.col("vec_id").alias("lid"), F.col("nemb").alias("lemb")
     )
     # tree build: stacked probes, never a global m_i x m_j scan.
-    # EAGER localCheckpoint, not persist: every walker/candidate table
-    # feeds TWO join branches (cell members + self-candidate), and the
-    # candidate tables are BROADCAST — Spark runs broadcast exchanges
-    # in separate threads, and several of them pulling the same LAZY
-    # persisted parent race and re-run whole upstream passes
-    # (measured: the lazy-persist build wandered 66-185 s at 200k
-    # vectors; eager blocks make it deterministic).  Each table is
-    # materialized once, in dependency order, before anything
-    # downstream can race on it; tree tables are <= K rows, the
-    # corpus-walk tables are corpus-sized but narrow (id, vec, pick).
+    # CANDIDATE tables get an EAGER localCheckpoint: each one feeds
+    # TWO broadcast derivations (grouped cells + self rows), and Spark
+    # materializes broadcast exchanges in separate threads — racing on
+    # a LAZY parent re-runs whole upstream passes (measured: the lazy
+    # build wandered 66-212 s at 200k vectors; eager blocks make it
+    # deterministic).  The corpus walk itself is a LINEAR projection
+    # chain — each hop feeds exactly the next — so it needs NO
+    # materialization at all and fuses into one stage.
     p1l2 = _argmax_all(l2, "fid", "femb", l1, "parent").localCheckpoint(
         eager=True
     )
-    t1 = _argmax_all(l3, "lid", "lemb", l1, "pick").localCheckpoint(eager=True)
+    t1 = _argmax_all(l3, "lid", "lemb", l1, "pick")
     p2l3 = _probe(
         t1, "lid", "lemb", p1l2, "fid", "femb", "parent", "parent2"
     ).localCheckpoint(eager=True)
-    g1 = _argmax_all(fine, "gid", "gemb", l1, "pick").localCheckpoint(
-        eager=True
-    )
-    g2 = _probe(
-        g1, "gid", "gemb", p1l2, "fid", "femb", "parent", "pick"
-    ).localCheckpoint(eager=True)
+    g1 = _argmax_all(fine, "gid", "gemb", l1, "pick")
+    g2 = _probe(g1, "gid", "gemb", p1l2, "fid", "femb", "parent", "pick")
     p3fine = _probe(
         g2, "gid", "gemb", p2l3, "lid", "lemb", "parent2", "parent3"
     ).localCheckpoint(eager=True)
-    # corpus walk
-    v1 = _argmax_all(n, "vec_id", "nemb", l1, "pick").localCheckpoint(
-        eager=True
-    )
-    v2 = _probe(
-        v1, "vec_id", "nemb", p1l2, "fid", "femb", "parent", "pick"
-    ).localCheckpoint(eager=True)
-    v3 = _probe(
-        v2, "vec_id", "nemb", p2l3, "lid", "lemb", "parent2", "pick"
-    ).localCheckpoint(eager=True)
+    # corpus walk: pure projections + broadcast joins, zero shuffles
+    v1 = _argmax_all(n, "vec_id", "nemb", l1, "pick")
+    v2 = _probe(v1, "vec_id", "nemb", p1l2, "fid", "femb", "parent", "pick")
+    v3 = _probe(v2, "vec_id", "nemb", p2l3, "lid", "lemb", "parent2", "pick")
     assigned = _probe(
         v3, "vec_id", "nemb", p3fine, "gid", "gemb", "parent3",
         "centroid_id",
