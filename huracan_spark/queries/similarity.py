@@ -1052,8 +1052,8 @@ SEMDEDUP_COS = 0.35
 # cell's fine centroids; the tree itself is built with the same
 # stacked probe (never a global m_i x m_j scan), so build cost is ~K
 # per level.  Level sizes use INTEGER fourth roots (largest r with
-# r^4 <= K) — no float pow whose last-ulp could diverge between
-# engines.  The cell DEFINITION is the probe-limited argmax itself
+# r^4 <= K//8 — the //8 IS the wide last hop) — no float pow whose
+# last-ulp could diverge between engines.  The cell DEFINITION is the probe-limited argmax itself
 # (deterministic on both engines; cells are a partition, not a
 # nearest-neighbor truth claim — the published SemDeDup only needs a
 # clustering).  At the sf0.1 anchor K=8 (2000//250) so r = 1, which
@@ -1063,13 +1063,27 @@ SEMDEDUP_COS = 0.35
 # candidate: guarantees a non-empty candidate set even if round-ties
 # strand a cell with no members, and makes the collapse exact.
 SEMDEDUP_CELL = 250
-_SEMDEDUP_K_SQL = f"(SELECT GREATEST({N_CENTROIDS}, COUNT(*) // {SEMDEDUP_CELL}) FROM n)"
-# largest r in [1, 300] with r^4 <= K//8 (bounds K <= 6.5e10
-# centroids, i.e. N <= 1.6e13 vectors)
-_SEMDEDUP_R_SQL = (
-    "(SELECT MAX(i) FROM generate_series(1, 300) t(i) "
-    f"WHERE i*i*i*i <= {_SEMDEDUP_K_SQL} // 8)"
-)
+
+
+def _semdedup_k_sql(cell: int) -> str:
+    """Cluster-count scalar for the oracle walk; parameterized by cell
+    size so the active-tree (r >= 2) parity test can run the IDENTICAL
+    static walk at a CI-sized corpus (cell=25 -> K=N/25 -> r up to 3
+    at a few thousand vectors).  Registered oracles use SEMDEDUP_CELL."""
+    return f"(SELECT GREATEST({N_CENTROIDS}, COUNT(*) // {cell}) FROM n)"
+
+
+def _semdedup_r_sql(cell: int) -> str:
+    # largest r in [1, 300] with r^4 <= K//8 (bounds K <= 6.5e10
+    # centroids, i.e. N <= 1.6e13 vectors)
+    return (
+        "(SELECT MAX(i) FROM generate_series(1, 300) t(i) "
+        f"WHERE i*i*i*i <= {_semdedup_k_sql(cell)} // 8)"
+    )
+
+
+_SEMDEDUP_K_SQL = _semdedup_k_sql(SEMDEDUP_CELL)
+_SEMDEDUP_R_SQL = _semdedup_r_sql(SEMDEDUP_CELL)
 
 
 def _probe_sql(walkers: str, w_id: str, w_vec: str, w_pick: str,
@@ -1095,15 +1109,21 @@ def _probe_sql(walkers: str, w_id: str, w_vec: str, w_pick: str,
   ) WHERE rn = 1"""
 
 
-_SEMDEDUP_ASSIGNED_SQL = f"""
+def _semdedup_assigned_sql(cell: int) -> str:
+    """The depth-4 static walk as oracle CTEs, parameterized by cell
+    size (see _semdedup_k_sql).  Byte-for-byte the registered oracle
+    when cell == SEMDEDUP_CELL."""
+    R = _semdedup_r_sql(cell)
+    K = _semdedup_k_sql(cell)
+    return f"""
 l1 AS (SELECT vec_id AS cid, nemb AS cemb FROM n
-       WHERE vec_id < {_SEMDEDUP_R_SQL}),
+       WHERE vec_id < {R}),
 l2 AS (SELECT vec_id AS fid, nemb AS femb FROM n
-       WHERE vec_id < {_SEMDEDUP_R_SQL} * {_SEMDEDUP_R_SQL}),
+       WHERE vec_id < {R} * {R}),
 l3 AS (SELECT vec_id AS lid, nemb AS lemb FROM n
-       WHERE vec_id < {_SEMDEDUP_R_SQL} * {_SEMDEDUP_R_SQL} * {_SEMDEDUP_R_SQL}),
+       WHERE vec_id < {R} * {R} * {R}),
 fine AS (SELECT vec_id AS gid, nemb AS gemb FROM n
-         WHERE vec_id < {_SEMDEDUP_K_SQL}),
+         WHERE vec_id < {K}),
 p1l2 AS (
   SELECT fid, femb, cid AS parent FROM (
     SELECT f.fid, f.femb, c.cid,
@@ -1156,6 +1176,9 @@ assigned AS (
       'p3fine', 'gid', 'gemb', 'parent3', 'centroid_id')})
 )"""
 
+
+_SEMDEDUP_ASSIGNED_SQL = _semdedup_assigned_sql(SEMDEDUP_CELL)
+
 _SEMDEDUP_PAIRS_SQL = f"""
 pairs AS (
   SELECT a.centroid_id AS cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1164,16 +1187,20 @@ pairs AS (
     ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
 )"""
 
-_SEMDEDUP_PAIRS_ORACLE = f"""
+def _semdedup_pairs_oracle(cell: int = SEMDEDUP_CELL) -> str:
+    return f"""
 WITH n AS ({_NORMALIZED_SQL}),
-{_SEMDEDUP_ASSIGNED_SQL},
+{_semdedup_assigned_sql(cell)},
 {_SEMDEDUP_PAIRS_SQL}
 SELECT cluster_id, vec_a, vec_b, cosine
 FROM pairs WHERE cosine >= {SEMDEDUP_COS}
 """
 
 
-def _semdedup_assigned(n: DataFrame) -> DataFrame:
+_SEMDEDUP_PAIRS_ORACLE = _semdedup_pairs_oracle()
+
+
+def _semdedup_assigned(n: DataFrame, cell: int = SEMDEDUP_CELL) -> DataFrame:
     """(vec_id, nemb, centroid_id): balanced FOUR-LEVEL centroid-tree
     assignment (see the SEMDEDUP_CELL comment above), computed as a
     SHUFFLE-FREE projection pipeline.
@@ -1200,7 +1227,7 @@ def _semdedup_assigned(n: DataFrame) -> DataFrame:
     job over the narrow embedding scan.  At the fixture anchor r = 1,
     so every level collapses to exact brute-nearest-of-K."""
     cnt = n.count()
-    k = max(N_CENTROIDS, cnt // SEMDEDUP_CELL)
+    k = max(N_CENTROIDS, cnt // cell)
     # integer fourth root of K//8: matches the oracle's
     # generate_series scan; the fine hop stays ~8r wide (see the
     # SEMDEDUP_CELL comment — balance over assignment speed)
@@ -1411,9 +1438,10 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semdedup_pairs_from(_semdedup_assigned_shared(spark, sf_dir))
 
 
-_SEMDEDUP_KEEP_ORACLE = f"""
+def _semdedup_keep_oracle(cell: int = SEMDEDUP_CELL) -> str:
+    return f"""
 WITH n AS ({_NORMALIZED_SQL}),
-{_SEMDEDUP_ASSIGNED_SQL},
+{_semdedup_assigned_sql(cell)},
 {_SEMDEDUP_PAIRS_SQL},
 dropped AS (
   SELECT DISTINCT vec_b AS vec_id FROM pairs WHERE cosine >= {SEMDEDUP_COS}
@@ -1427,6 +1455,9 @@ GROUP BY 1
 """
 
 
+_SEMDEDUP_KEEP_ORACLE = _semdedup_keep_oracle()
+
+
 @register(
     "semdedup_keep",
     _SEMDEDUP_KEEP_ORACLE,
@@ -1435,7 +1466,13 @@ GROUP BY 1
     "counts. One anti-join over the pair table — no transitive closure",
 )
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assigned = _semdedup_assigned_shared(spark, sf_dir)
+    return _semdedup_keep_from(_semdedup_assigned_shared(spark, sf_dir))
+
+
+def _semdedup_keep_from(assigned: DataFrame) -> DataFrame:
+    """Keep-policy fold over a persisted assignment — shared by the
+    registered query and the active-tree (r >= 2) parity test so both
+    run the identical plan."""
     dropped = (
         _semdedup_pairs_from(assigned)
         .select(F.col("vec_b").alias("vec_id"))

@@ -5,6 +5,7 @@ these pin the semantic invariants and the 100 TB plan shapes."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from huracan_spark.queries.lmdata import (
@@ -194,6 +195,118 @@ def test_perplexity_filter_broadcast_vocab_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p
     # the only nested-loop is the 1-row corpus-total broadcast
     assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+# -- SemDeDup ACTIVE tree (r >= 2) oracle parity -------------------------------
+#
+# At the committed fixture scales K = max(8, N // SEMDEDUP_CELL) is
+# small enough that r = ifourthroot(K//8) = 1 and the depth-4 walk
+# collapses to the brute single argmax — so the harness's oracle parity
+# only ever exercises the DEGENERATE path.  These tests synthesize a
+# deterministic corpus IN the test and lower the cell size (the
+# parameterized-cell hook: identical code path, identical static-walk
+# oracle SQL, just a different constant) so the tree is provably active
+# (r = 2 and r = 3), then hash-match pairs AND keep against DuckDB
+# running the same walk — the repeatable pin the r7 VERDICT asked for.
+
+ACTIVE_N = 16_200
+ACTIVE_DIM = 64
+
+
+@pytest.fixture(scope="module")
+def active_emb_dir(tmp_path_factory):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(80408)
+    v = rng.standard_normal((ACTIVE_N, ACTIVE_DIM)).astype(np.float32)
+    # plant near-duplicates (every 50th vector perturbs its
+    # predecessor): guaranteed same-cell high-cosine pairs, so the keep
+    # policy measurably drops rows instead of passing a vacuous all-kept
+    for i in range(51, ACTIVE_N, 50):
+        v[i] = v[i - 1] + 0.05 * rng.standard_normal(ACTIVE_DIM).astype(
+            np.float32
+        )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(ACTIVE_N), pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in v], pa.list_(pa.float32())
+            ),
+            "label": pa.array(
+                [i % 5 for i in range(ACTIVE_N)], pa.int32()
+            ),
+        }
+    )
+    d = tmp_path_factory.mktemp("semdedup_active")
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("cell,want_r", [(100, 2), (25, 3)])
+def test_semdedup_active_tree_oracle_parity(
+    spark, active_emb_dir, cell, want_r
+):
+    """Spark depth-4 walk (r >= 2: _probe chains, self-candidate
+    concat, broadcast cell arrays) vs the DuckDB static walk — full
+    value-hash parity on pairs and keep via the harness's own
+    compare_query, at two active tree depths."""
+    import duckdb
+
+    from huracan_spark.queries.similarity import (
+        SEMDEDUP_CELL,
+        _emb,
+        _normalized,
+        _semdedup_assigned,
+        _semdedup_keep_from,
+        _semdedup_keep_oracle,
+        _semdedup_pairs_from,
+        _semdedup_pairs_oracle,
+    )
+    from tests.oracle_harness import compare_query
+
+    k = max(N_CENTROIDS, ACTIVE_N // cell)
+    r = max(i for i in range(1, 301) if i**4 <= k // 8)
+    assert r == want_r >= 2, "tree must be ACTIVE, not the brute collapse"
+    # the hook only lowers the constant; the registered query must
+    # still be on the real cell size (guards accidental global edits)
+    assert SEMDEDUP_CELL == 250
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{active_emb_dir}/embeddings.parquet')"
+    )
+    assigned = _semdedup_assigned(
+        _normalized(_emb(spark, active_emb_dir)), cell=cell
+    ).persist()
+    try:
+        ok, detail = compare_query(
+            spark,
+            con,
+            "semdedup_pairs_active",
+            lambda s, d: _semdedup_pairs_from(assigned),
+            _semdedup_pairs_oracle(cell),
+            active_emb_dir,
+        )
+        assert ok, f"pairs parity (r={r}): {detail}"
+        ok, detail = compare_query(
+            spark,
+            con,
+            "semdedup_keep_active",
+            lambda s, d: _semdedup_keep_from(assigned),
+            _semdedup_keep_oracle(cell),
+            active_emb_dir,
+        )
+        assert ok, f"keep parity (r={r}): {detail}"
+        # the planted near-dups must actually drop rows
+        kept = _semdedup_keep_from(assigned).collect()
+        assert sum(x.n_dropped for x in kept) > 0
+        assert sum(x.n_total for x in kept) == ACTIVE_N
+    finally:
+        assigned.unpersist()
+    con.close()
 
 
 def test_bpe_train_first_merge_is_true_argmax(spark, sf_dir):
