@@ -16,12 +16,17 @@ Each query is fully executed (count + collect of a bounded head) so
 lazy plans can't cheat; per-query wall time includes planning +
 execution.
 
-``SPARK_GRAFT_BENCH_REPEAT=N`` (default 1) runs the whole suite N
-times in one JVM and reports each query's MINIMUM — the BASELINE.md
-floor-measurement methodology (GC stalls land on random queries, so
-per-query minima over repeats are the stable signal; a single-run
-total scatters with ambient load).  ``value`` is then the sum of
-minima and the line carries "repeat": N.
+``SPARK_GRAFT_BENCH_REPEAT=N`` (default 2 since round 8 — r7 VERDICT:
+a single pass left 11 queries reading >2x their floor on pure GC
+scatter; per-query minima kill that class at the source for ~3 extra
+minutes) runs the whole suite N times in one JVM and reports each
+query's MINIMUM — the BASELINE.md floor-measurement methodology (GC
+stalls land on random queries, so per-query minima over repeats are
+the stable signal; a single-run total scatters with ambient load).
+``value`` is then the sum of minima and the line carries "repeat": N.
+Caveat (BASELINE.md): shared (app, sf) materializations amortize
+across in-JVM repeats, so group builds are still the first pass's —
+true first-consumer floors need separate processes.
 
 Shared-materialization attribution: pipelines built ONCE per (app,
 sf_dir) — dedup label tables, silver on-disk drives, the streaming
@@ -43,7 +48,7 @@ import sys
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    repeat = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")), 1)
+    repeat = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")), 1)
     from huracan_spark.queries.registry import REGISTRY, spark_queries
     from huracan_spark.session import get_spark
 
