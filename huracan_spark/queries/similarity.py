@@ -1053,7 +1053,8 @@ SEMDEDUP_COS = 0.35
 # stacked probe (never a global m_i x m_j scan), so build cost is ~K
 # per level.  Level sizes use INTEGER fourth roots (largest r with
 # r^4 <= K//8 — the //8 IS the wide last hop) — no float pow whose
-# last-ulp could diverge between engines.  The cell DEFINITION is the probe-limited argmax itself
+# last-ulp could diverge between engines.  The cell DEFINITION is the
+# probe-limited argmax itself
 # (deterministic on both engines; cells are a partition, not a
 # nearest-neighbor truth claim — the published SemDeDup only needs a
 # clustering).  At the sf0.1 anchor K=8 (2000//250) so r = 1, which
