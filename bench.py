@@ -54,6 +54,14 @@ def main() -> None:
 
     spark_queries()
     spark = get_spark("huracan-bench")
+    # r8 ADVICE: the repeat default changed 1 -> 2 (per-query minima);
+    # announce the effective value up front so older tooling comparing
+    # wall-clock totals sees why the suite runs ~2x longer
+    print(
+        f"[bench] sf_dir={sf_dir} repeat={repeat} "
+        "(per-query minima over repeats; SPARK_GRAFT_BENCH_REPEAT overrides)",
+        flush=True,
+    )
 
     # measurement methodology (warm-up, noop sink, group attribution,
     # min fold, cache hygiene) lives in benchlib so the scale rehearsal

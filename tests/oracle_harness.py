@@ -56,6 +56,12 @@ def _norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # bounded + spill-to-disk: DuckDB's default memory_limit (80% of
+    # RAM) overcommits next to the 90g Spark JVM — heavy oracles
+    # (semdedup active tree) died with an allocation failure instead
+    # of spilling (measured, round 9)
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
