@@ -107,7 +107,19 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_from(n: DataFrame) -> DataFrame:
     """Brute-force top-k over an already-normalized (persisted) corpus —
     shared by q_knn and q_ann_recall_eval so the recall eval caches the
-    corpus once, not once per leg."""
+    corpus once, not once per leg.
+
+    Two-phase top-k: a single window over query_id alone has only
+    N_QUERIES partitions, so at scale the whole corpus sorts in 5
+    tasks while the other cores idle (measured: the d3 re-measure
+    read exp 1.28 on what is linear work).  Phase 1 takes the per-
+    (query, input-partition) top-k — same shuffle VOLUME as the
+    single-window form (24B rows either way) but the sort fans out
+    over nparts * N_QUERIES keys instead of N_QUERIES; any global
+    top-k row is necessarily in its partition's local top-k.  Phase 2
+    re-ranks the <= N_QUERIES * parts * K survivors — a bounded grid.
+    Same round-6 cosine, same (cosine DESC, neighbor_id) tie-break:
+    results are identical to the single-window form."""
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("nemb").alias("q_emb")
     )
@@ -117,11 +129,18 @@ def _knn_from(n: DataFrame) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.round(_dot(F.col("q_emb"), F.col("nemb")), 6).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
+    order = (F.col("cosine").desc(), F.col("neighbor_id"))
+    wpart = Window.partitionBy(
+        "query_id", F.spark_partition_id()
+    ).orderBy(*order)
+    cands = (
+        sims.withColumn("rn", F.row_number().over(wpart))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
     )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        sims.withColumn("rn", F.row_number().over(w))
+        cands.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -1299,7 +1318,15 @@ def _semdedup_assigned(n: DataFrame, cell: int = SEMDEDUP_CELL) -> DataFrame:
     the probe joins flip to shuffle-hash equi-joins on the parent key
     (r7 planner-broadcast lesson).  The count() is one cheap scalar
     job over the narrow embedding scan.  At the fixture anchor r = 1,
-    so every level collapses to exact brute-nearest-of-K."""
+    so every level collapses to exact brute-nearest-of-K.
+
+    The fine level is Lloyd-refined before the corpus walk (see the
+    SEMDEDUP_REFINE_MOD comment): a 1-in-10 sample walks the raw
+    tree, a K-row mean aggregate re-seats the fine centroids, and the
+    corpus's last hop probes the refined level.  Measured effect:
+    cell skew sumsq/ideal 1.27 -> 1.051 at sf10 and 1.34 -> 1.039 at
+    sf100 (probe tool), arresting the creep the r8 decades flagged,
+    at ~1.1x assignment cost (the sample walk + one K-row shuffle)."""
     cnt = n.count()
     k = max(N_CENTROIDS, cnt // cell)
     # integer fourth root of K//8: matches the oracle's

@@ -320,12 +320,26 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- trailing 7-day active users (WAU) ----------------------------------------
 
-# Sliding distinct-count via bounded fan-out: each (type, user, day)
-# activity row contributes to exactly the 7 trailing windows ending on
-# day..day+6, so the explode factor is the window length — never a
-# per-day re-scan and never a distinct-over-window (which Spark cannot
-# partial-aggregate).  The spine join drops windows ending on days
-# with no events so both engines agree on the domain.
+# Sliding distinct-count WITHOUT the fan-out shuffle.  The r8-era shape
+# exploded each (type, user, day) activity row to its 7 trailing
+# windows and counted DISTINCT users per window — but those 7x rows
+# are all DISTINCT keys, so the countDistinct's partial aggregate
+# deduped NOTHING and 7x|au| rows shuffled into the reducers (the d3
+# re-measure read exp 1.40 at sf100 on a clean small side).  The
+# interval-union shape shuffles |au| once:
+#   1. au = distinct (type, user, day) activity;
+#   2. per (type, user), merge activity days into ISLANDS whose
+#      contribution ranges [day, day+6] overlap (gap <= 6 days) —
+#      a lag/cumsum window bounded per user;
+#   3. each island [s, e] contributes +1 at wend=s and -1 at
+#      wend=e+7 — interval-counting deltas (adjacent islands'
+#      -1/+1 at the same day cancel, so only OVERLAP needs merging);
+#   4. net deltas aggregate to the (type, day) CALENDAR grid (bounded:
+#      types x span days) and a per-type running sum over that grid is
+#      the distinct-user count for every window — each user counted
+#      once per covered window by construction, no distinct at all.
+# The spine (days with >= 1 event, any type) sets the output domain,
+# exactly like the oracle's spine join.
 
 WAU_DAYS = 7
 
@@ -363,21 +377,48 @@ def q_trailing_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     ).distinct()
     spine = au.select("day").distinct().select(F.col("day").alias("wend"))
-    contrib = au.select(
-        "event_type",
-        "user_id",
-        F.explode(
-            F.sequence(
-                F.col("day"),
-                F.col("day") + F.expr(f"INTERVAL {WAU_DAYS - 1} DAY"),
-                F.expr("INTERVAL 1 DAY"),
-            )
-        ).alias("wend"),
+    # islands of overlapping [day, day+6] ranges per (type, user):
+    # window state bounded per user's activity days
+    wu = Window.partitionBy("event_type", "user_id").orderBy("day")
+    gap = F.datediff(F.col("day"), F.lag("day").over(wu))
+    isl = (
+        au.withColumn(
+            "_new", F.when(gap.isNull() | (gap > WAU_DAYS - 1), 1).otherwise(0)
+        )
+        .withColumn("_grp", F.sum("_new").over(wu))
+        .groupBy("event_type", "user_id", "_grp")
+        .agg(F.min("day").alias("_s"), F.max("day").alias("_e"))
+    )
+    deltas = isl.select(
+        "event_type", F.col("_s").alias("wend"), F.lit(1).alias("_d")
+    ).unionByName(
+        isl.select(
+            "event_type",
+            (F.col("_e") + F.expr(f"INTERVAL {WAU_DAYS} DAY")).alias("wend"),
+            F.lit(-1).alias("_d"),
+        )
+    )
+    # seed the calendar grid with zero-deltas on every spine day so the
+    # running sum lands on every output day (types x days — bounded)
+    types = au.select("event_type").distinct()
+    zeros = types.crossJoin(F.broadcast(spine)).select(
+        "event_type", "wend", F.lit(0).alias("_d")
+    )
+    net = (
+        deltas.unionByName(zeros)
+        .groupBy("event_type", "wend")
+        .agg(F.sum("_d").alias("_nd"))
+    )
+    # per-type running sum over the calendar grid (bounded rows/type)
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("wend")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        contrib.join(F.broadcast(spine), "wend")
-        .groupBy("event_type", "wend")
-        .agg(F.countDistinct("user_id").alias("n_active"))
+        net.withColumn("n_active", F.sum("_nd").over(wt))
+        .join(F.broadcast(spine), "wend")
+        .filter(F.col("n_active") > 0)
         .select(
             "event_type",
             F.unix_millis(F.col("wend").cast("timestamp")).alias("day_ms"),
