@@ -34,11 +34,27 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     parts = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    init_parts = os.environ.get("SPARK_GRAFT_INIT_PARTITIONS")
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(parts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Shuffle WIDTH is a deployment-scale parameter (like driver
+        # memory): SPARK_GRAFT_INIT_PARTITIONS sets AQE's
+        # initialPartitionNum so corpus-sized shuffles start wide and
+        # coalesce down.  Measured round 9 at the 100x decade fixture
+        # (sf100, 15 GB) with width 512: tpch_q18 364 s -> 62 s
+        # (exp 1.50 -> 1.03), tpch_q21 242 s -> 40 s — the static
+        # 32-wide shuffle crossed the per-task memory/spill cliff and
+        # went super-linear.  NOT defaulted on: at fixture scale the
+        # many-tiny-exchange iterative queries pay real map-side cost
+        # for wide bucketing (triangle_count_nations 2.3 s -> 8.1 s at
+        # 512, still 4.7 s at 128 — A/B'd), so the right width tracks
+        # the data scale, exactly as on a real cluster where
+        # default parallelism (executors x cores) plays this role.
+        # Scale rehearsals set the SAME width on both sides of a
+        # decade so exponents stay config-clean.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -54,6 +70,11 @@ def get_spark(
         # silver footer-stats skipping can prune on timestamp columns.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
+    if init_parts:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            init_parts,
+        )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = (
             builder.master(f"local[{cpus}]")

@@ -22,7 +22,9 @@ Prints one JSON line:
 
 Usage: python3 tools/scale_rehearsal.py [--repeat N] [names...]
 Env: SPARK_GRAFT_SMALL (default /root/testdata/sf0.1),
-     SPARK_GRAFT_BIG (default /root/repo/.scale/sf1)
+     SPARK_GRAFT_BIG (default /root/repo/.scale/sf1),
+     SPARK_GRAFT_INIT_PARTITIONS (deployment shuffle width — decade
+     runs at sf10+ should set 512 on BOTH sides; see session.py)
 """
 
 from __future__ import annotations
@@ -129,6 +131,10 @@ def main() -> None:
         "small": small,
         "big": big,
         "repeat": repeat,
+        # deployment-scale shuffle width (session.py knob); decade
+        # measurements run the SAME width on both sides so exponents
+        # stay config-clean
+        "init_partitions": os.environ.get("SPARK_GRAFT_INIT_PARTITIONS"),
         "queries": _fold(q_small, q_big),
         "groups": _fold(g_small, g_big),
     }))
