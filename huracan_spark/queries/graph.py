@@ -139,22 +139,24 @@ trades AS (
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   WHERE c.c_nationkey <> s.s_nationkey
 ),
-und AS (
+und AS MATERIALIZED (
   SELECT least(a, b) AS x, greatest(a, b) AS y, count(*) AS n_trades
   FROM trades GROUP BY 1, 2
 ),
-kept AS (SELECT x, y FROM und WHERE n_trades > (SELECT avg(n_trades) FROM und)),
-deg AS (
+kept AS MATERIALIZED (
+  SELECT x, y FROM und WHERE n_trades > (SELECT avg(n_trades) FROM und)
+),
+deg AS MATERIALIZED (
   SELECT node, count(*) AS d FROM (
     SELECT x AS node FROM kept UNION ALL SELECT y AS node FROM kept
   ) GROUP BY node
 ),
-oriented AS (
+oriented AS MATERIALIZED (
   SELECT CASE WHEN (dx.d, k.x) < (dy.d, k.y) THEN k.x ELSE k.y END AS src,
          CASE WHEN (dx.d, k.x) < (dy.d, k.y) THEN k.y ELSE k.x END AS dst
   FROM kept k JOIN deg dx ON k.x = dx.node JOIN deg dy ON k.y = dy.node
 ),
-tri AS (
+tri AS MATERIALIZED (
   SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
   FROM oriented e1
   JOIN oriented e2 ON e1.dst = e2.src
@@ -250,8 +252,11 @@ BFS_ROUNDS = 3  # >= diameter of the thresholded trade graph
 
 
 def _bfs_round_sql(k: int) -> str:
+    # d{k-1} is referenced twice per round — without AS MATERIALIZED,
+    # DuckDB's default inlining re-evaluates the chain 2^rounds times
+    # (the exact blowup that OOM'd the k-core oracle under the 24GB cap).
     return f"""
-d{k} AS (
+d{k} AS MATERIALIZED (
   SELECT node, min(hops) AS hops FROM (
     SELECT node, hops FROM d{k - 1}
     UNION ALL
@@ -265,7 +270,7 @@ _BFS_ORACLE = (
     "WITH "
     + _tri_edges_sql().split(",\ntri AS")[0]  # trades/und/kept/deg/oriented
     + f""",
-bi AS (
+bi AS MATERIALIZED (
   SELECT x AS src, y AS dst FROM kept
   UNION ALL
   SELECT y AS src, x AS dst FROM kept

@@ -398,12 +398,14 @@ trades AS (
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   WHERE c.c_nationkey <> s.s_nationkey
 ),
-und AS (
+und AS MATERIALIZED (
   SELECT least(a, b) AS x, greatest(a, b) AS y, count(*) AS n_trades
   FROM trades GROUP BY 1, 2
 ),
-kept AS (SELECT x, y FROM und WHERE n_trades > (SELECT avg(n_trades) FROM und)),
-b0 AS (
+kept AS MATERIALIZED (
+  SELECT x, y FROM und WHERE n_trades > (SELECT avg(n_trades) FROM und)
+),
+b0 AS MATERIALIZED (
   SELECT x AS src, y AS dst FROM kept
   UNION ALL
   SELECT y AS src, x AS dst FROM kept
@@ -411,10 +413,15 @@ b0 AS (
 
 
 def _kcore_round_sql(r: int) -> str:
+    # AS MATERIALIZED is load-bearing: b{r} is referenced twice (by d{r}
+    # and b{r+1}) and a{r} twice (both sides of the semi-join), so DuckDB's
+    # default inlining re-evaluates the chain 2^rounds times — under the
+    # harness's 24GB memory cap that OOMs (cannot spill mid-inline).
+    # Materialized, each round evaluates once and the whole walk is instant.
     return f"""
-d{r} AS (SELECT src, count(*) AS deg FROM b{r} GROUP BY src),
-a{r} AS (SELECT src FROM d{r} WHERE deg >= {KCORE_K}),
-b{r + 1} AS (
+d{r} AS MATERIALIZED (SELECT src, count(*) AS deg FROM b{r} GROUP BY src),
+a{r} AS MATERIALIZED (SELECT src FROM d{r} WHERE deg >= {KCORE_K}),
+b{r + 1} AS MATERIALIZED (
   SELECT e.src, e.dst FROM b{r} e
   JOIN a{r} s ON e.src = s.src
   JOIN a{r} t ON e.dst = t.src

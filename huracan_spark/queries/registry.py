@@ -14,6 +14,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from huracan_spark.queries.ctemat import materialize_multiref_ctes
+
 __all__ = ["QuerySpec", "REGISTRY", "register", "spark_queries", "oracle_queries"]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -36,7 +38,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        # DuckDB inlines CTEs at every reference site; double-referenced
+        # chains re-evaluate 2^depth times and OOM under the harness's
+        # memory cap (round-9 kcore_trade_graph).  Fence every
+        # multi-referenced CTE corpus-wide at registration — pure
+        # evaluation hint, identical semantics (ctemat.py).
+        mat = materialize_multiref_ctes(oracle) if oracle is not None else None
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=mat, doc=doc)
         return fn
 
     return deco
