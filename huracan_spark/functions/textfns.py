@@ -108,7 +108,19 @@ def stopword_ratio_sql(col: str) -> str:
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
-    toks = tokens(col)
+    return lang_scores_from_tokens(tokens(col))
+
+
+def lang_scores_from_tokens(toks: Column) -> dict[str, Column]:
+    """Per-language marker counts over a PRE-TOKENIZED array column.
+
+    Callers that need several scores should project the token array
+    into its own column first and pass that: each score otherwise
+    carries its own ``tokens(text)`` subtree, and the filter/size HOFs
+    are CodegenFallback, so the tokenizer re-runs once per score (and
+    once per reference of any derived argmax/margin expression).  A
+    multi-referenced non-cheap alias is a CollapseProject barrier, so
+    the two-stage form tokenizes exactly once per row."""
 
     def _in(markers: tuple[str, ...]):
         # NB: a 2-arg lambda would receive (element, index) from F.filter
@@ -120,6 +132,18 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
     }
 
 
+def predicted_from_scores(scores: dict[str, Column]) -> Column:
+    """argmax over precomputed score COLUMNS, alphabetical tie-break —
+    bit-identical to ``predicted_lang`` (same fold, same tie rule),
+    but safe to build over cheap column references instead of
+    re-inlined score expressions."""
+    best = F.greatest(*scores.values())
+    expr = F.lit("unknown")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("unknown")).otherwise(expr)
+
+
 def lang_score_sql(col: str, lang: str) -> str:
     markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
     return f"len(list_filter({tokens_sql(col)}, x -> list_contains([{markers}], x)))"
@@ -127,12 +151,7 @@ def lang_score_sql(col: str, lang: str) -> str:
 
 def predicted_lang(col: Column | str) -> Column:
     """argmax over lang scores, alphabetical tie-break (first match wins)."""
-    scores = lang_scores(col)
-    best = F.greatest(*scores.values())
-    expr = F.lit("unknown")
-    for lang in sorted(LANG_MARKERS, reverse=True):
-        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
-    return F.when(best == 0, F.lit("unknown")).otherwise(expr)
+    return predicted_from_scores(lang_scores(col))
 
 
 def predicted_lang_sql(col: str) -> str:

@@ -102,9 +102,15 @@ def pagerank(
         .distinct()
         .persist()
     )
-    n_nodes = nodes.agg(F.count("*").alias("n"))
+    # eager: nodes feeds the broadcast n_nodes/initial-ranks branches
+    # and every round's left join; e is read every round.  Lazy persist
+    # would let the first round's broadcast thread race the cache fill
+    # and re-run the input edge build per branch (r7 class).
+    nodes.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     e = edges.join(out_deg, "src").persist()
+    e.count()
+    n_nodes = nodes.agg(F.count("*").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
@@ -137,9 +143,15 @@ def personalized_pagerank(
         .distinct()
         .persist()
     )
-    n_nodes = nodes.agg(F.count("*").alias("n"))
+    # eager: nodes feeds the broadcast n_nodes/initial-ranks branches
+    # and every round's left join; e is read every round.  Lazy persist
+    # would let the first round's broadcast thread race the cache fill
+    # and re-run the input edge build per branch (r7 class).
+    nodes.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     e = edges.join(out_deg, "src").persist()
+    e.count()
+    n_nodes = nodes.agg(F.count("*").alias("n"))
     ranks = nodes.join(F.broadcast(reset), "node", "left").select(
         "node", F.coalesce(F.col("reset"), F.lit(0.0)).alias("rank")
     )

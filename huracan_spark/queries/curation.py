@@ -95,10 +95,15 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (hash60(F.col("token"), "dsir") % DSIR_BUCKETS).alias("b"),
     )
+    # stats is DSIR_BUCKETS-bounded: persist it eagerly so totals and
+    # the broadcast build read the cached table instead of each
+    # re-running the corpus tokenize pass (3 passes -> the inherent 2:
+    # one to build the distributions, one to score)
     stats = tok.groupBy("b").agg(
         F.count("*").alias("n_all"),
         F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("n_tgt"),
-    )
+    ).persist()
+    stats.count()
     totals = stats.agg(
         F.sum("n_all").cast("long").alias("tot_all"),
         F.sum("n_tgt").cast("long").alias("tot_tgt"),
@@ -171,11 +176,18 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("element_at(ts, i)").alias("w1"),
         F.expr("element_at(ts, i + 1)").alias("w2"),
     )
-    pair_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # pair_counts is type-bounded: persist it eagerly so ctx_counts,
+    # vocab and the broadcast build read the cached table — the lazy
+    # shape re-ran the corpus tokenize+explode FOUR times (pair/ctx/
+    # vocab branches + final scan), with two broadcast threads racing
+    # the fill.  vocab derives from pair_counts (every w2 occurs in
+    # some pair), identical to count(DISTINCT w2) over bg.
+    pair_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")).persist()
+    pair_counts.count()
     ctx_counts = pair_counts.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1")
     )
-    vocab = bg.agg(F.countDistinct("w2").alias("v"))
+    vocab = pair_counts.agg(F.countDistinct("w2").alias("v"))
     lp = F.log10(
         (F.col("c12") + BIGRAM_SMOOTH) / (F.col("c1") + BIGRAM_SMOOTH * F.col("v"))
     )
@@ -244,7 +256,11 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", gram.alias("gram"))
         .distinct()
+        .persist()
     )
+    # eager: grams feeds both the document-frequency aggregate and the
+    # join-back scan — one tokenize+explode+distinct pass, not two
+    grams.count()
     df = grams.groupBy("gram").agg(F.count("*").alias("n_docs"))
     novel = F.count(F.when(F.col("n_docs") == 1, 1))
     return (

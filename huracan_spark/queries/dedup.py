@@ -805,25 +805,50 @@ def quality_gates(d: DataFrame) -> DataFrame:
     q_corpus_clean and streaming/corpus_clean.py so the online and
     offline pipelines apply IDENTICAL semantics."""
     from huracan_spark.functions.textfns import (
-        predicted_lang,
+        LANG_MARKERS,
+        STOPWORDS,
+        lang_scores_from_tokens,
+        predicted_from_scores,
         punct_ratio,
-        stopword_ratio,
-        token_count,
+        tokens,
     )
 
+    # staged projections (same rationale as q_doc_langid_margin):
+    # tokenize ONCE into a column, reduce it to the integer signals
+    # (per-lang scores, token/stopword counts), then fold argmax +
+    # quality over cheap column references.  The inlined form
+    # re-evaluated tokens(text) once per lang score, once per argmax
+    # reference AND once per stopword/token-count term — and the gate
+    # filter's pushdown substitution doubled all of it.  Every stage
+    # alias is a multi-referenced non-cheap expression, so
+    # CollapseProject keeps the boundaries; expressions stay pure
+    # columns (batch- and stream-safe).
+    sc = lang_scores_from_tokens(F.col("_toks"))
+    staged = d.withColumn("_toks", tokens("text")).select(
+        "*",
+        *[sc[lg].alias(f"_s_{lg}") for lg in LANG_MARKERS],
+        F.size(
+            F.filter(F.col("_toks"), lambda x: x.isin(*STOPWORDS))
+        ).alias("_nstop"),
+        F.size("_toks").alias("_ntok"),
+    )
+    cols = {lg: F.col(f"_s_{lg}") for lg in LANG_MARKERS}
+    # identical terms to the inlined form: stopword_ratio rounds at 6
+    # BEFORE the weighted sum, token_count/50 does not
     quality = F.round(
-        F.least(F.lit(1.0), token_count("text") / 50.0) * 0.4
-        + stopword_ratio("text") * 0.4
+        F.least(F.lit(1.0), F.col("_ntok") / 50.0) * 0.4
+        + F.round(F.col("_nstop") / F.col("_ntok"), 6) * 0.4
         + (1.0 - punct_ratio("text")) * 0.2,
         6,
     )
     return (
-        d.withColumn("predicted_lang", predicted_lang("text"))
+        staged.withColumn("predicted_lang", predicted_from_scores(cols))
         .withColumn("quality_score", quality)
         .filter(
             (F.col("predicted_lang") != "unknown")
             & (F.col("quality_score") >= QUALITY_MIN)
         )
+        .drop("_toks", "_nstop", "_ntok", *[f"_s_{lg}" for lg in LANG_MARKERS])
     )
 
 
@@ -955,10 +980,22 @@ def q_minhash_jaccard_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "minhash_pairs", lambda: _minhash_lsh_plan(spark, sf_dir)
     )
     # shingles re-derived, not cached: corpus-sized (see unigram LM
-    # scale note); sigs/sizes are doc-sized partial aggs over one scan
+    # scale note).  The DOC-sized aggregates, though, are computed in
+    # ONE combined pass and persisted eagerly: sigs and sizes share a
+    # groupBy(doc_id), and sigs is read on BOTH sides of the scored
+    # self-join — the previous shape re-ran the 64-expr minhash fold
+    # (and its shingle pass) per reference, 4 shingle passes where 1
+    # suffices (the exact-Jaccard inter legs keep their own 2 passes,
+    # inherent to the candidate-bounded equi-join).
     sh = _shingles(_docs(spark, sf_dir))
-    sigs = sh.groupBy("doc_id").agg(*_minhash_sig_exprs_spark())
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sigsz = (
+        sh.groupBy("doc_id")
+        .agg(*_minhash_sig_exprs_spark(), F.count("*").alias("n"))
+        .persist()
+    )
+    sigsz.count()
+    sigs = sigsz.drop("n")
+    sizes = sigsz.select("doc_id", "n")
     inter = (
         cand.join(
             sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"

@@ -847,7 +847,11 @@ FROM tot CROSS JOIN gini
 def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     freq = ev.groupBy("user_id").agg(F.count("*").alias("f"))
-    coc = freq.groupBy("f").agg(F.count("*").alias("m"))
+    # coc is bounded by distinct frequency VALUES (tiny): persist it
+    # eagerly so tot (-> two broadcasts) and the prefix-sum input read
+    # the cache instead of re-running the corpus key-count pass
+    coc = freq.groupBy("f").agg(F.count("*").alias("m")).persist()
+    coc.count()
     tot = coc.agg(
         F.sum("m").cast("long").alias("n_keys"),
         F.sum(F.col("f") * F.col("m")).cast("long").alias("n_rows"),
@@ -1081,7 +1085,9 @@ def q_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
         hash60(F.col("user_id").cast("string"), "kmvjoin").alias("h"),
-    ).distinct()
+    ).distinct().persist()
+    # eager: hv feeds ka/kb/both — one distinct pass, not three
+    hv.count()
 
     def kmin(df: DataFrame) -> DataFrame:
         # distributed k-min: TakeOrderedAndProject, never a global window
@@ -1435,12 +1441,20 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bin"),
     )
-    grid = binned.groupBy("event_type", "half", "bin").agg(
-        F.count("*").alias("n")
+    # grid is bounded by |types| x 2 x NBINS — persist it eagerly so
+    # the four consumers below (tot -> te/tl, ge, gl, types) read the
+    # tiny cached grid; types derives FROM the grid (every type has
+    # >=1 binned row), dropping a third full events scan.  bounds +
+    # binned remain the two inherent passes of any histogram.
+    grid = (
+        binned.groupBy("event_type", "half", "bin")
+        .agg(F.count("*").alias("n"))
+        .persist()
     )
+    grid.count()
     tot = grid.groupBy("event_type", "half").agg(F.sum("n").alias("tot"))
     bins = spark.range(_PSI_NBINS).select(F.col("id").alias("bin"))
-    types = ev.select("event_type").distinct()
+    types = grid.select("event_type").distinct()
     ge = grid.filter(F.col("half") == "early").select(
         "event_type", "bin", F.col("n").alias("n_early")
     )
@@ -1542,9 +1556,17 @@ FROM terms CROSS JOIN ent_t CROSS JOIN ent_h
 )
 def q_type_hour_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    joint = ev.groupBy(
-        "event_type", F.hour("ts").cast("long").alias("hr")
-    ).agg(F.count("*").alias("n"))
+    # joint is the |types|x24 grid — persist it eagerly so the five
+    # consumers below (tot/mt/mh through broadcasts, terms, both
+    # entropies) fold over the tiny cached grid instead of each
+    # re-running the corpus count scan (the before-plan carried 36
+    # Exchanges for a one-scan query)
+    joint = (
+        ev.groupBy("event_type", F.hour("ts").cast("long").alias("hr"))
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    joint.count()
     tot = joint.agg(F.sum("n").alias("total"))
     mt = joint.groupBy("event_type").agg(F.sum("n").alias("nt"))
     mh = joint.groupBy("hr").agg(F.sum("n").alias("nh"))

@@ -154,7 +154,14 @@ def q_brand_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
+        .persist()
     )
+    # eager: ob feeds FOUR consumers (tot, nb, both self-join sides) and
+    # two of them arrive as broadcasts — lazy persist would let the
+    # broadcast threads race the cache fill and re-run the corpus
+    # join+distinct up to 3x concurrently (the r7 broadcast-race class).
+    # One count() materializes it once; everything downstream reads cache.
+    ob.count()
     tot = ob.agg(F.countDistinct("okey").cast("long").alias("n_orders"))
     nb = ob.groupBy("brand").agg(F.count("*").cast("long").alias("n"))
     a, b = ob.alias("a"), ob.alias("b")
@@ -243,7 +250,13 @@ def q_brand_affinity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
         .distinct()
+        .persist()
     )
+    # eager: cb feeds THREE consumers (sz -> two broadcasts, both
+    # self-join sides); materialize once so the broadcast threads and
+    # the self-join read cache instead of re-running the 3-way
+    # corpus join+distinct per branch (r7 broadcast-race class)
+    cb.count()
     sz = cb.groupBy("brand").agg(F.count("*").cast("long").alias("n"))
     a, b = cb.alias("a"), cb.alias("b")
     pairs = (

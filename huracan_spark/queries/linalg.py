@@ -463,6 +463,10 @@ def q_pca_deflation_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "pos", (F.col("x") - F.col("m")).alias("xc"))
         .persist()
     )
+    # eager: cent feeds t1/y1/tproj/cent2 and several broadcast
+    # subtrees — one count() materializes the corpus centering pass
+    # once instead of letting the broadcast threads race the fill
+    cent.count()
     t1 = cent.groupBy("vec_id").agg(F.sum(F.col("xc") * F.lit(V0)).alias("t"))
     # persist every 64-row vector table: each is consumed by several
     # downstream subplans (normalize agg + projection + broadcast
@@ -495,6 +499,7 @@ def q_pca_deflation_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    cent2.count()  # eager, same rationale as cent
     s1 = cent2.groupBy("vec_id").agg(F.sum(F.col("xc") * F.lit(V0)).alias("t"))
     z1 = (
         cent2.join(s1, "vec_id")

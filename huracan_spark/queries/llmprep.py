@@ -302,6 +302,10 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # saves a full re-tokenization scan; the scoring join below is the
     # only other pass over tok.
     counts = tok.groupBy("token").agg(F.count("*").alias("cnt")).persist()
+    # eager: vocab and total both arrive as BROADCASTS — lazy persist
+    # would let the two broadcast threads race the fill and re-run the
+    # tokenize pass (r7 class)
+    counts.count()
     # distributed top-K (TakeOrderedAndProject), not a global window —
     # see q_vocab_topk
     vocab = counts.orderBy(F.col("cnt").desc(), "token").limit(LM_VOCAB_K)

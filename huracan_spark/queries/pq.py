@@ -141,6 +141,29 @@ def _encoded(n: DataFrame) -> DataFrame:
     )
 
 
+# The corpus code table is shared per (applicationId, sf_dir) like the
+# semdedup assignment: PQ codes ARE the stored index artifact (4 bytes
+# per vector is the entire point), and all three PQ queries read the
+# same encoding a deployment would persist.  The one-time argmin
+# encode pass is charged to the `pq:encode` GROUP via matcost.
+_SF_PQ_CODES: dict[tuple[str, str], DataFrame] = {}
+
+
+def _codes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.queries.matcost import charged_build
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SF_PQ_CODES.get(key)
+    if df is None:
+        with charged_build("pq:encode"):
+            n = _normalized(_emb(spark, sf_dir)).select("vec_id", "nemb")
+            # eager localCheckpoint: survives bench cache hygiene (RDD
+            # blocks) and truncates the argmin lineage
+            df = _encoded(n).localCheckpoint(eager=True)
+        _SF_PQ_CODES[key] = df
+    return df
+
+
 @register(
     "pq_encode",
     _PQ_ENCODE_ORACLE,
@@ -149,10 +172,11 @@ def _encoded(n: DataFrame) -> DataFrame:
     "(4 bytes/vector at 100 TB instead of 512)",
 )
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = _normalized(_emb(spark, sf_dir)).select("vec_id", "nemb").persist()
     packed = F.expr("CAST(code AS BIGINT) * CAST(pow(2, 4 * m) AS BIGINT)")
     return (
-        _encoded(n).groupBy("vec_id").agg(F.sum(packed).alias("pq_code"))
+        _codes_shared(spark, sf_dir)
+        .groupBy("vec_id")
+        .agg(F.sum(packed).alias("pq_code"))
     )
 
 
@@ -186,8 +210,7 @@ SELECT query_id, neighbor_id, adc_dist FROM approx
 """
 
 
-def _adc_topk(n: DataFrame) -> DataFrame:
-    codes = _encoded(n)
+def _adc_topk(n: DataFrame, codes: DataFrame) -> DataFrame:
     cb = _codebook(n)
     q_subs = _subspaces(
         n.filter(F.col("vec_id") < N_QUERIES).select(
@@ -208,9 +231,22 @@ def _adc_topk(n: DataFrame) -> DataFrame:
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.round(F.sum("pd"), 6).alias("adc_dist"))
     )
-    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    # two-phase top-k (the r9 _knn_from fix): a window over query_id
+    # alone has N_QUERIES partitions, so the corpus-sized ADC table
+    # would sort in 5 tasks; phase 1 ranks per (query, input
+    # partition), phase 2 re-ranks the bounded survivor grid — any
+    # global top-k row is in its partition's local top-k, so results
+    # are identical (same distance, same tie-break).
+    order = (F.col("adc_dist"), F.col("neighbor_id"))
+    wpart = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(*order)
+    cands = (
+        adc.withColumn("rn", F.row_number().over(wpart))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        adc.withColumn("rn", F.row_number().over(w))
+        cands.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "adc_dist")
     )
@@ -224,8 +260,11 @@ def _adc_topk(n: DataFrame) -> DataFrame:
     "— the scan does lookups, not vector arithmetic",
 )
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = _normalized(_emb(spark, sf_dir)).select("vec_id", "nemb").persist()
-    return _adc_topk(n)
+    # n feeds only the K_CODES codebook + N_QUERIES LUT slices (both
+    # parquet-pruned by the vec_id filter); the corpus side reads the
+    # shared code table
+    n = _normalized(_emb(spark, sf_dir)).select("vec_id", "nemb")
+    return _adc_topk(n, _codes_shared(spark, sf_dir))
 
 
 # -- recall vs exact L2 -----------------------------------------------------
@@ -274,13 +313,21 @@ def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_l2sq(F.col("qv"), F.col("nemb")), 6).alias("d"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    # two-phase top-k, same rationale/audit as _adc_topk above
+    order = (F.col("d"), F.col("neighbor_id"))
+    wpart = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(*order)
+    exact_cand = (
+        exact.withColumn("rn", F.row_number().over(wpart))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
     exact_topk = (
-        exact.withColumn("rn", F.row_number().over(w))
+        exact_cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id")
     )
-    approx = _adc_topk(n).select(
+    approx = _adc_topk(n, _codes_shared(spark, sf_dir)).select(
         "query_id", "neighbor_id", F.lit(1).alias("_hit")
     )
     return (

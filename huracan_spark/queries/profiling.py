@@ -111,11 +111,16 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from huracan_spark.operators.prefix_sum import global_cumsum
 
     d = load_table(spark, sf_dir, "documents")
+    # freq is vocabulary-bounded: persist eagerly so tot, the maxn
+    # broadcast and the keyed prefix-sum input read the cached table
+    # instead of each re-running the corpus tokenize+count pass
     freq = (
         d.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
+        .persist()
     )
+    freq.count()
     tot = freq.agg(
         F.sum("n").cast("long").alias("total"),
         F.count("*").cast("long").alias("vocab"),
@@ -178,23 +183,32 @@ FROM h1 CROSS JOIN h2
 )
 def q_bigram_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tokpos = d.select(
-        "doc_id", F.posexplode(tokens("text")).alias("pos0", "token")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
-    uni = tokpos.groupBy("token").agg(F.count("*").alias("n"))
-    utot = uni.agg(F.sum("n").alias("t"))
-    nxt = tokpos.select(
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("pos").alias("pos_b"),
-        F.col("token").alias("y"),
+    # adjacency is a PER-ROW property of the token array: zip the array
+    # with its own 1-shifted slice instead of equi-self-joining the
+    # exploded token-position table — the join shuffled the corpus-sized
+    # tokpos table TWICE (both sides) before the grid-bounded count;
+    # the slice-zip emits the same adjacent-pair multiset from the scan
+    # itself, so the only shuffles left are the partial-agg'd count
+    # tables.  `toks` lives in its own projection: it is referenced 4x
+    # below and tokens() is non-cheap, so CollapseProject keeps the
+    # barrier and the tokenize runs once per row, not once per slice.
+    t = d.select(tokens("text").alias("toks"))
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    adj = F.zip_with(
+        F.slice("toks", 1, n1),
+        F.slice("toks", 2, n1),
+        lambda x, y: F.struct(x.alias("x"), y.alias("y")),
     )
+    uni = (
+        t.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    utot = uni.agg(F.sum("n").alias("t"))
     big = (
-        tokpos.join(
-            nxt,
-            (F.col("doc_id_b") == F.col("doc_id"))
-            & (F.col("pos_b") == F.col("pos") + 1),
-        )
-        .groupBy(F.col("token").alias("x"), "y")
+        t.select(F.explode(adj).alias("p"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("x", "y")
         .agg(F.count("*").alias("n"))
     )
     btot = big.agg(F.sum("n").alias("t"))

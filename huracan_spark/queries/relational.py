@@ -603,6 +603,57 @@ CROSS JOIN n_orders
 """
 
 
+# The co-purchase graph is shared per (applicationId, sf_dir) like the
+# dedup label tables: `lp` (the distinct order->part incidence) and
+# `pairs` (part pairs co-occurring in >= BASKET_MIN_SUPPORT orders)
+# are THE market-basket artifact — copurchase_pairs reports on it and
+# related_parts_ppr random-walks over it, exactly the two consumers a
+# deployment would point at one materialized graph.  The one-time
+# build (distinct + order-bounded self-join + pair count) is charged
+# to the `basket:pairs` GROUP via matcost.
+_SF_BASKET: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def basket_pairs_shared(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(lp, pairs): lp = distinct (l_orderkey, l_partkey); pairs =
+    (x, y, n) with x < y and n >= BASKET_MIN_SUPPORT co-orders.
+    Both eagerly localCheckpointed (they survive bench cache hygiene
+    as RDD blocks, and the self-join reads lp on both sides without
+    recompute)."""
+    from huracan_spark.queries.matcost import charged_build
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SF_BASKET.get(key)
+    if cached is None:
+        with charged_build("basket:pairs"):
+            lp = (
+                load_table(spark, sf_dir, "lineitem")
+                .select("l_orderkey", "l_partkey")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            a, b = lp.alias("a"), lp.alias("b")
+            pairs = (
+                a.join(
+                    b,
+                    (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+                )
+                .groupBy(
+                    F.col("a.l_partkey").alias("x"),
+                    F.col("b.l_partkey").alias("y"),
+                )
+                .agg(F.count("*").alias("n"))
+                .filter(F.col("n") >= BASKET_MIN_SUPPORT)
+                .localCheckpoint(eager=True)
+            )
+        cached = (lp, pairs)
+        _SF_BASKET[key] = cached
+    return cached
+
+
 @register(
     "copurchase_pairs",
     _COPURCHASE_ORACLE,
@@ -613,26 +664,13 @@ CROSS JOIN n_orders
     "frequencies broadcast for the lift ratio",
 )
 def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lp = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    lp, pairs = basket_pairs_shared(spark, sf_dir)
     n_orders = lp.agg(F.countDistinct("l_orderkey").alias("n"))
     part_freq = lp.groupBy("l_partkey").agg(F.count("*").alias("n_p"))
-    a = lp.alias("a")
-    b = lp.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    pairs = pairs.select(
+        F.col("x").alias("part_a"),
+        F.col("y").alias("part_b"),
+        F.col("n").alias("support"),
     )
     fa = part_freq.select(F.col("l_partkey").alias("part_a"), F.col("n_p").alias("na"))
     fb = part_freq.select(F.col("l_partkey").alias("part_b"), F.col("n_p").alias("nb"))

@@ -535,11 +535,18 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _docs(spark, sf_dir).select(
         "doc_id", F.explode(X.tokens("text")).alias("token")
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    n_docs = tok.agg(F.countDistinct("doc_id").alias("n"))
+    # ONE tokenize+explode pass: tf is unique per (doc, token), so both
+    # aggregates below derive from it instead of re-scanning tok —
+    # n_docs = distinct doc_id over tf (a doc has >=1 token iff it has
+    # >=1 tf row) and df = plain count per token.  tf feeds three
+    # consumers, two through broadcasts: materialize eagerly so the
+    # broadcast threads read cache, not a re-run of the corpus explode.
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist()
+    tf.count()
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n"))
     idf = (
-        tok.groupBy("token")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        tf.groupBy("token")
+        .agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "token", F.log(F.col("n").cast("double") / F.col("df")).alias("idf")
@@ -575,14 +582,31 @@ GROUP BY 1, 2
     "— one scan, |langs|^2-bounded output",
 )
 def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _docs(spark, sf_dir)
-        .groupBy(
-            F.col("lang").alias("true_lang"),
-            X.predicted_lang("text").alias("predicted_lang"),
-        )
-        .agg(F.count("*").alias("n"))
+    from huracan_spark.functions.textfns import (
+        LANG_MARKERS,
+        lang_scores_from_tokens,
+        predicted_from_scores,
     )
+
+    # staged projections: tokenize ONCE into a column, score each
+    # language over that column, then fold the argmax over the score
+    # COLUMNS — predicted_lang inlined over text re-evaluates the
+    # tokenizer per score and per argmax reference (filter/size are
+    # CodegenFallback, no subexpression elimination).  The token array
+    # and each score are multi-referenced non-cheap aliases, so
+    # CollapseProject keeps the stage boundaries.
+    t = _docs(spark, sf_dir).select("lang", X.tokens("text").alias("_toks"))
+    scores = lang_scores_from_tokens(F.col("_toks"))
+    scored = t.select(
+        "lang", *[scores[lg].alias(f"_s_{lg}") for lg in LANG_MARKERS]
+    )
+    pred = predicted_from_scores(
+        {lg: F.col(f"_s_{lg}") for lg in LANG_MARKERS}
+    )
+    return scored.groupBy(
+        F.col("lang").alias("true_lang"),
+        pred.alias("predicted_lang"),
+    ).agg(F.count("*").alias("n"))
 
 
 # -- language-ID confidence margin ------------------------------------------
@@ -597,27 +621,11 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 from huracan_spark.functions.textfns import (  # noqa: E402
     LANG_MARKERS,
     lang_score_sql,
-    lang_scores,
-    predicted_lang,
+    lang_scores_from_tokens,
+    predicted_from_scores,
     predicted_lang_sql,
+    tokens,
 )
-
-
-def _margin_cols():
-    scores = lang_scores(F.col("text"))
-    best = F.greatest(*scores.values())
-    pred = predicted_lang(F.col("text"))
-    second = F.greatest(
-        *[
-            F.when(F.lit(lang) == pred, F.lit(-1)).otherwise(scores[lang])
-            for lang in LANG_MARKERS
-        ]
-    )
-    margin = F.when(best == 0, F.lit(0)).otherwise(best - second)
-    rel = F.when(best == 0, F.lit(0.0)).otherwise(
-        margin.cast("double") / best
-    )
-    return pred, best, margin, rel
 
 
 _MARGIN_ORACLE_PARTS = {
@@ -653,8 +661,36 @@ FROM documents
     "marker constants, one scan",
 )
 def q_doc_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pred, best, margin, rel = _margin_cols()
-    return _docs(spark, sf_dir).select(
+    # staged projections (same rationale as q_langid_confusion, and
+    # worse here: the inlined `second` referenced the full `pred` tree
+    # per language, compounding the tokenizer re-evaluation): tokenize
+    # once -> score columns once -> argmax/margin over cheap column
+    # references.  Each stage's aliases are multi-referenced non-cheap
+    # expressions, so CollapseProject keeps the boundaries.
+    t = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("_toks"))
+    sc = lang_scores_from_tokens(F.col("_toks"))
+    scored = t.select(
+        "doc_id", *[sc[lg].alias(f"_s_{lg}") for lg in LANG_MARKERS]
+    )
+    cols = {lg: F.col(f"_s_{lg}") for lg in LANG_MARKERS}
+    staged = scored.select(
+        "doc_id",
+        *[cols[lg].alias(f"_s_{lg}") for lg in LANG_MARKERS],
+        F.greatest(*cols.values()).alias("_best"),
+        predicted_from_scores(cols).alias("_pred"),
+    )
+    best, pred = F.col("_best"), F.col("_pred")
+    second = F.greatest(
+        *[
+            F.when(F.lit(lg) == pred, F.lit(-1)).otherwise(cols[lg])
+            for lg in LANG_MARKERS
+        ]
+    )
+    margin = F.when(best == 0, F.lit(0)).otherwise(best - second)
+    rel = F.when(best == 0, F.lit(0.0)).otherwise(
+        margin.cast("double") / best
+    )
+    return staged.select(
         "doc_id",
         pred.alias("pred_lang"),
         best.cast("long").alias("best_score"),

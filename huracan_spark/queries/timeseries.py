@@ -819,7 +819,11 @@ def q_acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.date_trunc("day", F.col("ts")).cast("timestamp"))
         / F.lit(86400000)
     ).cast("long")
-    daily = ev.groupBy(dayno.alias("dayno")).agg(F.count("*").alias("cnt"))
+    # daily is #days-bounded: persist eagerly so the four consumers
+    # (stats broadcast, ss, both lag-join sides) read the cached table
+    # instead of each re-running the corpus count scan
+    daily = ev.groupBy(dayno.alias("dayno")).agg(F.count("*").alias("cnt")).persist()
+    daily.count()
     stats = daily.agg(F.avg("cnt").alias("mean_c"))
     dev = daily.crossJoin(F.broadcast(stats)).select(
         "dayno", (F.col("cnt") - F.col("mean_c")).alias("dev")

@@ -184,10 +184,23 @@ def test_ann_recall_no_cartesian_corpus(spark, sf_dir):
 
 def test_pq_encode_partial_agg_no_window(spark, sf_dir):
     """PQ encoding: codebook broadcast, argmin via partial-agg min_by —
-    the corpus must never pass through a window or cartesian."""
+    the corpus must never pass through a window or cartesian.  The
+    encode pass moved into the shared `pq:encode` build (r10), so the
+    invariant is pinned on the BUILD plan (the semdedup precedent);
+    the registered plan folds over the checkpointed code table and
+    must stay window/cartesian-free itself."""
+    from huracan_spark.queries.pq import _encoded
+    from huracan_spark.queries.similarity import _emb, _normalized
+    from pyspark.sql import functions as F
+
+    n = _normalized(_emb(spark, sf_dir)).select("vec_id", "nemb")
+    bp = _encoded(n)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bp
+    assert "partial_min_by" in bp
+    assert "Window" not in bp
+    assert "CartesianProduct" not in bp
+    assert "BroadcastNestedLoopJoin" not in bp
     p = _plan(spark, sf_dir, "pq_encode")
-    assert "BroadcastHashJoin" in p
-    assert "partial_min_by" in p
     assert "Window" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p

@@ -92,11 +92,95 @@ def _variant(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
     )
 
 
+def _stage(spark: SparkSession, sf_dir: str, upto: str) -> DataFrame:
+    """Prefix of the v0 plan, for stage-isolated attribution:
+    blocks -> dup -> dw (join, pre-window) -> islands (the window) ->
+    full.  Each prefix is noop-sunk on its own so the super-linear
+    stage can be pinpointed at decade scale."""
+    from huracan_spark.queries.dedup import (
+        SUB_BLOCK_K,
+        SUB_BLOCK_STRIDE,
+        _docs,
+    )
+
+    d = _docs(spark, sf_dir).filter(F.length("text") >= SUB_BLOCK_K)
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.length("text") - (SUB_BLOCK_K - 1),
+                F.lit(SUB_BLOCK_STRIDE),
+            )
+        ).alias("i"),
+    )
+    blocks = pos.select(
+        "doc_id",
+        F.expr(f"CAST((i - 1) DIV {SUB_BLOCK_STRIDE} AS BIGINT)").alias("w"),
+        F.md5(F.col("text").substr(F.col("i"), F.lit(SUB_BLOCK_K))).alias(
+            "block_hash"
+        ),
+    )
+    if upto == "blocks":
+        return blocks
+    dup = (
+        blocks.groupBy("block_hash")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("block_hash")
+    )
+    if upto == "dup":
+        return dup
+    dw = blocks.join(dup.hint("shuffle_hash"), "block_hash").select(
+        "doc_id", "w"
+    )
+    if upto == "dw":
+        return dw
+    isl = dw.withColumn(
+        "g",
+        F.col("w")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("w")),
+    )
+    if upto == "islands":
+        return isl
+    raise ValueError(upto)
+
+
 def main() -> None:
-    sf_dirs = sys.argv[1:] or ["/root/repo/.scale/sf10", "/root/repo/.scale/sf100"]
+    args = sys.argv[1:]
+    stages = "--stages" in args
+    if stages:
+        args.remove("--stages")
+    sf_dirs = args or ["/root/repo/.scale/sf10", "/root/repo/.scale/sf100"]
     from huracan_spark.session import get_spark
 
     spark = get_spark("dupspan-ab")
+    if stages:
+        import json as _json
+
+        for sf_dir in sf_dirs:
+            from huracan_spark.sources.tables import load_table
+
+            load_table(spark, sf_dir, "documents").count()
+            for upto in ("blocks", "dup", "dw", "islands"):
+                best = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    _stage(spark, sf_dir, upto).write.mode(
+                        "overwrite"
+                    ).format("noop").save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                print(
+                    _json.dumps(
+                        {"sf_dir": sf_dir, "stage": upto,
+                         "sec_min2": round(best, 2)}
+                    ),
+                    flush=True,
+                )
+                spark.catalog.clearCache()
+        return
     for sf_dir in sf_dirs:
         from huracan_spark.sources.tables import load_table
 
