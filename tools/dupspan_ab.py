@@ -49,14 +49,16 @@ def _variant(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
     )
     win = F.col("text").substr(F.col("i"), F.lit(SUB_BLOCK_K))
     hash_col = (
-        hash60(win, "dupspan") if mode == "hash60" else F.md5(win)
+        hash60(win, "dupspan")
+        if mode in ("hash60", "hash60_minmax")
+        else F.md5(win)
     )
     blocks = pos.select(
         "doc_id",
         F.expr(f"CAST((i - 1) DIV {SUB_BLOCK_STRIDE} AS BIGINT)").alias("w"),
         hash_col.alias("block_hash"),
     )
-    if mode == "v0":
+    if mode in ("v0", "hash60"):
         dup = (
             blocks.groupBy("block_hash")
             .agg(F.countDistinct("doc_id").alias("_nd"))
