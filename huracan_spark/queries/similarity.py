@@ -92,22 +92,48 @@ FROM (
 """
 
 
+# The exact ground-truth top-k panel is shared per (applicationId,
+# sf_dir) like the trained quantizer: it is the stored eval artifact of
+# any ANN deployment (you compute the brute-force panel once, then
+# score every index build against it), and THREE registered queries
+# consume the identical (query_id, neighbor_id, cosine) table —
+# knn_cosine_topk itself, ann_recall_eval and ann_recall_trained each
+# re-ran the full corpus fold pass (N_QUERIES cosines per row) before
+# r10.  The one-time pass is charged to the `knn:exact` GROUP via
+# matcost; the N_QUERIES x TOP_K result rides an eager localCheckpoint
+# (survives bench's clearCache hygiene, like the other shared builds).
+_SF_EXACT_KNN: dict[tuple[str, str], DataFrame] = {}
+
+
+def _exact_knn_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from huracan_spark.queries.matcost import charged_build
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SF_EXACT_KNN.get(key)
+    if df is None:
+        with charged_build("knn:exact"):
+            # persist: corpus side + probe side both derive from n (see
+            # q_embedding_near_dups for the scale note)
+            n = _normalized(_emb(spark, sf_dir)).persist()
+            df = _knn_from(n).localCheckpoint(eager=True)
+            n.unpersist()
+        _SF_EXACT_KNN[key] = df
+    return df
+
+
 @register(
     "knn_cosine_topk",
     _KNN_ORACLE,
     doc=f"brute-force cosine top-{TOP_K} for {N_QUERIES} probe vectors (ANN exactness baseline)",
 )
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persist: corpus side + probe side both derive from n (see
-    # q_embedding_near_dups for the scale note)
-    n = _normalized(_emb(spark, sf_dir)).persist()
-    return _knn_from(n)
+    return _exact_knn_shared(spark, sf_dir)
 
 
 def _knn_from(n: DataFrame) -> DataFrame:
     """Brute-force top-k over an already-normalized (persisted) corpus —
-    shared by q_knn and q_ann_recall_eval so the recall eval caches the
-    corpus once, not once per leg.
+    the body of the shared `knn:exact` ground-truth build (consumed by
+    q_knn and both ann_recall evals).
 
     Two-phase top-k: a single window over query_id alone has only
     N_QUERIES partitions, so at scale the whole corpus sorts in 5
@@ -799,12 +825,12 @@ GROUP BY 1
     "brute-force top-k, per probe vector — the index-quality gauge",
 )
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ONE persisted normalized corpus feeds both legs (r3 verdict: the
-    # two q_* entry points each persisted their own copy — the corpus
-    # was normalized and cached twice for one query)
-    n = _normalized(_emb(spark, sf_dir)).persist()
-    exact = _knn_from(n).select("query_id", "neighbor_id")
-    approx = _ivf_search_from(n.select("vec_id", "nemb")).select(
+    # exact leg reads the shared ground-truth panel (knn:exact group);
+    # the persisted corpus projection feeds only the IVF leg now, so it
+    # narrows to (vec_id, nemb) — label never reaches the cache
+    n = _normalized(_emb(spark, sf_dir)).select("vec_id", "nemb").persist()
+    exact = _exact_knn_shared(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = _ivf_search_from(n).select(
         "query_id", "neighbor_id", F.lit(1).alias("_hit")
     )
     return (
@@ -956,10 +982,11 @@ GROUP BY 1
     "deterministic init",
 )
 def q_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = _normalized(_emb(spark, sf_dir)).persist()
-    exact = _knn_from(n).select("query_id", "neighbor_id")
-    nv = n.select("vec_id", "nemb")
-    approx = _ivf_search_with(nv, _trained_cents_shared(spark, sf_dir)).select(
+    # exact leg from the shared knn:exact panel; cache narrowed to the
+    # (vec_id, nemb) projection the trained-IVF leg needs
+    n = _normalized(_emb(spark, sf_dir)).select("vec_id", "nemb").persist()
+    exact = _exact_knn_shared(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = _ivf_search_with(n, _trained_cents_shared(spark, sf_dir)).select(
         "query_id", "neighbor_id", F.lit(1).alias("_hit")
     )
     return (

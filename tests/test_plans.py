@@ -176,8 +176,19 @@ def test_pii_scrub_single_scan_pushdown(spark, sf_dir):
 
 
 def test_ann_recall_no_cartesian_corpus(spark, sf_dir):
-    """Recall eval composes knn + ivf_search: the only cross product
-    allowed is probe-broadcast x corpus (knn) — never corpus x corpus."""
+    """Recall eval composes the exact panel + ivf_search: the only
+    cross product allowed is probe-broadcast x corpus — never corpus x
+    corpus.  The exact leg moved into the shared `knn:exact` build
+    (r10), so its census is pinned on the BUILD plan (the pq:encode
+    precedent); the registered plan must stay cartesian-free itself."""
+    from huracan_spark.queries.similarity import _emb, _knn_from, _normalized
+
+    n = _normalized(_emb(spark, sf_dir)).select("vec_id", "nemb")
+    bp = _knn_from(n)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in bp
+    # the probe side broadcasts into the non-equi self-pair join; the
+    # corpus side must never be the build side of anything
+    assert "BroadcastNestedLoopJoin" in bp
     p = _plan(spark, sf_dir, "ann_recall_eval")
     assert "CartesianProduct" not in p
 
