@@ -2229,15 +2229,31 @@ class SilverTable:
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"unknown write_mode {write_mode!r}")
         batch, synthetic = self._apply_generated(batch)
-        batch, quarantined = self._enforce_constraints(
-            batch, on_violation, extra=synthetic
-        )
-        if quarantined is not None:
-            quarantined.write.mode("append").parquet(
-                os.path.join(self.path, "_quarantine")
-            )
-        batch = batch.withColumn("_bucket", self._bucket_col()).persist()
+        # Persist only when something reads the batch more than once:
+        # a CHECK/generated-column validation pass, merge metrics, or
+        # a COW merge against existing state (touched-bucket pre-scan
+        # + rewrite).  A merge that never reads stored state (MOR, or
+        # the first merge into an empty table) runs as ONE pass: the
+        # batch streams straight into the bucket write and the touched
+        # buckets fall out of the written dirs — at scale one corpus
+        # pass instead of two (and no cache of the full batch).
+        cached = None
+        if (
+            bool(synthetic)
+            or bool(self.constraints())
+            or collect_metrics
+            or (write_mode == "cow" and self.current_generation() is not None)
+        ):
+            cached = batch = batch.persist()
         try:
+            batch, quarantined = self._enforce_constraints(
+                batch, on_violation, extra=synthetic
+            )
+            if quarantined is not None:
+                quarantined.write.mode("append").parquet(
+                    os.path.join(self.path, "_quarantine")
+                )
+            batch = batch.withColumn("_bucket", self._bucket_col())
             # _locked=True: the caller already holds the commit lock
             # (replay_quarantine's read-merge-rewrite span) — go
             # straight to the pessimistic attempt; re-acquiring would
@@ -2249,6 +2265,11 @@ class SilverTable:
                 )
                 if done:
                     return metrics
+                if cached is None:
+                    # lost the commit race: retries merge against the
+                    # winner's state (a pre-scan pass) — cache the
+                    # batch for them
+                    cached = batch = batch.persist()
             lock = (
                 None if _locked else self._acquire_commit_lock(timeout=300.0)
             )
@@ -2265,7 +2286,8 @@ class SilverTable:
                 f"merge lost the commit race {max_commit_attempts} times"
             )
         finally:
-            batch.unpersist()
+            if cached is not None:
+                cached.unpersist()
 
     def _merge_attempt(
         self,
@@ -2285,81 +2307,109 @@ class SilverTable:
             batch = batch.withColumn("_bucket", self._bucket_col())
         current_gen = self.current_generation()
         prev_manifest = self.manifest(current_gen) if current_gen else {}
-
-        touched = sorted(
-            r._bucket for r in batch.select("_bucket").distinct().collect()
-        )
-        if not touched:
-            # empty batch (common for streaming micro-batches): nothing
-            # to merge — do NOT mint a no-op generation per trigger
-            metrics = (
-                MergeMetrics(inserted=0, modified=0, unchanged=0)
-                if collect_metrics
-                else None
-            )
-            return True, metrics
         prev_raw = self._manifest_raw(current_gen) if current_gen else {}
         prev_deltas = prev_raw.get("deltas", {})
-        touched_set = {str(b) for b in touched}
-        existing_touched = [
-            b
-            for b in touched
-            if str(b) in prev_manifest or str(b) in prev_deltas
-        ]
-        if write_mode == "mor":
-            # merge-on-read: never read stored state — pre-reduce the
-            # batch (same in-batch total order as merge_into) and land
-            # it as a delta layer; reads reconcile
+
+        # single-pass: when no stored state is read (MOR never does;
+        # an empty table has none) and no metrics are wanted, skip the
+        # touched-bucket pre-scan entirely — the batch streams straight
+        # into the partitioned write and the touched buckets fall out
+        # of the written dirs (one pass over the batch, not two)
+        single_pass = not collect_metrics and (
+            write_mode == "mor" or current_gen is None
+        )
+        if single_pass:
+            touched: list | None = None
+            touched_set: set = set()
+            state = None
             merged = merge_into(
                 batch.limit(0), batch, key="_id", version="version_"
             )
-            state = None
-        elif existing_touched:
-            # copy-on-write: reconciled state read absorbs any deltas
-            # the touched buckets carry
-            state = self._bucket_state(
-                current_gen, existing_touched
-            ).withColumn("_bucket", self._bucket_col())
-            state, batch = self._align_schemas(state, batch)
-            merged = merge_into(state, batch, key="_id", version="version_")
+            metrics = None
         else:
-            state = None
-            merged = merge_into(
-                batch.limit(0), batch, key="_id", version="version_"
+            touched = sorted(
+                r._bucket for r in batch.select("_bucket").distinct().collect()
             )
-        metrics = None
-        if collect_metrics:
-            if state is not None:
-                old = state.select("_id", F.col("version_").alias("_old_v"))
-            elif existing_touched:
-                old = self._bucket_state(
-                    current_gen, existing_touched
-                ).select("_id", F.col("version_").alias("_old_v"))
-            else:
-                old = batch.select(
-                    "_id", F.col("version_").alias("_old_v")
-                ).limit(0)
-            bat = batch.groupBy("_id").agg(F.max("version_").alias("_new_v"))
-            counts = (
-                bat.join(old, "_id", "left")
-                .agg(
-                    F.sum(
-                        F.when(F.col("_old_v").isNull(), 1).otherwise(0)
-                    ).alias("ins"),
-                    F.sum(
-                        F.when(F.col("_new_v") > F.col("_old_v"), 1).otherwise(0)
-                    ).alias("mod"),
-                    F.sum(
-                        F.when(F.col("_new_v") <= F.col("_old_v"), 1).otherwise(0)
-                    ).alias("unch"),
+            if not touched:
+                # empty batch (common for streaming micro-batches):
+                # nothing to merge — do NOT mint a no-op generation per
+                # trigger
+                metrics = (
+                    MergeMetrics(inserted=0, modified=0, unchanged=0)
+                    if collect_metrics
+                    else None
                 )
-                .first()
-            )
-            metrics = MergeMetrics(
-                inserted=counts.ins or 0,
-                modified=counts.mod or 0,
-                unchanged=counts.unch or 0,
-            )
+                return True, metrics
+            touched_set = {str(b) for b in touched}
+            existing_touched = [
+                b
+                for b in touched
+                if str(b) in prev_manifest or str(b) in prev_deltas
+            ]
+            if write_mode == "mor":
+                # merge-on-read: never read stored state — pre-reduce
+                # the batch (same in-batch total order as merge_into)
+                # and land it as a delta layer; reads reconcile
+                merged = merge_into(
+                    batch.limit(0), batch, key="_id", version="version_"
+                )
+                state = None
+            elif existing_touched:
+                # copy-on-write: reconciled state read absorbs any
+                # deltas the touched buckets carry
+                state = self._bucket_state(
+                    current_gen, existing_touched
+                ).withColumn("_bucket", self._bucket_col())
+                state, batch = self._align_schemas(state, batch)
+                merged = merge_into(
+                    state, batch, key="_id", version="version_"
+                )
+            else:
+                state = None
+                merged = merge_into(
+                    batch.limit(0), batch, key="_id", version="version_"
+                )
+            metrics = None
+            if collect_metrics:
+                if state is not None:
+                    old = state.select(
+                        "_id", F.col("version_").alias("_old_v")
+                    )
+                elif existing_touched:
+                    old = self._bucket_state(
+                        current_gen, existing_touched
+                    ).select("_id", F.col("version_").alias("_old_v"))
+                else:
+                    old = batch.select(
+                        "_id", F.col("version_").alias("_old_v")
+                    ).limit(0)
+                bat = batch.groupBy("_id").agg(
+                    F.max("version_").alias("_new_v")
+                )
+                counts = (
+                    bat.join(old, "_id", "left")
+                    .agg(
+                        F.sum(
+                            F.when(F.col("_old_v").isNull(), 1).otherwise(0)
+                        ).alias("ins"),
+                        F.sum(
+                            F.when(
+                                F.col("_new_v") > F.col("_old_v"), 1
+                            ).otherwise(0)
+                        ).alias("mod"),
+                        F.sum(
+                            F.when(
+                                F.col("_new_v") <= F.col("_old_v"), 1
+                            ).otherwise(0)
+                        ).alias("unch"),
+                    )
+                    .first()
+                )
+                metrics = MergeMetrics(
+                    inserted=counts.ins or 0,
+                    modified=counts.mod or 0,
+                    unchanged=counts.unch or 0,
+                )
 
         gen, out = self._claim_generation()
         cmap_new, retired = self._evolve_colmap(
@@ -2371,7 +2421,10 @@ class SilverTable:
         # mapping): a logical rename never has to rewrite them.
         (
             self._to_physical(merged, cmap_new)
-            .repartition(max(len(touched), 1), "_bucket")
+            .repartition(
+                self.n_buckets if touched is None else max(len(touched), 1),
+                "_bucket",
+            )
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(out)
@@ -2381,6 +2434,16 @@ class SilverTable:
             for d in os.listdir(out)
             if d.startswith("_bucket=")
         }
+        if touched is None:
+            if not written:
+                # empty batch discovered post-write (single-pass):
+                # nothing to merge — release the claimed generation
+                # instead of committing a no-op (streaming no-op
+                # trigger contract)
+                shutil.rmtree(out, ignore_errors=True)
+                return True, None
+            touched = sorted(written, key=int)
+            touched_set = set(written)
         if write_mode == "mor":
             # bases stay put; each written dir stacks as the bucket's
             # next delta layer (or becomes the base of a fresh bucket)
