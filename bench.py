@@ -90,10 +90,20 @@ def main() -> None:
     # The sidecar write must NEVER prevent the final summary line — a
     # disk-full/read-only failure here would reproduce the exact
     # truncated-record problem the summary line exists to fix.
-    detail_name = "BENCH_DETAIL.json"
+    # SPARK_GRAFT_BENCH_DETAIL_OUT redirects the sidecar so scaling /
+    # smoke runs can't clobber the committed sf0.1 artifact (r10
+    # VERDICT item 6; the driver's 8-core run overwrote it in r10).
+    # Default unchanged — the committed artifact name stays stable.
+    detail_name = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL_OUT", "BENCH_DETAIL.json"
+    )
     try:
-        detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), detail_name
+        detail_path = (
+            detail_name
+            if os.path.isabs(detail_name)
+            else os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), detail_name
+            )
         )
         with open(detail_path, "w") as fh:
             json.dump(out, fh, indent=1)

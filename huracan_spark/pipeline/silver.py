@@ -2261,7 +2261,10 @@ class SilverTable:
             # exclusively-held lock
             for _ in range(0 if _locked else max(max_commit_attempts - 1, 0)):
                 done, metrics = self._merge_attempt(
-                    batch, collect_metrics, write_mode=write_mode
+                    batch,
+                    collect_metrics,
+                    write_mode=write_mode,
+                    batch_cached=cached is not None,
                 )
                 if done:
                     return metrics
@@ -2275,7 +2278,11 @@ class SilverTable:
             )
             try:
                 done, metrics = self._merge_attempt(
-                    batch, collect_metrics, locked=True, write_mode=write_mode
+                    batch,
+                    collect_metrics,
+                    locked=True,
+                    write_mode=write_mode,
+                    batch_cached=cached is not None,
                 )
             finally:
                 if lock is not None:
@@ -2295,6 +2302,33 @@ class SilverTable:
         collect_metrics: bool,
         locked: bool = False,
         write_mode: str = "cow",
+        batch_cached: bool = True,
+    ) -> tuple[bool, MergeMetrics | None]:
+        # _local_cache: the inner attempt appends any persist() it
+        # takes out itself (the merge()-raced-into-two-pass case, r10
+        # ADVICE) so it is always released, on every return/raise path
+        local_cache: list[DataFrame] = []
+        try:
+            return self._merge_attempt_inner(
+                batch,
+                collect_metrics,
+                locked=locked,
+                write_mode=write_mode,
+                batch_cached=batch_cached,
+                _local_cache=local_cache,
+            )
+        finally:
+            for df in local_cache:
+                df.unpersist()
+
+    def _merge_attempt_inner(
+        self,
+        batch: DataFrame,
+        collect_metrics: bool,
+        locked: bool = False,
+        write_mode: str = "cow",
+        batch_cached: bool = True,
+        _local_cache: list | None = None,
     ) -> tuple[bool, MergeMetrics | None]:
         import shutil
 
@@ -2318,6 +2352,16 @@ class SilverTable:
         single_pass = not collect_metrics and (
             write_mode == "mor" or current_gen is None
         )
+        if not single_pass and not batch_cached and _local_cache is not None:
+            # merge() skipped the persist because the table looked
+            # empty (single-pass eligible) when it checked; a
+            # concurrent writer landed the first commit since, so this
+            # attempt walks the two-pass COW path — persist HERE so
+            # the touched-bucket pre-scan and the write read one
+            # materialization (a nondeterministic batch lineage could
+            # otherwise diverge between the two passes; r10 ADVICE)
+            batch = batch.persist()
+            _local_cache.append(batch)
         if single_pass:
             touched: list | None = None
             touched_set: set = set()

@@ -303,6 +303,7 @@ GROUP BY 1
 )
 def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _normalized(_emb(spark, sf_dir)).select("vec_id", "nemb").persist()
+    n.count()  # eager: lazy persist under broadcast races re-runs the pass
     exact = (
         n.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.col("nemb").alias("qv"))

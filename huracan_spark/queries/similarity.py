@@ -829,6 +829,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the persisted corpus projection feeds only the IVF leg now, so it
     # narrows to (vec_id, nemb) — label never reaches the cache
     n = _normalized(_emb(spark, sf_dir)).select("vec_id", "nemb").persist()
+    n.count()  # eager: lazy persist under broadcast races re-runs the pass
     exact = _exact_knn_shared(spark, sf_dir).select("query_id", "neighbor_id")
     approx = _ivf_search_from(n).select(
         "query_id", "neighbor_id", F.lit(1).alias("_hit")
@@ -956,6 +957,7 @@ def _trained_cents_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ivf_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _normalized(_emb(spark, sf_dir)).select("vec_id", "nemb").persist()
+    n.count()  # eager: lazy persist under broadcast races re-runs the pass
     return _ivf_search_with(n, _trained_cents_shared(spark, sf_dir))
 
 
@@ -985,6 +987,7 @@ def q_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact leg from the shared knn:exact panel; cache narrowed to the
     # (vec_id, nemb) projection the trained-IVF leg needs
     n = _normalized(_emb(spark, sf_dir)).select("vec_id", "nemb").persist()
+    n.count()  # eager: lazy persist under broadcast races re-runs the pass
     exact = _exact_knn_shared(spark, sf_dir).select("query_id", "neighbor_id")
     approx = _ivf_search_with(n, _trained_cents_shared(spark, sf_dir)).select(
         "query_id", "neighbor_id", F.lit(1).alias("_hit")

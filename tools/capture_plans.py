@@ -29,8 +29,10 @@ import sys
 
 def plan_stats(plan: str) -> dict:
     return {
-        "exchanges": len(re.findall(r"\bExchange\b", plan))
-        - len(re.findall(r"ReusedExchange", plan)),
+        # \bExchange\b already excludes ReusedExchange (no word boundary
+        # between 'd' and 'E'), so no subtraction — subtracting here
+        # double-discounted reuse and could go negative (r10 ADVICE)
+        "exchanges": len(re.findall(r"\bExchange\b", plan)),
         "reused_exchanges": len(re.findall(r"ReusedExchange", plan)),
         "bhj": len(re.findall(r"BroadcastHashJoin", plan)),
         "smj": len(re.findall(r"SortMergeJoin", plan)),
