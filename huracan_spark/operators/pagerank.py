@@ -59,8 +59,19 @@ def pagerank_round(
     signal) keeps fixed-iteration replays bit-identical — same
     convention as the cosine round(6) in queries/similarity.py.
     """
+    # the edge table is cached pre-partitioned on src (see pagerank());
+    # SHUFFLE_HASH on the ranks side makes every round a shuffled hash
+    # join that REUSES that layout: only the O(nodes) ranks table moves,
+    # the edge side never re-exchanges — and the planner can never
+    # "helpfully" broadcast a corpus-derived table (the r7 blowup
+    # class: at fixture scale the cached edges LOOK tiny, at 100 TB a
+    # per-round edge broadcast is a driver abort).  Fold-order changes
+    # are absorbed by the per-round round_at contract.
     contrib = (
-        edges.join(ranks.withColumnRenamed("node", "src"), "src")
+        edges.join(
+            ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+            "src",
+        )
         .groupBy(F.col("dst").alias("node"))
         .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("_in"))
     )
@@ -75,7 +86,11 @@ def pagerank_round(
     rank = teleport + damping * F.coalesce(F.col("_in"), F.lit(0.0))
     if round_at is not None:
         rank = F.round(rank, round_at)
-    out = ranks.select("node").join(contrib, "node", "left")
+    # contrib is node-bounded but corpus-DERIVED — never leave its
+    # join strategy to a planner size estimate (same rationale as above)
+    out = ranks.select("node").join(
+        contrib.hint("shuffle_hash"), "node", "left"
+    )
     if reset is None:
         out = out.crossJoin(F.broadcast(n_nodes))
     else:
@@ -108,7 +123,11 @@ def pagerank(
     # and re-run the input edge build per branch (r7 class).
     nodes.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    e = edges.join(out_deg, "src").persist()
+    # cache the edge table HASH-PARTITIONED ON src: every round's
+    # ranks-to-edges join then reuses this one layout (the build join
+    # may have been a broadcast, which would otherwise leave the cache
+    # in scan order and force a per-round edge exchange — guide §2.4)
+    e = edges.join(out_deg, "src").repartition("src").persist()
     e.count()
     n_nodes = nodes.agg(F.count("*").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
@@ -149,7 +168,8 @@ def personalized_pagerank(
     # and re-run the input edge build per branch (r7 class).
     nodes.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    e = edges.join(out_deg, "src").persist()
+    # same pre-partitioned edge layout as pagerank() — see comment there
+    e = edges.join(out_deg, "src").repartition("src").persist()
     e.count()
     n_nodes = nodes.agg(F.count("*").alias("n"))
     ranks = nodes.join(F.broadcast(reset), "node", "left").select(

@@ -41,6 +41,9 @@ class BackfillResult:
     error_counts: DataFrame
     merge_metrics: MergeMetrics | None
     max_cp_completed: int | None
+    #: the persisted enrichment join backing dlq/error_counts — callers
+    #: done with those DataFrames may unpersist it to release the cache
+    cached: DataFrame | None = None
 
 
 def apply_checkpoint_bounds(
@@ -78,7 +81,11 @@ def run_backfill(
     bounded = apply_checkpoint_bounds(changes, completed)
     parsed = parse_changes(bounded)
     deduped = reconcile_duplicates(parsed)
-    res: EnrichResult = enrich(deduped, content, whitelist, blacklist)
+    # cache_join: merge / completion accounting / the returned dlq are
+    # separate actions over the same enrichment join (r11)
+    res: EnrichResult = enrich(
+        deduped, content, whitelist, blacklist, cache_join=True
+    )
     batch = build_silver_batch(res.enriched)
     metrics = silver.merge(batch, collect_metrics=collect_metrics)
     # accounting from the PRE-triage bounded input: checkpoints whose
@@ -92,4 +99,5 @@ def run_backfill(
         error_counts=res.errors,
         merge_metrics=metrics,
         max_cp_completed=max_cp,
+        cached=res.cached,
     )

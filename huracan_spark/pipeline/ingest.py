@@ -68,6 +68,9 @@ class EnrichResult:
     enriched: DataFrame  # changes + content columns (deletions carried, payload null)
     dlq: DataFrame  # changes whose content fetch failed (K7)
     errors: DataFrame  # per-error-kind counts (P4 -> metrics K8)
+    #: the persisted enrichment join when ``cache_join=True`` — the
+    #: caller MUST unpersist it after consuming the result branches
+    cached: DataFrame | None = None
 
 
 def enrich(
@@ -75,6 +78,7 @@ def enrich(
     content: DataFrame,
     whitelist: list[str] | None = None,
     blacklist: list[str] | None = None,
+    cache_join: bool = False,
 ) -> EnrichResult:
     """S6 enrichment join + P2 deletion short-circuit + P4 error triage
     + P3 white/blacklist.
@@ -90,6 +94,15 @@ def enrich(
     live = parsed.filter(~F.col("deletion"))
 
     joined = live.join(content, on=["object_id", "version"], how="left")
+    cached = None
+    if cache_join:
+        # .enriched / .dlq / error counts are consumed by SEPARATE
+        # sequential actions (merge, DLQ write, checkpoint accounting)
+        # — without the pin each one re-runs this corpus-sized
+        # co-partitioned join AND the content scan (r11, guide §5).
+        # Lazy is safe here: the consumers are sequential actions, not
+        # racing broadcast threads (the r7 eager rule's trigger).
+        cached = joined = joined.persist()
 
     # P4: response-error triage -> drop + count per kind (client.rs:118-143)
     errors = (
@@ -116,7 +129,7 @@ def enrich(
         "*", *[F.lit(None).cast(dict(content.dtypes)[c]).alias(c) for c in content_cols]
     )
     enriched = ok.unionByName(deletions_shaped)
-    return EnrichResult(enriched=enriched, dlq=dlq, errors=errors)
+    return EnrichResult(enriched=enriched, dlq=dlq, errors=errors, cached=cached)
 
 
 def build_silver_batch(enriched: DataFrame) -> DataFrame:

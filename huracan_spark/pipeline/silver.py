@@ -42,6 +42,17 @@ from huracan_spark.pipeline.features import READER_FEATURES
 
 __all__ = ["SilverTable", "MergeMetrics", "CommitConflict", "ConstraintViolation"]
 
+#: parsed-manifest cache keyed by (abs path, mtime_ns, size): a single
+#: merge used to parse the SAME manifest JSON 3-5x (manifest / deltas /
+#: dvs / colmap / table_schema each re-opened it), and at production
+#: bucket counts the stats/fstats maps make these parses real driver
+#: cost per commit.  mtime+size keying keeps rewrites (rebase rewrites
+#: a claimed generation's manifest in place) correctly invalidated.
+#: Consumers treat the parsed dict as read-only (audited: every writer
+#: copies sub-dicts before mutating).
+_MANIFEST_CACHE: dict[tuple[str, int, int], dict] = {}
+_MANIFEST_CACHE_MAX = 64
+
 
 class ConstraintViolation(ValueError):
     """A merge batch failed a table CHECK constraint under
@@ -244,8 +255,7 @@ class SilverTable:
 
     def manifest(self, generation: str) -> dict[str, str]:
         """bucket id (str) -> data dir relative to the table root."""
-        with open(os.path.join(self.path, generation, "manifest.json")) as f:
-            return json.load(f)["buckets"]
+        return self._manifest_json(generation)["buckets"]
 
     def history(self) -> list[dict]:
         """Commit log, newest first (the DESCRIBE HISTORY analog): one
@@ -1185,8 +1195,7 @@ class SilverTable:
         if gen is None:
             return None
         try:
-            with open(os.path.join(self.path, gen, "manifest.json")) as f:
-                sj = json.load(f).get("schema")
+            sj = self._manifest_json(gen).get("schema")
         except FileNotFoundError:
             return None
         if sj is None:
@@ -2095,12 +2104,28 @@ class SilverTable:
         with open(os.path.join(gen_dir, "manifest.json"), "w") as f:
             json.dump(self._stamp_features(mf), f)
 
+    def _manifest_json(self, generation: str) -> dict:
+        """Parsed manifest of ``generation`` (no feature gate), served
+        from the mtime/size-keyed parse cache.  Raises FileNotFoundError
+        exactly like the direct open it replaces."""
+        p = os.path.join(self.path, generation, "manifest.json")
+        st = os.stat(p)  # FileNotFoundError propagates, as before
+        key = (p, st.st_mtime_ns, st.st_size)
+        raw = _MANIFEST_CACHE.get(key)
+        if raw is None:
+            with open(p) as f:
+                raw = json.load(f)
+            while len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+                _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+            _MANIFEST_CACHE[key] = raw
+        return raw
+
     def _manifest_raw(self, generation: str) -> dict:
         from huracan_spark.pipeline.features import check_reader_features
 
-        with open(os.path.join(self.path, generation, "manifest.json")) as f:
-            raw = json.load(f)
-        return check_reader_features(raw, generation)
+        return check_reader_features(
+            self._manifest_json(generation), generation
+        )
 
     @staticmethod
     def _align_schemas(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -2118,6 +2143,7 @@ class SilverTable:
         schema), so no rewrite is ever needed.  Lossy or unrelated
         changes (long→int, string→int, ...) raise, as in Delta."""
         at, bt = dict(a.dtypes), dict(b.dtypes)
+        wide: dict[str, str] = {}
         for c in at.keys() & bt.keys():
             if at[c] == bt[c]:
                 continue
@@ -2129,18 +2155,94 @@ class SilverTable:
                     "(tinyint<smallint<int<bigint, float<double, "
                     "sub-long integers<double)"
                 )
-            if at[c] != w:
-                a = a.withColumn(c, F.col(c).cast(w))
-            if bt[c] != w:
-                b = b.withColumn(c, F.col(c).cast(w))
-        at, bt = dict(a.dtypes), dict(b.dtypes)
-        for c, t in bt.items():
-            if c not in at:
-                a = a.withColumn(c, F.lit(None).cast(t))
-        for c, t in at.items():
-            if c not in bt:
-                b = b.withColumn(c, F.lit(None).cast(t))
-        return a, b
+            wide[c] = w
+
+        # ONE select per side instead of a withColumn per column: each
+        # withColumn is a full Catalyst re-analysis of the (often deep)
+        # merge lineage, and this runs on every COW merge against
+        # stored state — O(cols) analyses -> O(1) (driver latency per
+        # commit, guide §5).  Same output exactly: widened casts keep
+        # their position, the other side's missing columns append as
+        # typed nulls in that side's column order.
+        def _project(df, own, other):
+            cols, changed = [], False
+            for c, t in own.items():
+                w = wide.get(c)
+                if w is not None and t != w:
+                    cols.append(F.col(c).cast(w).alias(c))
+                    changed = True
+                else:
+                    cols.append(F.col(c))
+            for c, t in other.items():
+                if c not in own:
+                    cols.append(F.lit(None).cast(t).alias(c))
+                    changed = True
+            return df.select(*cols) if changed else df
+
+        return _project(a, at, bt), _project(b, bt, at)
+
+    def _merged_schema_json(self, prev_schema, cur_schema) -> str:
+        """The committed-schema computation — exactly what
+        ``_align_schemas(createDataFrame([], prev_schema), merged)``'s
+        second return would carry — done purely on StructTypes.  The
+        DataFrame form cost a createDataFrame plus Catalyst analyses of
+        the full merge lineage PER COMMIT, all to derive a schema
+        (driver latency, guide §5).  Falls back to the DataFrame path
+        (returns None) when a prev-only column has a non-atomic type,
+        where ``lit(None).cast(simpleString)`` nullability-inside-
+        containers semantics would be fiddly to replicate exactly."""
+        from pyspark.sql.types import (
+            ArrayType,
+            MapType,
+            StructField,
+            StructType,
+        )
+
+        _WIDENED = {
+            "tinyint": "byte",
+            "smallint": "short",
+            "int": "integer",
+            "bigint": "long",
+            "float": "float",
+            "double": "double",
+        }
+        import pyspark.sql.types as T
+
+        prev = {f.name: f for f in prev_schema.fields}
+        cur_names = {f.name for f in cur_schema.fields}
+        fields = []
+        for f in cur_schema.fields:
+            if f.name == "_bucket":
+                continue
+            p = prev.get(f.name)
+            tb = f.dataType.simpleString()
+            if p is None or p.dataType.simpleString() == tb:
+                fields.append(f)
+                continue
+            ta = p.dataType.simpleString()
+            w = self._widened_type(ta, tb)
+            if w is None:
+                raise ValueError(
+                    f"column {f.name!r}: cannot merge type {tb} into "
+                    f"{ta} — only lossless widenings are supported "
+                    "(tinyint<smallint<int<bigint, float<double, "
+                    "sub-long integers<double)"
+                )
+            if tb == w:
+                fields.append(f)
+            else:
+                # cast keeps the column's position, nullability and
+                # (empty) alias metadata — widening casts never fail
+                wt = getattr(T, _WIDENED[w].capitalize() + "Type")()
+                fields.append(StructField(f.name, wt, f.nullable))
+        for f in prev_schema.fields:
+            if f.name in cur_names or f.name == "_bucket":
+                continue
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                return None  # exotic: take the exact DataFrame path
+            # lit(None).cast(t): nullable, metadata-free
+            fields.append(StructField(f.name, f.dataType, True))
+        return json.dumps(StructType(fields).jsonValue())
 
     _INT_CHAIN = ("tinyint", "smallint", "int", "bigint")
 
@@ -2568,15 +2670,19 @@ class SilverTable:
         # schema (untouched buckets still hold the column), and a
         # widened column type must be adopted table-wide so old narrow
         # files read under the promoted type
-        schema_df = merged
         prev_schema = self.table_schema(current_gen) if current_gen else None
         if prev_schema is not None:
-            empty = self.spark.createDataFrame([], prev_schema)
-            _, schema_df = self._align_schemas(empty, merged)
+            schema_json = self._merged_schema_json(prev_schema, merged.schema)
+            if schema_json is None:  # exotic prev-only column types
+                empty = self.spark.createDataFrame([], prev_schema)
+                _, schema_df = self._align_schemas(empty, merged)
+                schema_json = self._schema_json(schema_df)
+        else:
+            schema_json = self._schema_json(merged)
         mf = {
             "buckets": buckets,
             "n_buckets": self.n_buckets,
-            "schema": self._schema_json(schema_df),
+            "schema": schema_json,
             "stats": stats,
             "fstats": fstats,
             "blooms": blooms,

@@ -15,13 +15,15 @@ PQ stack in ``queries/similarity.py`` and ``queries/pq.py``):
   feasibility report for a 100 TB vector corpus.
 - ``pca_power_iteration`` — dominant principal component of the
   centered corpus via two power-iteration steps, WITHOUT ever
-  materializing the covariance matrix: each step is the two-pass
-  matvec  t_i = (x_i - m)·v  then  y = Σ_i t_i (x_i - m), i.e. one
-  equi-join + partial-agg sum per pass over the (vec, dim) long form.
-  State between steps is a 64-row vector — broadcast, never shuffled.
-  This is the scale-safe spectral shape (same discipline as the
-  k-means mean step, operators/kmeans.py): O(n·d) rows per pass,
-  O(d) driver-visible state, no O(d²) intermediate.
+  materializing the covariance matrix: each step is ONE scan of the
+  ARRAY-form centered corpus — the per-vector dot  t_i = (x_i - m)·v
+  folds inline against the broadcast vector row, then
+  y = Σ_i t_i (x_i - m) is a posexplode + 64-group partial agg.
+  State between steps is a 1-row vector array — broadcast, never
+  shuffled; no corpus-sized exchange exists anywhere in a pass
+  (the r10 long form paid an n-row groupBy(vec_id) shuffle + an
+  n·64 join per pass).  O(n·d) work per pass, O(d) driver-visible
+  state, no O(d²) intermediate.
 
 Cross-engine determinism: float→double widening is exact on both
 engines; quantization rounds via ``floor(v + 0.5)`` (identical double
@@ -169,26 +171,81 @@ def q_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- dominant principal component via power iteration -----------------------
+#
+# (the r10 long-form ``_matvec`` — broadcast-join v by pos, groupBy
+# vec_id for t, join t back, groupBy pos — was replaced by the
+# array-form one-scan ``_matvec_arr`` below; plan pin:
+# tests/test_plans.py::test_pca_matvec_is_one_scan_no_corpus_shuffle)
 
 
-def _matvec(cent: DataFrame, v: DataFrame) -> DataFrame:
-    """One covariance matvec y = Σ_i ((x_i-m)·v) (x_i-m) in long form.
+def _cent_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, xc: array<double>) — the centered corpus in ARRAY form.
 
-    ``cent`` is (vec_id, pos, xc); ``v`` is the 64-row (pos, v) vector
-    — broadcast onto the scan.  The t-join back on vec_id is a linear
-    equi-join of the long table with the n-row t vector (shuffle on
-    vec_id; at 100 TB this is the same O(n·d) per-pass cost as the
-    k-means assignment step — never an O(d²) or O(n²) intermediate).
-    """
-    t = (
-        cent.join(F.broadcast(v), "pos")
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("xc") * F.col("v")).alias("t"))
+    Round-11 shape fix (guide §2.4): the long-form matvec paid TWO
+    corpus passes + an n-row ``groupBy(vec_id)`` shuffle + an n·64-row
+    join PER PASS just to compute per-vector dot products that the
+    array row already holds.  Centering is one posexplode means pass
+    (64-group partial agg) + one zip_with projection; each matvec then
+    becomes ONE corpus scan with zero corpus-sized shuffles (see
+    ``_matvec_arr``).  xc values are the identical doubles the long
+    form produced (elementwise x - m, no fold)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias(
+            "x"
+        ),
     )
+    means = (
+        _vecdim(spark, sf_dir).groupBy("pos").agg(F.avg("x").alias("m"))
+    )
+    m_row = _vec_row(means, "m", "marr")
+    return x.crossJoin(F.broadcast(m_row)).select(
+        "vec_id",
+        F.zip_with("x", "marr", lambda a, b: a - b).alias("xc"),
+    )
+
+
+def _field(name: str):
+    # factory, not `lambda t, name=name: ...` — PySpark HOF lambdas
+    # must be 1- or 2-ary (CLAUDE.md)
+    return lambda t: t[name]
+
+
+def _vec_row(v: DataFrame, col: str, out: str) -> DataFrame:
+    """Fold a 64-row (pos, col) vector table into ONE row carrying the
+    vector as a pos-ordered array — broadcastable state between power-
+    iteration passes.  array_sort over (pos, value) structs makes the
+    collect_list order irrelevant (pos is unique)."""
+    return v.agg(
+        F.array_sort(F.collect_list(F.struct("pos", col))).alias("_s")
+    ).select(F.transform("_s", _field(col)).alias(out))
+
+
+def _dot(xc, varr) -> Column:
+    """Per-row dot product as a fold — the whole point of the array
+    form: t = xc·v needs no join and no vec_id shuffle."""
+    return F.aggregate(
+        F.zip_with(xc, varr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def _matvec_arr(cent: DataFrame, v_row: DataFrame) -> DataFrame:
+    """One covariance matvec y = Σ_i ((x_i-m)·v) (x_i-m) over the ARRAY
+    form: t computed inline per row against the broadcast vector, then
+    one posexplode + 64-group partial agg.  ONE corpus scan, no
+    corpus-sized shuffle (the long form cost two scans, an n-row
+    groupBy(vec_id) exchange and an n·64 join per pass).  Fold-order
+    ulp differences are absorbed by the final round(6), the same
+    cross-engine contract the oracle already relies on."""
     return (
-        cent.join(t, "vec_id")
+        cent.crossJoin(F.broadcast(v_row))
+        .select(_dot("xc", "varr").alias("t"), "xc")
+        .select("t", F.posexplode("xc").alias("pos", "x"))
         .groupBy("pos")
-        .agg(F.sum(F.col("xc") * F.col("t")).alias("y"))
+        .agg(F.sum(F.col("x") * F.col("t")).alias("y"))
     )
 
 
@@ -238,26 +295,22 @@ FROM y2 CROSS JOIN n2 CROSS JOIN nvec
     "Rayleigh estimate ||C v||; oracle unrolls both passes as CTEs",
 )
 def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vd = _vecdim(spark, sf_dir)
-    means = vd.groupBy("pos").agg(F.avg("x").alias("m"))
-    # persist: the centered long form feeds 4 matvec legs (t/y twice)
-    cent = (
-        vd.join(F.broadcast(means), "pos")
-        .select("vec_id", "pos", (F.col("x") - F.col("m")).alias("xc"))
-        .persist()
+    # ARRAY form (r11): one corpus scan per matvec, zero corpus-sized
+    # shuffles — the long form paid 2 scans + an n-row groupBy(vec_id)
+    # exchange + an n·64 join per pass (see _matvec_arr)
+    cent = _cent_arr(spark, sf_dir).persist()
+    # eager: cent feeds every matvec leg incl. broadcast subtrees
+    cent.count()
+    v0_row = spark.range(1).select(
+        F.array(*([F.lit(V0)] * DIM)).alias("varr")
     )
-    # pass 1 with the constant init vector folded in (t1 = V0 * Σ_d xc)
-    t1 = cent.groupBy("vec_id").agg(F.sum(F.col("xc") * F.lit(V0)).alias("t"))
     # persist each 64-row vector: its LINEAGE is a full corpus pass,
     # and normalize/Rayleigh each consume it twice (agg + projection)
-    y1 = (
-        cent.join(t1, "vec_id")
-        .groupBy("pos")
-        .agg(F.sum(F.col("xc") * F.col("t")).alias("y"))
-        .localCheckpoint(eager=True)
-    )
+    y1 = _matvec_arr(cent, v0_row).localCheckpoint(eager=True)
     v1 = _normalize_vec(y1)
-    y2 = _matvec(cent, v1).localCheckpoint(eager=True)
+    y2 = _matvec_arr(cent, _vec_row(v1, "v", "varr")).localCheckpoint(
+        eager=True
+    )
     nrm2 = y2.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
     nvec = (
         load_table(spark, sf_dir, "embeddings")
@@ -456,59 +509,51 @@ CROSS JOIN n2 CROSS JOIN m2 CROSS JOIN nvec
     "state, covariance never materialized; oracle unrolls everything",
 )
 def q_pca_deflation_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vd = _vecdim(spark, sf_dir)
-    means = vd.groupBy("pos").agg(F.avg("x").alias("m"))
-    cent = (
-        vd.join(F.broadcast(means), "pos")
-        .select("vec_id", "pos", (F.col("x") - F.col("m")).alias("xc"))
-        .persist()
-    )
-    # eager: cent feeds t1/y1/tproj/cent2 and several broadcast
-    # subtrees — one count() materializes the corpus centering pass
-    # once instead of letting the broadcast threads race the fill
+    # ARRAY form (r11): one corpus scan per matvec and one for the
+    # deflation projection, zero corpus-sized shuffles — the long form
+    # paid 2 scans + an n-row groupBy(vec_id) exchange + an n·64 join
+    # per pass, and a 3-way join for the deflation (see _matvec_arr)
+    cent = _cent_arr(spark, sf_dir).persist()
+    # eager: cent feeds every matvec leg incl. broadcast subtrees —
+    # one count() materializes the centering pass once instead of
+    # letting the broadcast threads race the fill
     cent.count()
-    t1 = cent.groupBy("vec_id").agg(F.sum(F.col("xc") * F.lit(V0)).alias("t"))
+    v0_row = spark.range(1).select(
+        F.array(*([F.lit(V0)] * DIM)).alias("varr")
+    )
     # persist every 64-row vector table: each is consumed by several
     # downstream subplans (normalize agg + projection + broadcast
     # exchanges), and without the pin each broadcast subtree re-runs
     # the full corpus pass that produced it (measured 59 s -> ~8 s
     # at sf0.1)
-    y1 = (
-        cent.join(t1, "vec_id")
-        .groupBy("pos")
-        .agg(F.sum(F.col("xc") * F.col("t")).alias("y"))
-        .localCheckpoint(eager=True)
-    )
+    y1 = _matvec_arr(cent, v0_row).localCheckpoint(eager=True)
     v1 = _normalize_vec(y1)
-    y2 = _matvec(cent, v1).localCheckpoint(eager=True)
+    y2 = _matvec_arr(cent, _vec_row(v1, "v", "varr")).localCheckpoint(
+        eager=True
+    )
     nrm2 = y2.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
     c1 = _normalize_vec(y2).withColumnRenamed("v", "c1v")
 
-    tproj = (
-        cent.join(F.broadcast(c1), "pos")
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("xc") * F.col("c1v")).alias("t"))
-    )
+    # projection deflation xc' = xc - (xc·c1)·c1 — one pass over the
+    # cached cent, the per-row dot folded inline
+    c1_row = _vec_row(c1, "c1v", "carr")
     cent2 = (
-        cent.join(tproj, "vec_id")
-        .join(F.broadcast(c1), "pos")
+        cent.crossJoin(F.broadcast(c1_row))
+        .withColumn("_t", _dot("xc", "carr"))
         .select(
             "vec_id",
-            "pos",
-            (F.col("xc") - F.col("t") * F.col("c1v")).alias("xc"),
+            F.zip_with(
+                "xc", "carr", lambda a, b: a - F.col("_t") * b
+            ).alias("xc"),
         )
         .persist()
     )
     cent2.count()  # eager, same rationale as cent
-    s1 = cent2.groupBy("vec_id").agg(F.sum(F.col("xc") * F.lit(V0)).alias("t"))
-    z1 = (
-        cent2.join(s1, "vec_id")
-        .groupBy("pos")
-        .agg(F.sum(F.col("xc") * F.col("t")).alias("y"))
-        .localCheckpoint(eager=True)
-    )
+    z1 = _matvec_arr(cent2, v0_row).localCheckpoint(eager=True)
     w1 = _normalize_vec(z1)
-    z2 = _matvec(cent2, w1).localCheckpoint(eager=True)
+    z2 = _matvec_arr(cent2, _vec_row(w1, "v", "varr")).localCheckpoint(
+        eager=True
+    )
     m2 = z2.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
     nvec = load_table(spark, sf_dir, "embeddings").agg(F.count("*").alias("n"))
     return (

@@ -684,9 +684,13 @@ def q_dlq_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(root, "silver"), n_buckets=8
     )
     parsed = parse_changes(changes)
-    res = enrich(parsed, content_partial)
+    # cache_join: the merge and the DLQ write are separate actions over
+    # the same enrichment join — one pass instead of two (r11)
+    res = enrich(parsed, content_partial, cache_join=True)
     silver.merge(build_silver_batch(res.enriched))
     write_dlq(res.dlq, dlq_path)
+    if res.cached is not None:
+        res.cached.unpersist()
     # the gap is fixed upstream; the retry consumer re-runs the chain
     replay_dlq(spark, dlq_path, content_full, silver)
 

@@ -21,11 +21,14 @@ the documented lateness cutoff instead; see streaming/windows.py).
 Scale notes: the foreachBatch fold is EXECUTOR-SIDE (the
 ``streaming/gold_view.py`` pattern): each micro-batch's changed-group
 rows MERGE last-update-wins into a persisted keyed parquet state via
-an anti-join — no driver materialization of aggregate rows, so the
-fold stays distributed however large the |windows x event types| grid
-grows (years of events x wide type dimension at 100 TB).  A batch-id
-marker makes replayed batches idempotent; the staged copy is one pass
-over the input and the stream reads files in parallel per micro-batch.
+a union + max_by(side) reduce — no driver materialization of
+aggregate rows, so the fold stays distributed however large the
+|windows x event types| grid grows (years of events x wide type
+dimension at 100 TB).  ONE job per trigger: the batch is referenced
+exactly once and the refreshed state writes to a sibling dir swapped
+in afterwards (r11).  A batch-id marker makes replayed batches
+idempotent; the staged copy is one pass over the input and the stream
+reads files in parallel per micro-batch.
 """
 
 from __future__ import annotations
@@ -84,8 +87,19 @@ def q_stream_tumbling_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         # executor-side last-update-wins MERGE of the changed groups
         # into the persisted keyed state (gold_view.py pattern): prior
         # rows whose key this batch re-emitted are replaced; no
-        # aggregate row ever reaches the driver
+        # aggregate row ever reaches the driver.
+        #
+        # ONE job per trigger (r11, guide §1.4 "jobs not actions"): the
+        # merge is a union + max_by(side) — batch_df is referenced
+        # exactly ONCE, so the upstream stateful aggregation runs
+        # exactly once with no persist needed (the r5 multi-action
+        # re-evaluation hazard only exists with >1 reference), and the
+        # write targets a sibling dir swapped in afterwards, so the
+        # lineage never reads the dir being replaced (the old
+        # localCheckpoint-then-overwrite pair cost a second job and a
+        # full extra materialization of the state per trigger).
         import json
+        import shutil
 
         marker = os.path.join(root, "_LAST_BATCH")
         last = -1
@@ -94,27 +108,40 @@ def q_stream_tumbling_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 last = json.load(f)["batch_id"]
         if batch_id <= last:
             return  # replayed batch after restart — already folded
-        # several actions follow: persist, or re-evaluation re-runs the
-        # upstream stateful aggregation against advanced state
-        batch_df = batch_df.persist()
-        try:
-            s = batch_df.sparkSession
-            keys = ["window_start_ms", "event_type"]
-            if os.path.isdir(state_dir):
-                prior = s.read.parquet(state_dir)
-                merged = prior.join(
-                    batch_df.select(*keys), on=keys, how="left_anti"
-                ).unionByName(batch_df)
-            else:
-                merged = batch_df
-            # lineage reads state_dir, which the write replaces
-            merged = merged.localCheckpoint(eager=True)
-            merged.write.mode("overwrite").parquet(state_dir)
-            with open(marker + ".tmp", "w") as f:
-                json.dump({"batch_id": batch_id}, f)
-            os.replace(marker + ".tmp", marker)
-        finally:
-            batch_df.unpersist()
+        old = state_dir + ".old"
+        if not os.path.isdir(state_dir) and os.path.isdir(old):
+            os.rename(old, state_dir)  # crashed mid-swap: recover
+        s = batch_df.sparkSession
+        keys = ["window_start_ms", "event_type"]
+        if os.path.isdir(state_dir):
+            prior = s.read.parquet(state_dir)
+            merged = (
+                prior.withColumn("_side", F.lit(0))
+                .unionByName(batch_df.withColumn("_side", F.lit(1)))
+                .groupBy(*keys)
+                .agg(
+                    F.max_by(
+                        F.struct("n", "sum_value"), F.col("_side")
+                    ).alias("_w")
+                )
+                .select(
+                    *keys,
+                    F.col("_w.n").alias("n"),
+                    F.col("_w.sum_value").alias("sum_value"),
+                )
+            )
+        else:
+            merged = batch_df
+        tmp = state_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, old)
+        os.rename(tmp, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        with open(marker + ".tmp", "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        os.replace(marker + ".tmp", marker)
 
     stream = (
         spark.readStream.schema(ev.schema)

@@ -59,7 +59,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # PySpark 4's DataFrame debugging wraps EVERY DataFrame API call
+        # with a conf.get RPC + Python traceback walk + a JVM
+        # PySparkCurrentOrigin.set RPC (pyspark/errors/utils.py) — three
+        # Py4J round-trips where one suffices, purely to enrich error
+        # messages with call-site context.  Measured driver-side via
+        # cProfile on the silver merge path (r11): _capture_call_site
+        # alone was ~6% of a drive's wall.  Off: results identical,
+        # errors lose only the "line N in file" context line.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # TESTDATA events.parquet carries TIMESTAMP(NANOS) which Spark has
         # no native type for; read as long (ns) and convert in the loader.

@@ -20,9 +20,11 @@ mass and are filtered):
 
 Replay safety: foreachBatch can re-deliver a committed batch after a
 restart; a batch-id marker makes the fold idempotent (the standard
-exactly-once foreachBatch pattern).  The view parquet is
-localCheckpoint'ed before the self-overwrite (lineage reads the dir
-being replaced — see CLAUDE.md).
+exactly-once foreachBatch pattern).  The refreshed view is written to
+a sibling dir and swapped in (the lineage reads the live dir, so an
+in-place overwrite would race it — see CLAUDE.md; the swap replaces
+the old localCheckpoint-then-overwrite pair, saving one job and one
+full view materialization per trigger).
 """
 
 from __future__ import annotations
@@ -61,6 +63,16 @@ def run_gold_view(
     )
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # ONE job per trigger (r11, guide §1.4): batch_df is referenced
+        # exactly once (the adjustment aggregate), so no persist is
+        # needed (the r5 multi-action re-evaluation hazard only exists
+        # with >1 reference); the refreshed view writes to a sibling
+        # dir swapped in afterwards, so the lineage never reads the dir
+        # being replaced — the old localCheckpoint-then-overwrite pair
+        # cost a second job and a full extra materialization of the
+        # view per trigger.
+        import shutil
+
         marker = os.path.join(view_dir, "_LAST_BATCH")
         last = -1
         if os.path.exists(marker):
@@ -68,52 +80,55 @@ def run_gold_view(
                 last = json.load(f)["batch_id"]
         if batch_id <= last:
             return  # replayed batch after restart — already folded
-        batch_df = batch_df.persist()
-        try:
-            sign = F.when(
-                F.col("_change_type").isin("insert", "update_postimage"),
-                F.lit(1),
-            ).when(
-                F.col("_change_type").isin(
-                    "update_preimage", "delete_preimage"
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).when(
+            F.col("_change_type").isin(
+                "update_preimage", "delete_preimage"
+            ),
+            F.lit(-1),
+        )
+        adj = (
+            batch_df.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
+            .withColumn("_sign", sign)
+            .filter(F.col("_sign").isNotNull())
+            .groupBy(group_col)
+            .agg(
+                F.sum("_sign").alias("n_rows"),
+                F.sum(F.col(value_col) * F.col("_sign")).alias(
+                    "sum_value"
                 ),
-                F.lit(-1),
             )
-            adj = (
-                batch_df.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
-                .withColumn("_sign", sign)
-                .filter(F.col("_sign").isNotNull())
-                .groupBy(group_col)
-                .agg(
-                    F.sum("_sign").alias("n_rows"),
-                    F.sum(F.col(value_col) * F.col("_sign")).alias(
-                        "sum_value"
-                    ),
-                )
+        )
+        data_dir = os.path.join(view_dir, "data")
+        old = data_dir + ".old"
+        if not os.path.isdir(data_dir) and os.path.isdir(old):
+            os.rename(old, data_dir)  # crashed mid-swap: recover
+        s = batch_df.sparkSession
+        merged = (
+            s.read.parquet(data_dir).unionByName(adj)
+            if os.path.isdir(data_dir)
+            else adj
+        )
+        folded = (
+            merged.groupBy(group_col)
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("sum_value").alias("sum_value"),
             )
-            data_dir = os.path.join(view_dir, "data")
-            s = batch_df.sparkSession
-            merged = (
-                s.read.parquet(data_dir).unionByName(adj)
-                if os.path.isdir(data_dir)
-                else adj
-            )
-            folded = (
-                merged.groupBy(group_col)
-                .agg(
-                    F.sum("n_rows").alias("n_rows"),
-                    F.sum("sum_value").alias("sum_value"),
-                )
-                .filter(F.col("n_rows") > 0)
-                # lineage reads data_dir, which the next line replaces
-                .localCheckpoint(eager=True)
-            )
-            folded.write.mode("overwrite").parquet(data_dir)
-            with open(marker + ".tmp", "w") as f:
-                json.dump({"batch_id": batch_id}, f)
-            os.replace(marker + ".tmp", marker)
-        finally:
-            batch_df.unpersist()
+            .filter(F.col("n_rows") > 0)
+        )
+        tmp = data_dir + ".tmp"
+        folded.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(data_dir):
+            os.rename(data_dir, old)
+        os.rename(tmp, data_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        with open(marker + ".tmp", "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        os.replace(marker + ".tmp", marker)
 
     writer = (
         feed.writeStream.foreachBatch(_fold)

@@ -202,9 +202,15 @@ def run_stream(
         # already-advanced state (crashes the pandas-with-state path,
         # and triple-reads the source on the watermark path)
         batch_df = batch_df.persist()
+        res = None
         try:
             parsed = parse_changes(batch_df)
-            res = enrich(parsed, content, cfg.whitelist, cfg.blacklist)
+            # cache_join: merge / DLQ / completion are separate actions
+            # over the same enrichment join — one pass per trigger
+            res = enrich(
+                parsed, content, cfg.whitelist, cfg.blacklist,
+                cache_join=True,
+            )
             gen_before = silver.current_generation()
             silver.merge(
                 build_silver_batch(res.enriched),
@@ -225,6 +231,8 @@ def run_stream(
                 done = checkpoint_completion(batch_df, res.dlq)
                 done.write.mode("append").parquet(cfg.completed_dir)
         finally:
+            if res is not None and res.cached is not None:
+                res.cached.unpersist()
             batch_df.unpersist()
 
     writer = (

@@ -264,35 +264,41 @@ def test_funnel_is_hash_join_not_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
-def test_pca_matvec_is_partial_agg_broadcast(spark, sf_dir):
-    """Each power-iteration pass must be partial-agg sums with the
-    64-row vector broadcast — never a corpus-side window or cartesian.
+def test_pca_matvec_is_one_scan_no_corpus_shuffle(spark, sf_dir):
+    """Each power-iteration pass must be ONE corpus scan: the per-row
+    dot folds inline against the broadcast vector row, then a 64-group
+    partial agg — the ONLY exchange is the 64-group hash shuffle.  The
+    r10 long form cost two scans + an n-row groupBy(vec_id) exchange +
+    an n·64 join per pass; this pins that they never come back.
     (The registered queries eagerly checkpoint each 64-row vector to
     stop broadcast-exchange races from duplicating passes, which
     truncates their final plan — so the shape is asserted on the
     matvec building block itself.)"""
+    import re
+
     from pyspark.sql import functions as F
 
     from huracan_spark.queries import linalg
 
-    vd = linalg._vecdim(spark, sf_dir)
-    means = vd.groupBy("pos").agg(F.avg("x").alias("m"))
-    cent = vd.join(F.broadcast(means), "pos").select(
-        "vec_id", "pos", (F.col("x") - F.col("m")).alias("xc")
-    )
-    v = spark.range(64).select(
-        F.col("id").cast("int").alias("pos"), F.lit(0.125).alias("v")
+    cent = linalg._cent_arr(spark, sf_dir)
+    v_row = spark.range(1).select(
+        F.array(*([F.lit(0.125)] * linalg.DIM)).alias("varr")
     )
     p = (
-        linalg._matvec(cent, v)
+        linalg._matvec_arr(cent, v_row)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "partial_sum" in p
-    assert "BroadcastHashJoin" in p  # v joined onto the long form by pos
-    assert "CartesianProduct" not in p
+    assert "partial_sum" in p  # 64-group agg combines map-side
+    # exactly ONE hash exchange: the 64-group agg (the 1-row vector
+    # rides a broadcast; means inside _cent_arr are also 64-group)
+    n_hash_ex = len(re.findall(r"Exchange hashpartitioning\(pos", p))
+    assert n_hash_ex <= 2, p  # matvec agg + the means pass inside cent
+    assert "SortMergeJoin" not in p  # no corpus-sized join, ever
+    assert "ShuffledHashJoin" not in p
     assert "Window" not in p
+    assert "CartesianProduct" not in p
 
 
 def test_jl_probe_filter_pushed_to_scan(spark, sf_dir):

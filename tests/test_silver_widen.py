@@ -389,3 +389,83 @@ def test_widening_merge_property(spark, tmp_path_factory, batches):
         assert dict(t.read().dtypes)["val"] in ("float", "double")
     elif "bigint" in kinds:
         assert dict(t.read().dtypes)["val"] == "bigint"
+
+
+def test_merged_schema_json_matches_dataframe_path(spark, tmp_path):
+    """The pure-Python committed-schema computation (r11 driver-latency
+    fix) must reproduce the DataFrame-based
+    _align_schemas(createDataFrame([], prev), merged) result byte for
+    byte across widening / column-add / column-omit shapes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from huracan_spark.pipeline.silver import SilverTable
+
+    t = SilverTable(spark, str(tmp_path / "t"), n_buckets=2)
+
+    prev_variants = [
+        spark.range(1).select(
+            F.col("id").cast("string").alias("_id"),
+            F.lit(1).cast("int").alias("version_"),
+            F.lit(False).alias("deleted"),
+            F.lit(1).cast("int").alias("a"),
+            F.lit(1.0).cast("float").alias("b"),
+            F.lit("x").alias("gone"),
+        ),
+        spark.range(1).select(
+            F.col("id").cast("string").alias("_id"),
+            F.lit(1).cast("bigint").alias("version_"),
+            F.lit(False).alias("deleted"),
+            F.lit(1).cast("smallint").alias("a"),
+        ),
+    ]
+    cur_variants = [
+        spark.range(1).select(
+            F.col("id").cast("string").alias("_id"),
+            F.lit(2).cast("bigint").alias("version_"),
+            F.lit(False).alias("deleted"),
+            F.lit(2).cast("bigint").alias("a"),      # widen int->bigint
+            F.lit(2.0).cast("double").alias("b"),    # widen float->double
+            F.lit(3).cast("int").alias("fresh"),     # batch-added column
+            F.lit(0).cast("int").alias("_bucket"),   # partition key: dropped
+        ),
+        spark.range(1).select(
+            F.col("id").cast("string").alias("_id"),
+            F.lit(2).cast("int").alias("version_"),  # NARROWER than prev
+            F.lit(True).alias("deleted"),
+            F.lit(2).cast("double").alias("a"),      # smallint+double->double
+            F.lit(0).cast("int").alias("_bucket"),
+        ),
+    ]
+    for prev_df in prev_variants:
+        for cur in cur_variants:
+            prev_schema = StructType(
+                [f for f in prev_df.schema.fields if f.name != "_bucket"]
+            )
+            fast = t._merged_schema_json(prev_schema, cur.schema)
+            empty = spark.createDataFrame([], prev_schema)
+            _, aligned = t._align_schemas(empty, cur)
+            assert fast == t._schema_json(aligned), (
+                prev_schema.simpleString(),
+                cur.schema.simpleString(),
+            )
+
+
+def test_merged_schema_json_exotic_prev_column_falls_back(spark, tmp_path):
+    """A prev-only ARRAY column routes to the exact DataFrame path
+    (returns None) instead of guessing container nullability."""
+    from pyspark.sql import functions as F
+
+    from huracan_spark.pipeline.silver import SilverTable
+
+    t = SilverTable(spark, str(tmp_path / "t2"), n_buckets=2)
+    prev = spark.range(1).select(
+        F.col("id").cast("string").alias("_id"),
+        F.lit(1).cast("bigint").alias("version_"),
+        F.array(F.lit(1.0)).alias("vec"),
+    )
+    cur = spark.range(1).select(
+        F.col("id").cast("string").alias("_id"),
+        F.lit(2).cast("bigint").alias("version_"),
+    )
+    assert t._merged_schema_json(prev.schema, cur.schema) is None

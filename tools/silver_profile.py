@@ -20,6 +20,8 @@ import pstats
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -28,6 +30,9 @@ def main() -> None:
     if "--sf" in sys.argv:
         sf_dir = sys.argv[sys.argv.index("--sf") + 1]
     name = args[0]
+
+    # the REST job probe needs the UI server (off in the bench session)
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")
 
     from huracan_spark.queries.registry import REGISTRY, spark_queries
     from huracan_spark.session import get_spark
@@ -51,6 +56,46 @@ def main() -> None:
     df.write.format("noop").mode("overwrite").save()
     t1 = time.monotonic()
     print(f"[silver_profile] {name}: {t1 - t0:.3f} s wall (sf={sf_dir})")
+
+    # job-level attribution (guide §8 REST probe): sum of executed job
+    # spans vs wall separates cluster compute from driver-side gaps
+    # (Catalyst analysis, manifest IO, Py4J chatter between jobs)
+    try:
+        import json as _json
+        from datetime import datetime
+        from urllib.request import urlopen
+
+        app_id = spark.sparkContext.applicationId
+        with urlopen(
+            f"{spark.sparkContext.uiWebUrl}/api/v1/applications/{app_id}/jobs?status=succeeded"
+        ) as r:
+            jobs = _json.load(r)
+
+        def _ts(s):
+            return datetime.strptime(s, "%Y-%m-%dT%H:%M:%S.%f%Z").timestamp()
+
+        spans = sorted(
+            (_ts(j["submissionTime"]), _ts(j["completionTime"]))
+            for j in jobs
+            if "completionTime" in j
+        )
+        total = sum(b - a for a, b in spans)
+        # union of job spans (overlapping jobs counted once)
+        covered, hi = 0.0, None
+        for a, b in spans:
+            if hi is None or a > hi:
+                covered += b - a
+                hi = b
+            elif b > hi:
+                covered += b - hi
+                hi = b
+        print(
+            f"[silver_profile] jobs={len(spans)} job-span sum={total:.3f} s "
+            f"union={covered:.3f} s (wall {t1 - t0:.3f} -> driver gaps "
+            f"~{t1 - t0 - covered:.3f} s incl. pre-warm jobs)"
+        )
+    except Exception as e:  # REST probe is best-effort
+        print(f"[silver_profile] job attribution unavailable: {e}")
 
     from huracan_spark.queries.matcost import BUILD_LEDGER
 
